@@ -1,0 +1,18 @@
+"""kimera_semantics_tpu: TPU-native metric-semantic volumetric fusion.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+MIT-SPARK/Kimera-Semantics (+ its inherited Voxblox surface): depth + 2D
+semantic-label streams ray-cast into a block-hashed TSDF grid with Bayesian
+label fusion, marching-cubes semantic meshing, ESDF generation, simulation-world
+evaluation, and spatial sharding across TPU device meshes.
+"""
+
+from .config import (ColorMode, FusionConfig, GridConfig, IntegratorType,
+                     PipelineConfig, SemanticConfig, TsdfConfig)
+from .core.camera import PinholeIntrinsics
+from .core.color import LabelColorMap
+from .grid import blocks
+from .grid.blocks import VoxelGrid, create
+from .models.common import Frame, frame_from_images
+
+__version__ = "0.1.0"

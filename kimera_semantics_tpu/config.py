@@ -1,0 +1,146 @@
+"""Configuration dataclasses for the TPU-native metric-semantic fusion engine.
+
+Behavioral parity targets (reference: MIT-SPARK/Kimera-Semantics):
+  - TSDF integrator options mirror voxblox `TsdfIntegratorBase::Config` as used by
+    the reference launch files (kimera_semantics_ros/launch/kimera_semantics.launch:96-132).
+  - Semantic options mirror `SemanticConfig`
+    (kimera_semantics/include/kimera_semantics/semantic_integrator_base.h:68-87) and
+    `getSemanticTsdfIntegratorConfigFromRosParam`
+    (kimera_semantics_ros/src/ros_params.cpp:24-77).
+
+Unlike the reference, the number of semantic labels is a *runtime* config value
+(the reference hard-codes kTotalNumberOfLabels = 21 at compile time,
+kimera_semantics/include/kimera_semantics/common.h:26).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Sequence, Tuple
+
+
+class ColorMode(enum.Enum):
+    """Mesh/voxel coloring mode.
+
+    Mirrors `kimera::ColorMode` (semantic_integrator_base.h:57-62) and the string
+    values accepted by ros_params.cpp:52-62.
+    """
+
+    COLOR = "color"                        # blended measured color (kColor)
+    SEMANTIC = "semantic"                  # MLE label color (kSemantic)
+    SEMANTIC_PROBABILITY = "semantic_probability"  # rainbow(exp(max log-odds))
+
+
+class IntegratorType(enum.Enum):
+    """Integrator selection. Mirrors `SemanticTsdfIntegratorType`
+    (semantic_tsdf_integrator_factory.h:49-54): "merged"=0, "fast"=1."""
+
+    MERGED = "merged"
+    FAST = "fast"
+
+
+# The reference initializes each voxel's 21 log-odds priors to the hard-coded
+# constant -0.60205999132 (semantic_voxel.h:19-23). NB: the comment there claims
+# log(1/21) but the constant is actually log10(1/4); we replicate the *constant*
+# for parity. A uniform prior never affects the argmax label.
+DEFAULT_UNIFORM_LOG_PRIOR = -0.60205999132
+
+# Reference: kUnknownSemanticLabelId = 0 (common.h:21).
+UNKNOWN_LABEL = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Static geometry + capacity of the block-hashed voxel grid.
+
+    The reference's `vxb::Layer` grows dynamically; under XLA we use a fixed
+    capacity block table with overflow accounting (SURVEY.md section 7 design).
+    """
+
+    voxel_size: float = 0.05            # launch/kimera_semantics.launch:99
+    voxels_per_side: int = 16           # reference uses 32 (launch:100); 16 packs
+                                        # tighter on TPU; both supported.
+    block_capacity: int = 2048          # max allocated blocks (excl. trash slot)
+    num_labels: int = 21                # runtime-configurable (ref: compile-time)
+    world_extent_blocks: int = 512      # block coords in [-512, 512) per axis for
+                                        # int32 key packing (10 bits + offset)
+
+    @property
+    def vps3(self) -> int:
+        return self.voxels_per_side ** 3
+
+    @property
+    def block_size(self) -> float:
+        return self.voxel_size * self.voxels_per_side
+
+    @property
+    def table_size(self) -> int:
+        # Open-addressing hash table, power-of-two, ~2x load headroom.
+        return 1 << max(8, math.ceil(math.log2(self.block_capacity * 2)))
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfConfig:
+    """Voxblox-equivalent TSDF integrator options (inherited surface, SURVEY 2b).
+
+    Defaults follow the reference's canonical operating point
+    (launch/kimera_semantics.launch:96-132) and voxblox defaults.
+    """
+
+    truncation_distance: float = 0.1     # voxblox default_truncation_distance
+    max_ray_length_m: float = 5.0        # launch:101
+    min_ray_length_m: float = 0.1        # voxblox default
+    max_weight: float = 10000.0          # voxblox default
+    use_const_weight: bool = False       # launch:104 sets true for gt; vxb default false
+    use_weight_dropoff: bool = True      # voxblox default
+    voxel_carving_enabled: bool = True   # launch:102
+    allow_clear: bool = True             # voxblox default
+    # Fast-integrator specifics (semantic_tsdf_integrator_fast.h:98-130):
+    start_voxel_subsampling_factor: float = 2.0
+    clear_checks_every_n_frames: int = 1
+    # Merged-integrator specifics:
+    enable_anti_grazing: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SemanticConfig:
+    """Mirror of `kimera::SemanticConfig` (semantic_integrator_base.h:68-87)."""
+
+    semantic_measurement_probability: float = 0.9   # ros_params.cpp:43-49 (launch: 0.8)
+    color_mode: ColorMode = ColorMode.SEMANTIC
+    dynamic_labels: Tuple[int, ...] = (20,)          # launch:121-122 (humans)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static shapes for the jit-compiled per-frame update."""
+
+    max_rays: int = 32768        # rays integrated per frame after dedup/compaction
+    max_steps: Optional[int] = None  # DDA steps per ray; None = derive from config
+    dedup_table_size: int = 1 << 20  # matches ApproxHashSet 2^20 slots (_fast.h:98-130)
+
+    def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
+        if self.max_steps is not None:
+            return self.max_steps
+        if tsdf.voxel_carving_enabled:
+            reach = tsdf.max_ray_length_m + tsdf.truncation_distance
+        else:
+            reach = 2.0 * tsdf.truncation_distance
+        # Amanatides-Woo axis-sum step count <= sqrt(3) * length / voxel.
+        return int(math.ceil(1.7321 * reach / grid.voxel_size)) + 3
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Top-level bundle used by integrators and the server."""
+
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    tsdf: TsdfConfig = dataclasses.field(default_factory=TsdfConfig)
+    semantic: SemanticConfig = dataclasses.field(default_factory=SemanticConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    integrator: IntegratorType = IntegratorType.FAST
+
+    def resolved_max_steps(self) -> int:
+        return self.pipeline.resolved_max_steps(self.grid, self.tsdf)

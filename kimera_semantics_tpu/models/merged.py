@@ -1,0 +1,136 @@
+"""Merged semantic TSDF integrator — TPU-native ray bundling.
+
+Capability equivalent of `kimera::MergedSemanticTsdfIntegrator`
+(kimera_semantics/src/semantic_tsdf_integrator_merged.cpp): points are binned by
+their destination voxel (`bundleRays`, _merged.cpp:110-124), each bin is
+collapsed to one weighted-average ray carrying a full label-frequency histogram
+(:254-285), and the merged rays are cast with the histogram applied to every
+traversed voxel (:288-328). Clearing rays are bundled separately and take only
+the first point of each bin (:282-284).
+
+TPU re-derivation (SURVEY 2c): binning = lexicographic sort on packed voxel
+keys + segment-reduce; the two sequential passes (normal then clearing) become
+two ray batches through the same fused update; static thread striping
+disappears (data parallelism over segments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..core.camera import PinholeIntrinsics
+from ..grid.blocks import VoxelGrid, point_to_voxel
+from ..ops.integrate import integrate_ray_batch
+from . import common
+
+_EPS_WEIGHT = 1e-6  # voxblox kEpsilon gate on point weights (_merged.cpp:263-266)
+
+
+def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
+            num_labels: int, max_bundles: int):
+    """Bin points by destination voxel; reduce each bin to one merged ray.
+
+    Returns per-bundle (valid, point_G, weight, color, hist, first_idx) where
+    `first_idx` is the original index of the bin's first point (for the
+    clearing-ray first-point-only rule).
+    """
+    n = points_G.shape[0]
+    vox = point_to_voxel(points_G, voxel_size_inv)
+    # Pack 15-bit-per-axis voxel coords into two int32 sort keys.
+    c = jnp.clip(vox + (1 << 14), 0, (1 << 15) - 1)
+    key_hi = (c[..., 0] << 15) | c[..., 1]
+    key_lo = c[..., 2]
+    # Inactive points sort to the back.
+    key_hi = jnp.where(active, key_hi, jnp.int32(0x7FFFFFFF))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_hi, key_lo, perm = jax.lax.sort((key_hi, key_lo, idx), num_keys=2)
+
+    w = jnp.where(active, weights, 0.0)[perm]
+    contrib = w > _EPS_WEIGHT
+    pg = points_G[perm]
+    col = colors[perm]
+    lab = labels[perm]
+    act = active[perm]
+
+    is_first = jnp.ones((n,), dtype=bool)
+    is_first = is_first.at[1:].set(
+        (key_hi[1:] != key_hi[:-1]) | (key_lo[1:] != key_lo[:-1]))
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    seg = jnp.where(act, seg, max_bundles)  # drop inactive
+
+    def segsum(vals, width=None):
+        shape = (max_bundles + 1,) if width is None else (max_bundles + 1, width)
+        return jnp.zeros(shape, dtype=jnp.float32).at[seg].add(vals, mode="drop")
+
+    wsum = segsum(w * contrib)
+    wpoint = segsum((w * contrib)[:, None] * pg, 3)
+    wcolor = segsum((w * contrib)[:, None] * col, 3)
+    hist = jnp.zeros((max_bundles + 1, num_labels), dtype=jnp.float32).at[
+        seg, lab].add(contrib.astype(jnp.float32), mode="drop")
+    # Bin's earliest point in original order (reference takes the first point
+    # of each bin for clearing rays; ordering there is thread-mixed, here
+    # deterministic raster order — tolerance contract).
+    first_idx = jnp.full((max_bundles + 1,), n, dtype=jnp.int32).at[seg].min(
+        perm, mode="drop")
+
+    valid = wsum[:max_bundles] > _EPS_WEIGHT
+    denom = jnp.maximum(wsum[:max_bundles, None], 1e-12)
+    return (valid,
+            wpoint[:max_bundles] / denom,
+            wsum[:max_bundles],
+            wcolor[:max_bundles] / denom,
+            hist[:max_bundles],
+            first_idx[:max_bundles])
+
+
+@partial(jax.jit, static_argnames=("cfg", "intr"))
+def integrate_frame(grid: VoxelGrid, frame: common.Frame,
+                    cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
+    (_, pts_G, origin, colors, labels, weights, valid,
+     is_clearing) = common.prepare_points(frame, intr, cfg)
+
+    R = cfg.pipeline.max_rays
+    L = cfg.grid.num_labels
+    inv = 1.0 / cfg.grid.voxel_size
+
+    # Pass 1: normal rays (voxel_map bins).
+    (bvalid, bpoint, bweight, bcolor, bhist, _) = _bundle(
+        pts_G, weights, colors, labels, valid & ~is_clearing,
+        voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    grid = integrate_ray_batch(
+        grid, cfg, origin, bpoint, bweight, bcolor,
+        jnp.zeros((R,), dtype=jnp.int32),
+        jnp.zeros((R,), dtype=bool), bvalid, label_hist=bhist)
+
+    # Pass 2: clearing rays (clear_map bins) — first point of each bin only
+    # (_merged.cpp:282-284), histogram is that single point's label.
+    (cvalid, _, _, _, _, cfirst) = _bundle(
+        pts_G, weights, colors, labels, valid & is_clearing,
+        voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    n = pts_G.shape[0]
+    safe_first = jnp.minimum(cfirst, n - 1)
+    cpts = pts_G[safe_first]
+    cweights = weights[safe_first]
+    ccolors = colors[safe_first]
+    clabels = labels[safe_first]
+    chist = jax.nn.one_hot(clabels, L, dtype=jnp.float32)
+    cvalid = cvalid & (cfirst < n) & (cweights > _EPS_WEIGHT)
+    grid = integrate_ray_batch(
+        grid, cfg, origin, cpts, cweights, ccolors,
+        jnp.zeros((R,), dtype=jnp.int32),
+        jnp.ones((R,), dtype=bool), cvalid, label_hist=chist)
+    return grid
+
+
+class MergedSemanticTsdfIntegrator:
+    def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics):
+        self.cfg = cfg
+        self.intr = intr
+
+    def integrate(self, grid: VoxelGrid, frame: common.Frame) -> VoxelGrid:
+        return integrate_frame(grid, frame, self.cfg, self.intr)

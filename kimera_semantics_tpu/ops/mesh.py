@@ -1,0 +1,197 @@
+"""Batched per-block marching cubes -> semantically colored triangle mesh.
+
+TPU-native equivalent of voxblox's `MeshIntegrator`/`MeshLayer` (inherited
+surface, SURVEY 2b), which the reference reuses unchanged by overwriting TSDF
+voxel colors with semantic colors (semantic_integrator_base.cpp:174-191 and
+README.md:10). Here the color channel is *computed* at mesh time from the grid's
+accumulators according to ColorMode — same output, no in-integration overwrite.
+
+Design: updated blocks are meshed in fixed-size batches. Each block gathers its
+7 (+x/+y/+z combination) neighbor blocks via the hash table to build a padded
+(V+1)^3 corner lattice, evaluates the 256-case tables over all V^3 cubes at
+once, and emits a dense (cube, 5-triangle, 3-vertex) buffer with validity masks;
+the host compacts valid triangles into a soup (matching voxblox's per-block
+non-deduplicated mesh output).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ColorMode, FusionConfig
+from ..core.color import LabelColorMap, rainbow_colormap
+from ..grid import blocks as gblocks
+from ..grid.blocks import VoxelGrid
+from ..ops import semantic as sem_ops
+from . import mc_tables
+
+MIN_WEIGHT = 1e-4  # voxblox MeshIntegratorConfig::min_weight
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Triangle soup with per-vertex colors (host-side numpy)."""
+
+    vertices: np.ndarray   # (N, 3) float32 world coords
+    colors: np.ndarray     # (N, 3) uint8
+    triangles: np.ndarray  # (N/3, 3) int32 indices (soup)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+
+def render_colors(grid: VoxelGrid, cfg: FusionConfig,
+                  label_map: Optional[LabelColorMap]) -> jnp.ndarray:
+    """Per-voxel mesh color (B+1, V3, 3) float per the ColorMode semantics of
+    updateSemanticVoxel (semantic_integrator_base.cpp:174-191)."""
+    mode = cfg.semantic.color_mode
+    if mode == ColorMode.COLOR:
+        return gblocks.voxel_color(grid).astype(jnp.float32)
+    if mode == ColorMode.SEMANTIC:
+        if label_map is None:
+            raise ValueError("SEMANTIC color mode needs a LabelColorMap")
+        labels = gblocks.mle_labels(grid)
+        return label_map.colors_from_labels(labels).astype(jnp.float32)
+    if mode == ColorMode.SEMANTIC_PROBABILITY:
+        lk = sem_ops.make_likelihood(cfg.semantic)
+        lo = gblocks.label_logodds(grid, lk.log_match, lk.log_nonmatch)
+        max_lo = jnp.max(lo, axis=-1)
+        # Reference: rainbowColorMap(exp(max log-odds)) — unnormalized, as-is.
+        return rainbow_colormap(jnp.exp(max_lo)).astype(jnp.float32)
+    raise ValueError(f"unknown color mode {mode}")
+
+
+def _padded_channel(chan_flat: jnp.ndarray, self_slots: jnp.ndarray,
+                    nbr_slots: jnp.ndarray, vps: int):
+    """Assemble (K, V+1, V+1, V+1, C?) corner lattices from per-block channels.
+
+    chan_flat: (B+1, V3[, C]) channel array; nbr_slots: (K, 7) slots for
+    neighbor offsets [(1,0,0),(0,1,0),(0,0,1),(1,1,0),(1,0,1),(0,1,1),(1,1,1)].
+    """
+    V = vps
+    tail = chan_flat.shape[2:]
+    as_block = lambda s: chan_flat[s].reshape(s.shape + (V, V, V) + tail)
+    blk = as_block(self_slots)                       # (K,V,V,V,...)
+    nx, ny, nz, nxy, nxz, nyz, nxyz = (as_block(nbr_slots[:, i]) for i in range(7))
+    px = jnp.concatenate([blk, nx[:, :1]], axis=1)   # (K,V+1,V,V)
+    ystrip = jnp.concatenate([ny[:, :, :1], nxy[:, :1, :1]], axis=1)
+    pxy = jnp.concatenate([px, ystrip], axis=2)      # (K,V+1,V+1,V)
+    zcore = jnp.concatenate([nz[:, :, :, :1], nxz[:, :1, :, :1]], axis=1)
+    zedge = jnp.concatenate([nyz[:, :, :1, :1], nxyz[:, :1, :1, :1]], axis=1)
+    zstrip = jnp.concatenate([zcore, zedge], axis=2)
+    return jnp.concatenate([pxy, zstrip], axis=3)    # (K,V+1,V+1,V+1,...)
+
+
+_NBR_OFFSETS = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0],
+                         [1, 0, 1], [0, 1, 1], [1, 1, 1]], dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
+                      slots: jnp.ndarray, cfg: FusionConfig):
+    """Marching cubes over a batch of K blocks.
+
+    Returns (tri_verts (K, V3, 5, 3, 3), tri_cols (K, V3, 5, 3, 3),
+    tri_valid (K, V3, 5))."""
+    g = cfg.grid
+    V, V3, cap = g.voxels_per_side, g.vps3, g.block_capacity
+    K = slots.shape[0]
+
+    coords = grid.block_coords[jnp.minimum(slots, cap - 1)]
+    nbr = coords[:, None, :] + jnp.asarray(_NBR_OFFSETS)[None, :, :]
+    nbr_slots = gblocks.lookup_slots(grid, nbr, g)
+    self_ok = slots < cap
+    nbr_slots = jnp.where(self_ok[:, None], nbr_slots, cap)
+    safe_slots = jnp.where(self_ok, slots, cap)
+
+    dist = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
+    sdf = _padded_channel(dist, safe_slots, nbr_slots, V)          # (K,V+1)^3
+    wgt = _padded_channel(grid.wsum, safe_slots, nbr_slots, V)
+    col = _padded_channel(render_color, safe_slots, nbr_slots, V)  # (...,3)
+
+    # Corner gathers for every cube: (K, V, V, V, 8).
+    offs = jnp.asarray(mc_tables.CORNER_OFFSETS)  # (8, 3)
+    ii = jnp.arange(V)
+    cx = ii[:, None, None, None] + offs[None, None, None, :, 0]
+    cy = ii[None, :, None, None] + offs[None, None, None, :, 1]
+    cz = ii[None, None, :, None] + offs[None, None, None, :, 2]
+    csdf = sdf[:, cx, cy, cz]                    # (K,V,V,V,8)
+    cwgt = wgt[:, cx, cy, cz]
+    ccol = col[:, cx, cy, cz]                    # (K,V,V,V,8,3)
+
+    observed = jnp.all(cwgt > MIN_WEIGHT, axis=-1)
+    case = jnp.sum((csdf < 0.0).astype(jnp.int32) *
+                   (1 << jnp.arange(8, dtype=jnp.int32)), axis=-1)
+    case = jnp.where(observed, case, 0)
+
+    # Edge interpolation: (K,V,V,V,12,...).
+    ec = jnp.asarray(mc_tables.EDGE_CORNERS)     # (12, 2)
+    s0, s1 = csdf[..., ec[:, 0]], csdf[..., ec[:, 1]]
+    denom = s0 - s1
+    t = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12, s0 / denom, 0.5), 0.0, 1.0)
+    corner_pos = (offs.astype(jnp.float32) + 0.5)  # voxel centers, local units
+    p0, p1 = corner_pos[ec[:, 0]], corner_pos[ec[:, 1]]
+    base = jnp.stack(jnp.meshgrid(ii, ii, ii, indexing="ij"), axis=-1)  # (V,V,V,3)
+    epos = p0[None, None, None, None] + t[..., None] * (p1 - p0)[None, None, None, None]
+    epos = epos + base[None, :, :, :, None, :].astype(jnp.float32)
+    world0 = (coords * V).astype(jnp.float32)     # block origin in voxel units
+    epos = (epos + world0[:, None, None, None, None, :]) * g.voxel_size
+    # Vertex color: nearest corner (voxblox colors vertices from the closest
+    # voxel), choose corner0 when t < 0.5.
+    c0 = ccol[..., ec[:, 0], :]
+    c1 = ccol[..., ec[:, 1], :]
+    ecol = jnp.where((t < 0.5)[..., None], c0, c1)
+
+    # Triangles: (K,V,V,V,5,3) edge ids.
+    tt = jnp.asarray(mc_tables.TRI_TABLE).reshape(256, 5, 3)
+    tri_edges = tt[case]
+    tri_valid = tri_edges[..., 0] >= 0
+    safe_edges = jnp.maximum(tri_edges, 0)
+    gather = jax.vmap(  # over K
+        jax.vmap(jax.vmap(jax.vmap(                     # over V,V,V
+            lambda ep, ecol_, te: (ep[te], ecol_[te]))))
+    )
+    tv, tc = gather(epos, ecol, safe_edges)             # (K,V,V,V,5,3,3)
+    flat = lambda a: a.reshape((K, V3) + a.shape[4:])
+    return flat(tv), flat(tc), flat(tri_valid)
+
+
+def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
+                 label_map: Optional[LabelColorMap] = None,
+                 only_updated: bool = False, batch: int = 32) -> Mesh:
+    """Extract the mesh for allocated (or updated) blocks; host-side compaction.
+
+    Equivalent of TsdfServer::generateMesh / the periodic mesh update
+    (kimera_semantics_rosbag.cpp:148; launch `update_mesh_every_n_sec`).
+    """
+    cap = cfg.grid.block_capacity
+    updated = np.asarray(grid.updated[:cap])
+    allocated = np.arange(cap) < int(grid.n_blocks)
+    sel = np.where(updated & allocated)[0] if only_updated else np.where(allocated)[0]
+    render = render_colors(grid, cfg, label_map)
+
+    verts, cols = [], []
+    for i in range(0, len(sel), batch):
+        chunk = sel[i:i + batch]
+        slots = np.full(batch, cap, dtype=np.int32)
+        slots[:len(chunk)] = chunk
+        tv, tc, tm = _mesh_block_batch(grid, render, jnp.asarray(slots), cfg)
+        tv, tc, tm = np.asarray(tv), np.asarray(tc), np.asarray(tm)
+        m = tm.reshape(-1)
+        verts.append(tv.reshape(-1, 3, 3)[m])
+        cols.append(tc.reshape(-1, 3, 3)[m])
+    if verts:
+        v = np.concatenate(verts).reshape(-1, 3).astype(np.float32)
+        c = np.clip(np.concatenate(cols).reshape(-1, 3), 0, 255).astype(np.uint8)
+    else:
+        v = np.zeros((0, 3), np.float32)
+        c = np.zeros((0, 3), np.uint8)
+    tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+    return Mesh(vertices=v, colors=c, triangles=tris)

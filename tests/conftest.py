@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+
+Multi-chip sharding paths are validated on virtual CPU devices (SURVEY section 7
+step 7-8); the driver separately dry-runs the real multi-chip path via
+__graft_entry__.dryrun_multichip.
+"""
+
+import os
+
+# Force CPU: the session env pins JAX_PLATFORMS to the real TPU tunnel, which
+# must not be grabbed by unit tests (bench.py uses it instead).
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This box has 2 CPUs; XLA compiles dominate test time. The persistent cache
+# makes re-runs fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_ksd_tests"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,184 @@
+"""Integration-path tests: raycast + fused update vs the sequential oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         PipelineConfig, SemanticConfig,
+                                         TsdfConfig)
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.ops import raycast, semantic as sem_ops
+from kimera_semantics_tpu.ops.integrate import integrate_ray_batch
+
+import oracle
+
+
+def make_cfg(voxel=0.2, carving=True, max_rays=64, const_weight=True):
+    return FusionConfig(
+        grid=GridConfig(voxel_size=voxel, voxels_per_side=8, block_capacity=256),
+        tsdf=TsdfConfig(truncation_distance=2 * voxel, max_ray_length_m=5.0,
+                        voxel_carving_enabled=carving,
+                        use_const_weight=const_weight),
+        semantic=SemanticConfig(semantic_measurement_probability=0.9),
+        pipeline=PipelineConfig(max_rays=max_rays, dedup_table_size=1 << 12),
+    )
+
+
+def run_rays(cfg, origin, pts, labels, clearing=None, colors=None, weights=None):
+    n = len(pts)
+    R = cfg.pipeline.max_rays
+    pad = R - n
+    pts = np.pad(np.asarray(pts, np.float32), ((0, pad), (0, 0)))
+    labels = np.pad(np.asarray(labels, np.int32), (0, pad))
+    clearing = np.pad(np.asarray(clearing if clearing is not None
+                                 else np.zeros(n), bool), (0, pad))
+    colors = np.pad(np.asarray(colors if colors is not None
+                               else np.full((n, 3), 100.0), np.float32),
+                    ((0, pad), (0, 0)))
+    weights = np.pad(np.asarray(weights if weights is not None
+                                else np.ones(n), np.float32), (0, pad))
+    valid = np.zeros(R, bool); valid[:n] = True
+    grid = blocks.create(cfg)
+    grid = integrate_ray_batch(
+        grid, cfg, jnp.asarray(origin, dtype=jnp.float32), jnp.asarray(pts),
+        jnp.asarray(weights), jnp.asarray(colors), jnp.asarray(labels),
+        jnp.asarray(clearing), jnp.asarray(valid))
+    return grid
+
+
+def oracle_run(cfg, origin, pts, labels, clearing=None, colors=None,
+               weights=None):
+    n = len(pts)
+    og = oracle.OracleGrid(cfg.grid.voxel_size, cfg.grid.num_labels)
+    lk = sem_ops.make_likelihood(cfg.semantic)
+    oracle.integrate_rays(
+        og, origin, pts, weights if weights is not None else np.ones(n),
+        colors if colors is not None else np.full((n, 3), 100.0), labels,
+        clearing if clearing is not None else np.zeros(n, bool),
+        np.ones(n, bool),
+        truncation=cfg.tsdf.truncation_distance,
+        max_ray_length=cfg.tsdf.max_ray_length_m,
+        carving=cfg.tsdf.voxel_carving_enabled,
+        log_match=lk.log_match, log_nonmatch=lk.log_nonmatch)
+    return og
+
+
+def grid_voxel(cfg, grid, idx):
+    """Fetch one voxel's derived state from the device grid."""
+    v = np.asarray(idx, np.int32).reshape(1, 3)
+    block, lin = blocks.voxel_to_block_local(jnp.asarray(v), cfg.grid.voxels_per_side)
+    slot = int(blocks.lookup_slots(grid, block, cfg.grid)[0])
+    lin = int(lin[0])
+    dist = float(blocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)[slot, lin])
+    w = float(grid.wsum[slot, lin])
+    col = np.asarray(blocks.voxel_color(grid))[slot, lin]
+    lab = int(blocks.mle_labels(grid)[slot, lin])
+    lk = sem_ops.make_likelihood(cfg.semantic)
+    lo = np.asarray(blocks.label_logodds(grid, lk.log_match, lk.log_nonmatch)
+                    )[slot, lin]
+    return dict(distance=dist, weight=w, color=col, label=lab, logodds=lo,
+                allocated=slot < cfg.grid.block_capacity)
+
+
+class TestRaycastVsOracle:
+    @pytest.mark.parametrize("carving", [True, False])
+    @pytest.mark.parametrize("clearing", [False, True])
+    def test_traversal_matches(self, carving, clearing):
+        cfg = make_cfg(carving=carving)
+        rng = np.random.RandomState(7)
+        origin = np.array([0.3, -0.2, 0.15])
+        pts = origin + rng.uniform(-3, 3, size=(32, 3))
+        start_s, end_s = raycast.setup_rays(
+            jnp.asarray(origin, dtype=jnp.float32), jnp.asarray(pts, dtype=jnp.float32),
+            jnp.full(32, clearing),
+            voxel_size=cfg.grid.voxel_size,
+            truncation_distance=cfg.tsdf.truncation_distance,
+            max_ray_length_m=cfg.tsdf.max_ray_length_m,
+            voxel_carving_enabled=carving)
+        voxels, valid = raycast.traverse(start_s, end_s, cfg.resolved_max_steps())
+        voxels, valid = np.asarray(voxels), np.asarray(valid)
+        for r in range(32):
+            expect = oracle.raycast_voxels(
+                origin, pts[r], clearing, voxel_size=cfg.grid.voxel_size,
+                truncation=cfg.tsdf.truncation_distance,
+                max_ray_length=cfg.tsdf.max_ray_length_m, carving=carving)
+            got = [tuple(v) for v in voxels[r][valid[r]]]
+            assert got == expect, f"ray {r}"
+
+
+class TestFusedUpdateVsOracle:
+    def test_single_ray_tsdf_and_semantics(self):
+        cfg = make_cfg()
+        origin = np.zeros(3)
+        pts = np.array([[1.0, 0.3, 0.2]])
+        grid = run_rays(cfg, origin, pts, labels=[5])
+        og = oracle_run(cfg, origin, pts, labels=[5])
+        assert len(og.voxels) > 0
+        for idx, ov in og.voxels.items():
+            got = grid_voxel(cfg, grid, idx)
+            assert got["allocated"], idx
+            np.testing.assert_allclose(got["distance"], ov.distance, atol=1e-4)
+            np.testing.assert_allclose(got["weight"], ov.weight, atol=1e-4)
+            assert got["label"] == ov.label
+            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-4)
+
+    def test_many_random_rays_match_oracle(self):
+        cfg = make_cfg(const_weight=False)
+        rng = np.random.RandomState(3)
+        origin = np.array([0.1, 0.2, -0.1])
+        n = 40
+        pts_c = rng.uniform(0.5, 4.0, size=(n, 3)) * rng.choice([-1, 1], size=(n, 3))
+        pts = origin + pts_c
+        labels = rng.randint(0, 21, size=n)
+        weights = 1.0 / np.maximum(np.abs(pts_c[:, 2]) ** 2, 1e-12)
+        colors = rng.uniform(0, 255, size=(n, 3))
+        grid = run_rays(cfg, origin, pts, labels, colors=colors, weights=weights)
+        og = oracle_run(cfg, origin, pts, labels, colors=colors, weights=weights)
+        mismatch = 0
+        for idx, ov in og.voxels.items():
+            got = grid_voxel(cfg, grid, idx)
+            assert got["allocated"], idx
+            np.testing.assert_allclose(got["weight"], ov.weight, rtol=2e-4,
+                                       atol=1e-5)
+            np.testing.assert_allclose(got["distance"], ov.distance, atol=2e-3)
+            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-3)
+            if ov.weight > 1e-3:
+                np.testing.assert_allclose(got["color"], ov.color, atol=2.0)
+            mismatch += got["label"] != ov.label
+        assert mismatch == 0
+
+    def test_clearing_ray(self):
+        cfg = make_cfg()
+        origin = np.zeros(3)
+        pts = np.array([[7.0, 0.0, 0.0]])  # beyond max_ray -> clearing
+        grid = run_rays(cfg, origin, pts, labels=[4], clearing=[True])
+        og = oracle_run(cfg, origin, pts, labels=[4], clearing=[True])
+        for idx, ov in og.voxels.items():
+            got = grid_voxel(cfg, grid, idx)
+            np.testing.assert_allclose(got["distance"], ov.distance, atol=1e-4)
+            np.testing.assert_allclose(got["weight"], ov.weight, atol=1e-4)
+
+    def test_unknown_label_updates_tsdf_not_semantics(self):
+        cfg = make_cfg()
+        grid = run_rays(cfg, np.zeros(3), np.array([[1.0, 0.0, 0.0]]), labels=[0])
+        got = grid_voxel(cfg, grid, blocks.point_to_voxel(
+            jnp.array([1.0, 0.0, 0.0]), 1 / cfg.grid.voxel_size))
+        assert got["weight"] > 0
+        assert got["label"] == 0
+        np.testing.assert_allclose(
+            got["logodds"], np.full(21, -0.60205999132), atol=1e-5)
+
+    def test_semantic_accumulation_flips_label(self):
+        cfg = make_cfg()
+        origin = np.zeros(3)
+        pt = np.array([[1.0, 0.0, 0.0]])
+        # 3 observations of label 2, then 5 of label 9 -> MLE flips to 9.
+        pts = np.repeat(pt, 8, axis=0)
+        labels = [2, 2, 2, 9, 9, 9, 9, 9]
+        grid = run_rays(cfg, origin, pts, labels)
+        og = oracle_run(cfg, origin, pts, labels)
+        for idx, ov in og.voxels.items():
+            got = grid_voxel(cfg, grid, idx)
+            assert got["label"] == ov.label == (9 if ov.logodds[9] > ov.logodds[2] else 2)
+            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-3)
