@@ -1,0 +1,114 @@
+"""Benchmark: fast semantic TSDF integration at the reference operating point.
+
+Measures depth frames/s/chip (and voxel updates/s) on a synthetic demo
+sequence rendered from the analytic sim world at the reference's canonical
+configuration (voxel 0.05 m, max ray 5 m, carving on, 21 labels, 480x640
+depth — launch/kimera_semantics.launch:96-132). Baseline: the reference's
+fast integrator runs ~0.1 s/scan on a desktop CPU (README.md:11) => 10 fps.
+vs_baseline = ours / 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_ksd_bench"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                             PipelineConfig, SemanticConfig,
+                                             TsdfConfig)
+    from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+    from kimera_semantics_tpu.core.color import LabelColorMap
+    from kimera_semantics_tpu.grid import blocks
+    from kimera_semantics_tpu.io.dataset import SyntheticDataset
+    from kimera_semantics_tpu.models import fast
+
+    cfg = FusionConfig(
+        grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
+                        block_capacity=4096),
+        tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
+                        voxel_carving_enabled=True, use_const_weight=False),
+        semantic=SemanticConfig(semantic_measurement_probability=0.8),
+        pipeline=PipelineConfig(max_rays=32768, dedup_table_size=1 << 20),
+    )
+    intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
+                             width=640, height=480)
+    label_map = LabelColorMap.random(cfg.grid.num_labels)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
+    ds = SyntheticDataset(num_frames=n_frames + 4, intr=intr,
+                          label_map=label_map)
+
+    # Pre-render all frames (host data prep is not the measured quantity).
+    frames = [ds.frame(i) for i in range(n_frames + 4)]
+    jax.block_until_ready(frames[-1].depth)
+
+    grid = blocks.create(cfg)
+    step = lambda g, f: fast.integrate_frame(g, f, cfg, intr)
+
+    # Warmup/compile on the first frames.
+    for f in frames[:4]:
+        grid = step(grid, f)
+    jax.block_until_ready(grid.wsum)
+
+    t0 = time.perf_counter()
+    for f in frames[4:4 + n_frames]:
+        grid = step(grid, f)
+    jax.block_until_ready(grid.wsum)
+    elapsed = time.perf_counter() - t0
+    fps = n_frames / elapsed
+
+    # Voxel updates per frame: measured on the same pipeline inputs (untimed
+    # count of valid (ray, step) scatter entries).
+    from kimera_semantics_tpu.models import common
+    from kimera_semantics_tpu.ops import raycast, dedup as dedup_ops
+
+    @jax.jit
+    def count_updates(frame):
+        (_, pts_G, origin, colors, labels, weights, valid,
+         clearing) = common.prepare_points(frame, intr, cfg)
+        keep, _ = dedup_ops.start_voxel_dedup(
+            jnp.full((cfg.pipeline.dedup_table_size,), -1, jnp.int32),
+            pts_G, valid, voxel_size_inv=1.0 / cfg.grid.voxel_size,
+            subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor)
+        kept, pts_G, clearing = common.compact(keep, cfg.pipeline.max_rays,
+                                               pts_G, clearing)
+        start_s, end_s = raycast.setup_rays(
+            jnp.broadcast_to(origin, pts_G.shape), pts_G, clearing,
+            voxel_size=cfg.grid.voxel_size,
+            truncation_distance=cfg.tsdf.truncation_distance,
+            max_ray_length_m=cfg.tsdf.max_ray_length_m,
+            voxel_carving_enabled=cfg.tsdf.voxel_carving_enabled)
+        _, step_valid = raycast.traverse(start_s, end_s,
+                                         cfg.resolved_max_steps())
+        return jnp.sum(step_valid & kept[:, None])
+
+    upd = sum(int(count_updates(f)) for f in frames[4:4 + n_frames])
+    updates_per_s = upd / elapsed
+
+    result = {
+        "metric": "fast_semantic_integration_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+        "voxel_updates_per_s": round(updates_per_s, 1),
+        "ms_per_frame": round(1000.0 * elapsed / n_frames, 3),
+        "blocks_allocated": int(grid.n_blocks),
+        "overflow": int(grid.overflow),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

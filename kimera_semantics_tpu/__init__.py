@@ -7,6 +7,15 @@ label fusion, marching-cubes semantic meshing, ESDF generation, simulation-world
 evaluation, and spatial sharding across TPU device meshes.
 """
 
+import jax as _jax
+
+# Geometry (pose matmuls, backprojection) needs true float32: on TPU-class
+# backends the DEFAULT matmul precision is bfloat16, which injects ~5e-3
+# relative error — centimeters at mapping range. This framework is not a
+# neural net; highest-precision matmul everywhere costs nothing (the hot path
+# is elementwise/scatter, not MXU-bound).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import (ColorMode, FusionConfig, GridConfig, IntegratorType,
                      PipelineConfig, SemanticConfig, TsdfConfig)
 from .core.camera import PinholeIntrinsics

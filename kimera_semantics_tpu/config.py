@@ -67,6 +67,13 @@ class GridConfig:
     world_extent_blocks: int = 512      # block coords in [-512, 512) per axis for
                                         # int32 key packing (10 bits + offset)
 
+    def __post_init__(self):
+        # Flat voxel keys are int32: (capacity+1) * vps^3 must fit.
+        if (self.block_capacity + 1) * self.vps3 >= 2 ** 31:
+            raise ValueError(
+                f"block_capacity={self.block_capacity} x vps^3={self.vps3} "
+                "overflows int32 flat voxel keys; reduce capacity or vps")
+
     @property
     def vps3(self) -> int:
         return self.voxels_per_side ** 3
@@ -120,6 +127,10 @@ class PipelineConfig:
     max_rays: int = 32768        # rays integrated per frame after dedup/compaction
     max_steps: Optional[int] = None  # DDA steps per ray; None = derive from config
     dedup_table_size: int = 1 << 20  # matches ApproxHashSet 2^20 slots (_fast.h:98-130)
+    use_pallas: bool = True      # fused Pallas DDA/update-stream kernel
+                                 # (interpreted off-TPU; ops/pallas_kernels.py)
+    scatter_mode: str = "direct" # "direct" scatter-add | "sorted" segment-sum
+                                 # + unique-index scatter (ops/reduce.py)
 
     def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.max_steps is not None:

@@ -8,6 +8,7 @@ from quaternion+translation so dataset poses load directly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,8 +33,9 @@ def identity() -> jnp.ndarray:
 
 
 def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """T_a_c = T_a_b @ T_b_c."""
-    return a @ b
+    """T_a_c = T_a_b @ T_b_c (explicit f32 precision — bf16 matmul defaults
+    on TPU backends would cost centimeters at range)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def inverse(t: jnp.ndarray) -> jnp.ndarray:
@@ -47,7 +49,8 @@ def inverse(t: jnp.ndarray) -> jnp.ndarray:
 
 def apply(t: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Apply T (4,4) to points (..., 3)."""
-    return points @ t[:3, :3].T + t[:3, 3]
+    return jnp.matmul(points, t[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + t[:3, 3]
 
 
 def translation(t: jnp.ndarray) -> jnp.ndarray:

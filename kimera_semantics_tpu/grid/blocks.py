@@ -61,12 +61,14 @@ class VoxelGrid:
     block_coords: jnp.ndarray  # (B, 3) int32
     n_blocks: jnp.ndarray      # () int32
     overflow: jnp.ndarray      # () int32 — dropped blocks (capacity contract)
-    # Voxel channels; trailing trash row at slot index B.
+    # Voxel channels; trash row at slot index B. TPU layout note: component/
+    # label axes lead (SoA) so the voxel axis stays in vector lanes — a
+    # minor dim of 3 or L would be padded to 128 lanes by TPU tiling.
     wsum: jnp.ndarray          # (B+1, V3) f32
     wsdf: jnp.ndarray          # (B+1, V3) f32
-    wcolor: jnp.ndarray        # (B+1, V3, 3) f32
+    wcolor: jnp.ndarray        # (3, B+1, V3) f32
     sem_count: jnp.ndarray     # (B+1, V3) f32
-    sem_delta: jnp.ndarray     # (B+1, V3, L) f32
+    sem_delta: jnp.ndarray     # (L, B+1, V3) f32
     updated: jnp.ndarray       # (B+1,) bool — blocks touched since last mesh
     # Approx-set state for ray dedup (fast integrator, _fast.h:98-130).
     start_set: jnp.ndarray     # (D,) int32 hashes
@@ -86,9 +88,9 @@ def create(cfg: FusionConfig) -> VoxelGrid:
         overflow=jnp.int32(0),
         wsum=jnp.zeros((B + 1, V3), dtype=jnp.float32),
         wsdf=jnp.zeros((B + 1, V3), dtype=jnp.float32),
-        wcolor=jnp.zeros((B + 1, V3, 3), dtype=jnp.float32),
+        wcolor=jnp.zeros((3, B + 1, V3), dtype=jnp.float32),
         sem_count=jnp.zeros((B + 1, V3), dtype=jnp.float32),
-        sem_delta=jnp.zeros((B + 1, V3, L), dtype=jnp.float32),
+        sem_delta=jnp.zeros((L, B + 1, V3), dtype=jnp.float32),
         updated=jnp.zeros((B + 1,), dtype=bool),
         start_set=jnp.full((D,), -1, dtype=jnp.int32),
         observed_set=jnp.full((D,), -1, dtype=jnp.int32),
@@ -161,23 +163,24 @@ def tsdf_weight(grid: VoxelGrid, max_weight: float) -> jnp.ndarray:
 
 
 def voxel_color(grid: VoxelGrid) -> jnp.ndarray:
-    """Blended measured color, uint8 (voxblox Color::blendTwoColors chain)."""
-    w = jnp.maximum(grid.wsum, 1e-12)[..., None]
+    """Blended measured color, (3, B+1, V3) uint8 (voxblox blendTwoColors
+    chain)."""
+    w = jnp.maximum(grid.wsum, 1e-12)[None]
     return jnp.clip(grid.wcolor / w, 0.0, 255.0).astype(jnp.uint8)
 
 
 def mle_labels(grid: VoxelGrid) -> jnp.ndarray:
-    """Per-voxel MLE label = argmax over log-odds
+    """Per-voxel MLE label (B+1, V3) = argmax over log-odds
     (calculateMaximumLikelihoodLabel, semantic_integrator_base.cpp:352-367).
     Uniform terms (prior + count * log(1-p)) cancel; ties -> lowest index,
     matching Eigen maxCoeff, so untouched voxels report label 0 (unknown)."""
-    return jnp.argmax(grid.sem_delta, axis=-1).astype(jnp.int32)
+    return jnp.argmax(grid.sem_delta, axis=0).astype(jnp.int32)
 
 
 def label_logodds(grid: VoxelGrid, log_match: float, log_nonmatch: float) -> jnp.ndarray:
-    """Full unnormalized log-odds vector per voxel — the reference's
+    """Full unnormalized log-odds (L, B+1, V3) — the reference's
     `semantic_priors` (semantic_voxel.h:19-23 init; updated at
     semantic_integrator_base.cpp:283-314)."""
     return (DEFAULT_UNIFORM_LOG_PRIOR
-            + grid.sem_count[..., None] * log_nonmatch
+            + grid.sem_count[None] * log_nonmatch
             + grid.sem_delta)

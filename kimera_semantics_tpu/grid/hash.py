@@ -39,6 +39,19 @@ def in_bounds(coords: jnp.ndarray, extent: int) -> jnp.ndarray:
     return jnp.all((coords >= -extent) & (coords < extent), axis=-1)
 
 
+def pack_block_coords_soa(bx: jnp.ndarray, by: jnp.ndarray, bz: jnp.ndarray,
+                          extent: int) -> jnp.ndarray:
+    """Component-wise variant of pack_block_coords (TPU-friendly SoA layout)."""
+    return (((bx + extent) << 20) | ((by + extent) << 10) | (bz + extent))
+
+
+def in_bounds_soa(bx, by, bz, extent: int) -> jnp.ndarray:
+    ok = (bx >= -extent) & (bx < extent)
+    ok &= (by >= -extent) & (by < extent)
+    ok &= (bz >= -extent) & (bz < extent)
+    return ok
+
+
 def mix(keys: jnp.ndarray) -> jnp.ndarray:
     """32-bit finalizer (murmur3-style) producing well-spread positive hashes."""
     h = keys.astype(jnp.uint32)

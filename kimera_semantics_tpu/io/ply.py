@@ -1,0 +1,69 @@
+"""PLY mesh export (binary little-endian), with optional C++ fast path.
+
+Equivalent of voxblox's `outputMeshLayerAsPly` used by generateMesh
+(kimera_semantics_rosbag.cpp:148; `mesh_filename` in
+launch/kimera_semantics.launch:132). The native writer (native/src/ply.cpp)
+is used when built; the numpy fallback produces identical bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..native import loader as native_loader
+
+
+def write_ply(path: str, vertices: np.ndarray, colors: np.ndarray,
+              triangles: np.ndarray) -> None:
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32)
+    colors = np.ascontiguousarray(colors, dtype=np.uint8)
+    triangles = np.ascontiguousarray(triangles, dtype=np.int32)
+    assert vertices.shape[0] == colors.shape[0]
+
+    lib = native_loader.get()
+    if lib is not None:
+        native_loader.write_ply(lib, path, vertices, colors, triangles)
+        return
+
+    header = (
+        "ply\n"
+        "format binary_little_endian 1.0\n"
+        f"element vertex {len(vertices)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        f"element face {len(triangles)}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    ).encode("ascii")
+    vert_dtype = np.dtype([("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+    vbuf = np.empty(len(vertices), dtype=vert_dtype)
+    vbuf["xyz"] = vertices
+    vbuf["rgb"] = colors
+    face_dtype = np.dtype([("n", np.uint8), ("idx", np.int32, 3)])
+    fbuf = np.empty(len(triangles), dtype=face_dtype)
+    fbuf["n"] = 3
+    fbuf["idx"] = triangles
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(vbuf.tobytes())
+        f.write(fbuf.tobytes())
+
+
+def read_ply(path: str):
+    """Minimal reader for the files write_ply produces (round-trip tests)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:end].decode("ascii").splitlines()
+    nv = nf = 0
+    for line in header:
+        if line.startswith("element vertex"):
+            nv = int(line.split()[-1])
+        elif line.startswith("element face"):
+            nf = int(line.split()[-1])
+    vert_dtype = np.dtype([("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+    face_dtype = np.dtype([("n", np.uint8), ("idx", np.int32, 3)])
+    vbuf = np.frombuffer(data, dtype=vert_dtype, count=nv, offset=end)
+    fbuf = np.frombuffer(data, dtype=face_dtype, count=nf,
+                         offset=end + nv * vert_dtype.itemsize)
+    return (vbuf["xyz"].copy(), vbuf["rgb"].copy(), fbuf["idx"].copy())

@@ -72,6 +72,9 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
     wcolor = segsum((w * contrib)[:, None] * col, 3)
     hist = jnp.zeros((max_bundles + 1, num_labels), dtype=jnp.float32).at[
         seg, lab].add(contrib.astype(jnp.float32), mode="drop")
+    # Destination voxel coords of each bundle (constant within a segment).
+    dest = jnp.zeros((max_bundles + 1, 3), dtype=jnp.int32).at[seg].max(
+        vox[perm] + (1 << 14), mode="drop") - (1 << 14)
     # Bin's earliest point in original order (reference takes the first point
     # of each bin for clearing rays; ordering there is thread-mixed, here
     # deterministic raster order — tolerance contract).
@@ -85,7 +88,8 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
             wsum[:max_bundles],
             wcolor[:max_bundles] / denom,
             hist[:max_bundles],
-            first_idx[:max_bundles])
+            first_idx[:max_bundles],
+            dest[:max_bundles])
 
 
 @partial(jax.jit, static_argnames=("cfg", "intr"))
@@ -99,17 +103,21 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     inv = 1.0 / cfg.grid.voxel_size
 
     # Pass 1: normal rays (voxel_map bins).
-    (bvalid, bpoint, bweight, bcolor, bhist, _) = _bundle(
+    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest) = _bundle(
         pts_G, weights, colors, labels, valid & ~is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    # Anti-grazing (_merged.cpp:306-313): dest set = the normal-pass bins;
+    # a normal ray may still update its own bin.
+    ag = cfg.tsdf.enable_anti_grazing
     grid = integrate_ray_batch(
         grid, cfg, origin, bpoint, bweight, bcolor,
         jnp.zeros((R,), dtype=jnp.int32),
-        jnp.zeros((R,), dtype=bool), bvalid, label_hist=bhist)
+        jnp.zeros((R,), dtype=bool), bvalid, label_hist=bhist,
+        ag_dest_voxels=bdest if ag else None, ag_own_bundle=True)
 
     # Pass 2: clearing rays (clear_map bins) — first point of each bin only
     # (_merged.cpp:282-284), histogram is that single point's label.
-    (cvalid, _, _, _, _, cfirst) = _bundle(
+    (cvalid, _, _, _, _, cfirst, _) = _bundle(
         pts_G, weights, colors, labels, valid & is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
     n = pts_G.shape[0]
@@ -123,7 +131,8 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     grid = integrate_ray_batch(
         grid, cfg, origin, cpts, cweights, ccolors,
         jnp.zeros((R,), dtype=jnp.int32),
-        jnp.ones((R,), dtype=bool), cvalid, label_hist=chist)
+        jnp.ones((R,), dtype=bool), cvalid, label_hist=chist,
+        ag_dest_voxels=bdest if ag else None, ag_own_bundle=False)
     return grid
 
 

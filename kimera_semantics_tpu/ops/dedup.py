@@ -38,7 +38,7 @@ def start_voxel_dedup(
     d = start_set.shape[0]
     coords = jnp.floor(points_G * (subsampling_factor * voxel_size_inv)).astype(
         jnp.int32)
-    bucket = _mix3(coords, 0x9E3779B9) & (d - 1)
+    bucket = _mix3(coords, 0x1E3779B9) & (d - 1)
     tag = _mix3(coords, 0x5BD1E995)
 
     fresh = start_set[bucket] != tag                     # not already in the set

@@ -1,0 +1,105 @@
+"""Scan-to-map pose refinement — the `enable_icp` capability, TPU-native.
+
+Voxblox's TsdfServer can ICP-align each incoming cloud to the map before
+integration (`enable_icp`, launch/kimera_semantics.launch:111; inherited
+surface, SURVEY 2b). The reference runs a CPU point-to-plane ICP; the TPU-native
+re-derivation aligns directly against the TSDF itself: minimize
+    E(xi) = sum_i w_i * phi( exp(xi) * T0 * p_i )^2
+where phi is the trilinearly interpolated map TSDF. Residual gradients flow
+through the interpolation gathers by autodiff, and a damped Gauss-Newton step
+solves the 6-dof twist — no correspondences, no kd-trees, fully batched.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..grid import blocks as gblocks
+from ..grid.blocks import VoxelGrid
+
+
+def sample_tsdf(grid: VoxelGrid, cfg: FusionConfig, points: jnp.ndarray):
+    """Trilinear TSDF sample at world points (N, 3) -> (dist (N,), wmin (N,)).
+
+    wmin is the minimum accumulated weight of the 8 support voxels — zero means
+    the sample touches unobserved space and should be masked."""
+    g = cfg.grid
+    vps, v3, cap = g.voxels_per_side, g.vps3, g.block_capacity
+    x = points / g.voxel_size - 0.5          # voxel-center lattice coords
+    base = jnp.floor(x).astype(jnp.int32)
+    frac = x - base
+
+    dist = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
+    dist_flat = dist.reshape(-1)
+    w_flat = grid.wsum.reshape(-1)
+
+    out_d = jnp.zeros(points.shape[:-1], dtype=jnp.float32)
+    out_w = jnp.full(points.shape[:-1], jnp.inf, dtype=jnp.float32)
+    for dx in range(2):
+        for dy in range(2):
+            for dz in range(2):
+                corner = base + jnp.array([dx, dy, dz], dtype=jnp.int32)
+                block, lin = gblocks.voxel_to_block_local(corner, vps)
+                slots = gblocks.lookup_slots(grid, block, g)
+                keys = slots * v3 + lin
+                wgt = ((dx + (1 - 2 * dx) * (1 - frac[..., 0])) *
+                       (dy + (1 - 2 * dy) * (1 - frac[..., 1])) *
+                       (dz + (1 - 2 * dz) * (1 - frac[..., 2])))
+                out_d = out_d + wgt * dist_flat[keys]
+                out_w = jnp.minimum(out_w, w_flat[keys])
+    return out_d, jnp.where(jnp.isfinite(out_w), out_w, 0.0)
+
+
+def _exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
+    """Twist (6,) = (rot_vec, trans) -> (4, 4) via Rodrigues (first-order
+    coupling on V is adequate for the small per-frame corrections here)."""
+    w = xi[:3]
+    v = xi[3:]
+    theta = jnp.linalg.norm(w) + 1e-12
+    k = w / theta
+    kx = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]],
+                   dtype=xi.dtype)
+    rot = (jnp.eye(3, dtype=xi.dtype) + jnp.sin(theta) * kx
+           + (1 - jnp.cos(theta)) * (kx @ kx))
+    top = jnp.concatenate([rot, v.reshape(3, 1)], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=xi.dtype)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def align_to_map(grid: VoxelGrid, cfg: FusionConfig, points_C: jnp.ndarray,
+                 valid: jnp.ndarray, T_G_C: jnp.ndarray, iters: int = 6,
+                 damping: float = 1e-3):
+    """Refine T_G_C so `points_C` agree with the map TSDF.
+
+    Returns (T_refined (4,4), rms_residual ()). Equivalent role to voxblox
+    `ICP::runICP` inside processPointCloudMessageAndInsert."""
+
+    def loss_fn(xi, T):
+        T_adj = _exp_se3(xi) @ T
+        pts = points_C @ T_adj[:3, :3].T + T_adj[:3, 3]
+        d, w = sample_tsdf(grid, cfg, pts)
+        m = valid & (w > 1e-3)
+        r = jnp.where(m, d, 0.0)
+        return 0.5 * jnp.sum(r * r), (jnp.sum(m), jnp.sum(r * r))
+
+    def body(T, _):
+        xi0 = jnp.zeros(6, dtype=jnp.float32)
+        (grad, (n, sq)) = jax.grad(loss_fn, has_aux=True)(xi0, T)
+        hess = jax.hessian(lambda x: loss_fn(x, T)[0])(xi0)
+        hess = hess + damping * jnp.eye(6, dtype=hess.dtype) * (
+            1.0 + jnp.trace(hess) / 6.0)
+        step = -jnp.linalg.solve(hess, grad)
+        # Trust region on the twist magnitude (half a voxel / ~3 degrees).
+        cap_t = cfg.grid.voxel_size
+        norm = jnp.linalg.norm(step) + 1e-12
+        step = step * jnp.minimum(1.0, cap_t / norm)
+        rms = jnp.sqrt(sq / jnp.maximum(n, 1))
+        return _exp_se3(step) @ T, rms
+
+    T, rms = jax.lax.scan(body, T_G_C, jnp.arange(iters))
+    return T, rms[-1]

@@ -3,13 +3,18 @@
 This is the TPU-native equivalent of the reference's hot loops
 (semantic_tsdf_integrator_fast.cpp:66-142 per-point/per-voxel loops and
 _merged.cpp:235-328 per-bundle loop). Where the reference walks rays serially
-under striped mutexes, here every (ray, step) pair becomes one element of a
+under striped mutexes, here every (step, ray) pair becomes one element of a
 dense update stream that is scatter-added into the grid accumulators — all
 updates are commutative, so no locks, no temp-block maps, no ordering.
 
+TPU layout: the whole hot path is structure-of-arrays. Step-level arrays are
+(S, R) with rays in vector lanes; coordinates are three separate component
+planes; grid channels put component/label axes first (grid/blocks.py). No hot
+array carries a minor dimension smaller than the 128-lane tile.
+
 Pipeline (all inside one jit):
-  1. DDA-expand R rays into (R, S) voxel coordinates (ops/raycast.py).
-  2. Allocation pre-pass: consecutive-dedup the (R, S) block keys and batch-insert
+  1. DDA-expand R rays into (S, 3, R) voxel coordinates (ops/raycast.py).
+  2. Allocation pre-pass: consecutive-dedup the block keys and batch-insert
      into the block hash table (grid/hash.py) — replaces the reference's
      allocate-on-demand + temp-map merge (semantic_integrator_base.cpp:205-265).
   3. Slot lookup + (slot, local) flat keys; invalid entries route to a trash row.
@@ -27,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import FusionConfig
 from ..grid import blocks as gblocks
+from ..grid import hash as bhash
 from ..grid.blocks import VoxelGrid
 from . import raycast, semantic, tsdf
 
@@ -34,7 +40,7 @@ from . import raycast, semantic, tsdf
 def integrate_ray_batch(
     grid: VoxelGrid,
     cfg: FusionConfig,
-    origin: jnp.ndarray,         # (3,)
+    origin: jnp.ndarray,         # (3,) or (R, 3)
     points_G: jnp.ndarray,       # (R, 3)
     weights: jnp.ndarray,        # (R,) voxblox getVoxelWeight output
     colors: jnp.ndarray,         # (R, 3) float32 in [0, 255]
@@ -42,76 +48,169 @@ def integrate_ray_batch(
     is_clearing: jnp.ndarray,    # (R,) bool
     ray_valid: jnp.ndarray,      # (R,) bool
     label_hist: Optional[jnp.ndarray] = None,  # (R, L) merged-integrator histograms
+    shard_id: Optional[jnp.ndarray] = None,    # this shard's index (traced ok)
+    num_shards: int = 1,
+    ag_dest_voxels: Optional[jnp.ndarray] = None,  # (M, 3) anti-grazing dest set
+    ag_own_bundle: bool = False,  # entries may update their own bundle's voxel
 ) -> VoxelGrid:
+    """`shard_id`/`num_shards`: spatial sharding by block-hash ownership —
+    entries whose block hashes to another shard are dropped here and applied by
+    that shard (parallel/sharding.py ray-replication protocol, SURVEY 2c).
+
+    `ag_dest_voxels`: the merged integrator's anti-grazing rule
+    (_merged.cpp:306-313): traversed voxels that are *destination* voxels of
+    other ray bundles are skipped; with `ag_own_bundle` a ray may still update
+    its own destination voxel (normal pass; clearing rays never do)."""
     g = cfg.grid
     t = cfg.tsdf
     vps, v3, cap, L = g.voxels_per_side, g.vps3, g.block_capacity, g.num_labels
     S = cfg.resolved_max_steps()
 
-    # --- 1. DDA expansion -------------------------------------------------
-    start_s, end_s = raycast.setup_rays(
-        origin, points_G, is_clearing,
-        voxel_size=g.voxel_size,
-        truncation_distance=t.truncation_distance,
-        max_ray_length_m=t.max_ray_length_m,
-        voxel_carving_enabled=t.voxel_carving_enabled,
-    )
-    voxels, step_valid = raycast.traverse(start_s, end_s, S)
-    step_valid = step_valid & ray_valid[:, None]
+    import jax
+    # "axon" is the TPU-tunnel platform name in some environments.
+    use_pallas = (cfg.pipeline.use_pallas
+                  and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        # --- 1+4 fused: Pallas DDA/update-stream kernel -------------------
+        from . import pallas_kernels
+        origin3 = jnp.broadcast_to(origin, points_G.shape).T
+        keys, local, w, w_sdf, wc_gate, step_valid = (
+            pallas_kernels.dda_update_stream(
+                cfg, origin3, points_G.T, weights, is_clearing, ray_valid))
+    else:
+        # --- 1. DDA expansion (SoA, XLA scan) -----------------------------
+        start_rs, end_rs = raycast.setup_rays(
+            origin, points_G, is_clearing,
+            voxel_size=g.voxel_size,
+            truncation_distance=t.truncation_distance,
+            max_ray_length_m=t.max_ray_length_m,
+            voxel_carving_enabled=t.voxel_carving_enabled,
+        )
+        voxels, step_valid = raycast.traverse_soa(start_rs.T, end_rs.T, S)
+        vx, vy, vz = voxels[:, 0], voxels[:, 1], voxels[:, 2]   # (S, R) each
+        step_valid = step_valid & ray_valid[None, :]
+
+        bx = jnp.floor_divide(vx, vps)
+        by = jnp.floor_divide(vy, vps)
+        bz = jnp.floor_divide(vz, vps)
+        ext = g.world_extent_blocks
+        keys = bhash.pack_block_coords_soa(bx, by, bz, ext)     # (S, R)
+        step_valid = step_valid & bhash.in_bounds_soa(bx, by, bz, ext)
+        local = ((vx - bx * vps) * vps + (vy - by * vps)) * vps + (vz - bz * vps)
+
+        # --- 4. Update terms (SoA) ---------------------------------------
+        sdf = tsdf.projective_sdf_soa(origin, points_G, vx, vy, vz,
+                                      g.voxel_size)
+        w, w_sdf, color_gate = tsdf.update_terms(sdf, weights[None, :], t,
+                                                 g.voxel_size)
+        w = jnp.where(step_valid, w, 0.0)
+        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
+        wc_gate = jnp.where(step_valid & color_gate, w, 0.0)    # (S, R)
+
+    ext = g.world_extent_blocks
+    if num_shards > 1 and shard_id is not None:
+        owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num_shards
+        step_valid = step_valid & (owner == shard_id)
+        w = jnp.where(step_valid, w, 0.0)
+        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
+        wc_gate = jnp.where(step_valid, wc_gate, 0.0)
 
     # --- 2. Block allocation pre-pass ------------------------------------
-    block, local = gblocks.voxel_to_block_local(voxels, vps)
     # A ray stays in one block for ~vps consecutive steps; inserting only
     # block-transition entries shrinks the insert stream by that factor.
-    changed = jnp.ones(block.shape[:-1], dtype=bool)
-    changed = changed.at[:, 1:].set(jnp.any(block[:, 1:] != block[:, :-1], axis=-1))
-    grid = gblocks.allocate_blocks(
-        grid, block.reshape(-1, 3), (step_valid & changed).reshape(-1), g)
+    changed = jnp.ones(keys.shape, dtype=bool)
+    changed = changed.at[1:].set(keys[1:] != keys[:-1])
+    tk, ts_, bc, nb, ov = bhash.insert(
+        grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
+        keys.reshape(-1), (step_valid & changed).reshape(-1),
+        g.table_size, cap, ext)
+    grid = dataclasses.replace(
+        grid, table_keys=tk, table_slots=ts_, block_coords=bc, n_blocks=nb,
+        overflow=grid.overflow + ov)
 
     # --- 3. Slot lookup ---------------------------------------------------
-    slots = gblocks.lookup_slots(grid, block, g)       # (R, S), trash = cap
-    slots = jnp.where(step_valid, slots, cap)
-    key = slots * v3 + local                            # flat into (cap+1)*v3
+    slots = bhash.lookup(grid.table_keys, grid.table_slots,
+                         keys.reshape(-1), g.table_size).reshape(keys.shape)
+    slots = jnp.where(step_valid & (slots >= 0), slots, cap)   # (S, R)
+    key = slots * v3 + local                                    # flat voxel key
+    n_flat = (cap + 1) * v3
 
-    # --- 4. Update terms --------------------------------------------------
-    sdf = tsdf.projective_sdf(origin, points_G, voxels, g.voxel_size)
-    w, w_sdf, color_gate = tsdf.update_terms(sdf, weights[:, None], t, g.voxel_size)
-    w = jnp.where(step_valid, w, 0.0)
-    w_sdf = jnp.where(step_valid, w_sdf, 0.0)
-    wc = jnp.where((step_valid & color_gate)[..., None],
-                   w[..., None] * colors[:, None, :], 0.0)
+    if ag_dest_voxels is not None:
+        # Anti-grazing (_merged.cpp:306-313): dest voxels of this frame's
+        # bundles, as flat keys (they were just allocated above).
+        dblock, dlin = gblocks.voxel_to_block_local(ag_dest_voxels, vps)
+        dslots = gblocks.lookup_slots(grid, dblock, g)
+        dkey = jnp.where(dslots < cap, dslots * v3 + dlin, n_flat)
+        dest_mask = jnp.zeros((n_flat + 1,), dtype=bool).at[dkey].set(
+            True, mode="drop")
+        hit = dest_mask[key]
+        if ag_own_bundle:
+            hit = hit & (key != dkey[None, :key.shape[1]])
+        step_valid = step_valid & ~hit
+        w = jnp.where(step_valid, w, 0.0)
+        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
+        wc_gate = jnp.where(step_valid, wc_gate, 0.0)
+        key = jnp.where(step_valid, key, cap * v3 + local)
 
     # --- 5. Scatter-add ---------------------------------------------------
-    flat = lambda a: a.reshape((cap + 1) * v3, *a.shape[2:])
-    wsum = flat(grid.wsum).at[key].add(w).reshape(grid.wsum.shape)
-    wsdf = flat(grid.wsdf).at[key].add(w_sdf).reshape(grid.wsdf.shape)
-    wcolor = flat(grid.wcolor).at[key].add(wc).reshape(grid.wcolor.shape)
+    kf = key.reshape(-1)
+    lk = make_likelihood_cached(cfg)
+    sorted_mode = cfg.pipeline.scatter_mode == "sorted"
+
+    if sorted_mode:
+        from .reduce import SortedUpdates
+        su = SortedUpdates.build(kf, trash_key=-1)
+        scat = lambda tgt, vals: su.apply(tgt, vals.reshape(-1))
+    else:
+        scat = lambda tgt, vals: tgt.at[kf].add(vals.reshape(-1))
+
+    wsum = scat(grid.wsum.reshape(n_flat), w).reshape(grid.wsum.shape)
+    wsdf = scat(grid.wsdf.reshape(n_flat), w_sdf).reshape(grid.wsdf.shape)
+    wcolor = grid.wcolor
+    for c in range(3):
+        ch = scat(wcolor[c].reshape(n_flat),
+                  wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
+        wcolor = wcolor.at[c].set(ch)
 
     if label_hist is None:
-        # Fast integrator: one label per ray -> scalar adds at (key, label)
+        # Fast integrator: one label per ray -> scalar adds at (label, key)
         # (one-hot frequency, semantic_tsdf_integrator_fast.cpp:132-140).
         inform = semantic.informative(labels) & ray_valid
-        cnt = jnp.where(step_valid & inform[:, None], 1.0, 0.0)
-        sem_count = flat(grid.sem_count).at[key].add(cnt).reshape(
+        cnt = jnp.where(step_valid & inform[None, :], 1.0, 0.0)
+        sem_count = scat(grid.sem_count.reshape(n_flat), cnt).reshape(
             grid.sem_count.shape)
-        lk = make_likelihood_cached(cfg)
-        lbl = jnp.broadcast_to(labels[:, None], key.shape)
-        sem_delta = flat(grid.sem_delta).at[key, lbl].add(cnt * lk.delta).reshape(
-            grid.sem_delta.shape)
+        # sem_delta layout (L, B+1, V3): flat index label * n_flat + key.
+        lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
+        if sorted_mode:
+            su2 = SortedUpdates.build(kf, trash_key=-1,
+                                      secondary=lab_b.reshape(-1))
+            seg_lab = su2.secondary_at_segments()
+            out_idx = jnp.where(su2.out_keys >= 0,
+                                seg_lab * n_flat + su2.out_keys, -1)
+            sem_delta = su2.apply(grid.sem_delta.reshape(L * n_flat),
+                                  cnt.reshape(-1) * lk.delta,
+                                  out_index=out_idx).reshape(
+                                      grid.sem_delta.shape)
+        else:
+            lkey = jnp.where(cnt > 0, lab_b * n_flat + key, L * n_flat)
+            sem_delta = grid.sem_delta.reshape(L * n_flat).at[
+                lkey.reshape(-1)].add(
+                jnp.broadcast_to(jnp.float32(lk.delta), lkey.shape).reshape(-1),
+                mode="drop").reshape(grid.sem_delta.shape)
     else:
         # Merged integrator: full per-ray histogram applied to every traversed
         # voxel (_merged.cpp:254-328). Unknown column contributes nothing.
-        lk = make_likelihood_cached(cfg)
         hist = label_hist.at[:, semantic.UNKNOWN_LABEL].set(0.0)
-        total = jnp.sum(hist, axis=-1)                           # (R,)
-        cnt = jnp.where(step_valid, total[:, None], 0.0)
-        sem_count = flat(grid.sem_count).at[key].add(cnt).reshape(
+        total = jnp.sum(hist, axis=-1)                         # (R,)
+        cnt = jnp.where(step_valid, total[None, :], 0.0)
+        sem_count = scat(grid.sem_count.reshape(n_flat), cnt).reshape(
             grid.sem_count.shape)
-        sem_delta_flat = flat(grid.sem_delta)
-        for lab in range(L):  # static L scatters of (R, S) scalars
-            add = jnp.where(step_valid, hist[:, lab][:, None], 0.0) * lk.delta
-            sem_delta_flat = sem_delta_flat.at[key, lab].add(add)
-        sem_delta = sem_delta_flat.reshape(grid.sem_delta.shape)
+        sem_delta = grid.sem_delta
+        for lab in range(L):  # static L scatters of (S, R) scalars
+            add = jnp.where(step_valid, hist[:, lab][None, :], 0.0) * lk.delta
+            ch = scat(sem_delta[lab].reshape(n_flat), add).reshape(
+                grid.wsum.shape)
+            sem_delta = sem_delta.at[lab].set(ch)
 
     updated = grid.updated.at[slots.reshape(-1)].set(True, mode="drop")
 

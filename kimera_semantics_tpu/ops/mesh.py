@@ -49,7 +49,7 @@ class Mesh:
 
 def render_colors(grid: VoxelGrid, cfg: FusionConfig,
                   label_map: Optional[LabelColorMap]) -> jnp.ndarray:
-    """Per-voxel mesh color (B+1, V3, 3) float per the ColorMode semantics of
+    """Per-voxel mesh color (3, B+1, V3) float per the ColorMode semantics of
     updateSemanticVoxel (semantic_integrator_base.cpp:174-191)."""
     mode = cfg.semantic.color_mode
     if mode == ColorMode.COLOR:
@@ -58,13 +58,15 @@ def render_colors(grid: VoxelGrid, cfg: FusionConfig,
         if label_map is None:
             raise ValueError("SEMANTIC color mode needs a LabelColorMap")
         labels = gblocks.mle_labels(grid)
-        return label_map.colors_from_labels(labels).astype(jnp.float32)
+        rgb = label_map.colors_from_labels(labels).astype(jnp.float32)
+        return jnp.moveaxis(rgb, -1, 0)
     if mode == ColorMode.SEMANTIC_PROBABILITY:
         lk = sem_ops.make_likelihood(cfg.semantic)
         lo = gblocks.label_logodds(grid, lk.log_match, lk.log_nonmatch)
-        max_lo = jnp.max(lo, axis=-1)
+        max_lo = jnp.max(lo, axis=0)
         # Reference: rainbowColorMap(exp(max log-odds)) — unnormalized, as-is.
-        return rainbow_colormap(jnp.exp(max_lo)).astype(jnp.float32)
+        rgb = rainbow_colormap(jnp.exp(max_lo)).astype(jnp.float32)
+        return jnp.moveaxis(rgb, -1, 0)
     raise ValueError(f"unknown color mode {mode}")
 
 
@@ -114,7 +116,8 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
     dist = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
     sdf = _padded_channel(dist, safe_slots, nbr_slots, V)          # (K,V+1)^3
     wgt = _padded_channel(grid.wsum, safe_slots, nbr_slots, V)
-    col = _padded_channel(render_color, safe_slots, nbr_slots, V)  # (...,3)
+    cols = [_padded_channel(render_color[c], safe_slots, nbr_slots, V)
+            for c in range(3)]
 
     # Corner gathers for every cube: (K, V, V, V, 8).
     offs = jnp.asarray(mc_tables.CORNER_OFFSETS)  # (8, 3)
@@ -124,7 +127,7 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
     cz = ii[None, None, :, None] + offs[None, None, None, :, 2]
     csdf = sdf[:, cx, cy, cz]                    # (K,V,V,V,8)
     cwgt = wgt[:, cx, cy, cz]
-    ccol = col[:, cx, cy, cz]                    # (K,V,V,V,8,3)
+    ccol = jnp.stack([c[:, cx, cy, cz] for c in cols], axis=-1)  # (K,V,V,V,8,3)
 
     observed = jnp.all(cwgt > MIN_WEIGHT, axis=-1)
     case = jnp.sum((csdf < 0.0).astype(jnp.int32) *
@@ -150,7 +153,7 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
     ecol = jnp.where((t < 0.5)[..., None], c0, c1)
 
     # Triangles: (K,V,V,V,5,3) edge ids.
-    tt = jnp.asarray(mc_tables.TRI_TABLE).reshape(256, 5, 3)
+    tt = jnp.asarray(mc_tables.TRI_TABLE[:, :15]).reshape(256, 5, 3)
     tri_edges = tt[case]
     tri_valid = tri_edges[..., 0] >= 0
     safe_edges = jnp.maximum(tri_edges, 0)

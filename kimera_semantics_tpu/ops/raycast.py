@@ -27,7 +27,7 @@ GRID_EPS = 1e-6  # voxblox kCoordinateEpsilon-style snap
 
 
 def setup_rays(
-    origin: jnp.ndarray,          # (3,) world-frame camera origin
+    origin: jnp.ndarray,          # (3,) or (R, 3) world-frame camera origin(s)
     points_G: jnp.ndarray,        # (R, 3) world-frame surface points
     is_clearing: jnp.ndarray,     # (R,) bool
     *,
@@ -36,18 +36,20 @@ def setup_rays(
     max_ray_length_m: float,
     voxel_carving_enabled: bool,
 ):
-    """Compute scaled (voxel-unit) start/end points per ray."""
-    vec = points_G - origin[None, :]
+    """Compute scaled (voxel-unit) start/end points per ray. Per-ray origins
+    support multi-frame/multi-host ray batches (SURVEY 2c)."""
+    origin = jnp.broadcast_to(origin, points_G.shape)
+    vec = points_G - origin
     norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
     unit = vec / jnp.maximum(norm, 1e-12)
 
     clear_len = jnp.clip(norm - truncation_distance, 0.0, max_ray_length_m)
-    clear_end = origin[None, :] + unit * clear_len
+    clear_end = origin + unit * clear_len
     norm_end = points_G + unit * truncation_distance
 
     end = jnp.where(is_clearing[:, None], clear_end, norm_end)
     if voxel_carving_enabled:
-        start = jnp.broadcast_to(origin[None, :], points_G.shape)
+        start = origin
     else:
         band_start = points_G - unit * truncation_distance
         start = jnp.where(is_clearing[:, None], clear_end, band_start)
@@ -57,39 +59,55 @@ def setup_rays(
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
-def traverse(start_scaled: jnp.ndarray, end_scaled: jnp.ndarray,
-             max_steps: int):
-    """Run the DDA for all rays.
+def traverse_soa(start3: jnp.ndarray, end3: jnp.ndarray, max_steps: int):
+    """Run the DDA for all rays in structure-of-arrays layout.
 
+    TPU layout note: all per-step state is kept as (3, R) / (S, R) arrays so
+    the ray dimension maps to vector lanes; an (R, S, 3) layout would waste
+    ~42x memory/bandwidth to lane padding of the minor dim.
+
+    Args: start3/end3 (3, R) float32 in voxel units.
     Returns:
-      voxels: (R, max_steps, 3) int32 global voxel coords
-      valid:  (R, max_steps) bool — step within the ray's true length
+      voxels: (S, 3, R) int32 global voxel coords per step
+      valid:  (S, R) bool — step within the ray's true length
     """
-    curr = jnp.floor(start_scaled + GRID_EPS).astype(jnp.int32)
-    end_idx = jnp.floor(end_scaled + GRID_EPS).astype(jnp.int32)
-    n_steps = jnp.sum(jnp.abs(end_idx - curr), axis=-1)  # additional steps
+    curr = jnp.floor(start3 + GRID_EPS).astype(jnp.int32)       # (3, R)
+    end_idx = jnp.floor(end3 + GRID_EPS).astype(jnp.int32)
+    n_steps = jnp.sum(jnp.abs(end_idx - curr), axis=0)          # (R,)
 
-    ray = end_scaled - start_scaled
+    ray = end3 - start3
     step_sign = jnp.sign(ray).astype(jnp.int32)
     corrected = jnp.maximum(step_sign, 0).astype(jnp.float32)
     safe_ray = jnp.where(ray == 0.0, 1.0, ray)
     t_next0 = jnp.where(
         ray == 0.0, jnp.inf,
-        (corrected - (start_scaled - curr.astype(jnp.float32))) / safe_ray)
-    t_step = jnp.where(ray == 0.0, jnp.inf,
+        (corrected - (start3 - curr.astype(jnp.float32))) / safe_ray)
+    t_step = jnp.where(ray == 0.0, 0.0,
                        step_sign.astype(jnp.float32) / safe_ray)
 
     def body(state, s):
         curr, t_next = state
         emit = curr
-        axis = jnp.argmin(t_next, axis=-1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        curr = curr + onehot * step_sign
-        t_next = t_next + onehot.astype(t_next.dtype) * jnp.where(
-            jnp.isinf(t_step), 0.0, t_step)
+        # axis with min crossing time, as a (3, R) one-hot via two compares
+        # (argmin over the 3-row axis; first-min-wins to match Eigen/NumPy).
+        min01 = jnp.minimum(t_next[0], t_next[1])
+        a = jnp.where(t_next[1] < t_next[0], 1, 0)
+        axis = jnp.where(t_next[2] < min01, 2, a)               # (R,)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, t_next.shape, 0)
+                  == axis[None, :])
+        curr = curr + jnp.where(onehot, step_sign, 0)
+        t_next = t_next + jnp.where(onehot, t_step, 0.0)
         return (curr, t_next), (emit, s <= n_steps)
 
     (_, _), (voxels, valid) = jax.lax.scan(
         body, (curr, t_next0), jnp.arange(max_steps), length=max_steps)
-    # scan stacks along axis 0 -> (S, R, ...); move rays first.
-    return jnp.moveaxis(voxels, 0, 1), jnp.moveaxis(valid, 0, 1)
+    return voxels, valid                                        # (S,3,R),(S,R)
+
+
+def traverse(start_scaled: jnp.ndarray, end_scaled: jnp.ndarray,
+             max_steps: int):
+    """(R, 3)-layout wrapper around traverse_soa (tests/oracle comparisons).
+
+    Returns voxels (R, S, 3) and valid (R, S)."""
+    voxels, valid = traverse_soa(start_scaled.T, end_scaled.T, max_steps)
+    return jnp.transpose(voxels, (2, 0, 1)), valid.T

@@ -45,15 +45,35 @@ def projective_sdf(origin: jnp.ndarray, points_G: jnp.ndarray,
 
       sdf = |p - o| - (c - o) . (p - o) / |p - o|
 
-    origin (3,), points_G (R, 3) broadcast against voxel_coords (R, S, 3).
+    origin (3,) or (R, 3); points_G (R, 3); voxel_coords (R, S, 3).
     """
     center = voxel_center(voxel_coords, voxel_size)
-    v_point = points_G - origin[None, :]
+    origin = jnp.broadcast_to(origin, points_G.shape)
+    v_point = points_G - origin
     dist_g = jnp.linalg.norm(v_point, axis=-1, keepdims=True)  # (R, 1)
-    v_voxel = center - origin[None, None, :]
+    v_voxel = center - origin[:, None, :]
     dist_gv = jnp.sum(v_voxel * v_point[:, None, :], axis=-1) / jnp.maximum(
         dist_g, 1e-12)
     return dist_g - dist_gv
+
+
+def projective_sdf_soa(origin: jnp.ndarray, points_G: jnp.ndarray,
+                       vx: jnp.ndarray, vy: jnp.ndarray, vz: jnp.ndarray,
+                       voxel_size: float) -> jnp.ndarray:
+    """Structure-of-arrays variant of projective_sdf for the (S, R) hot path:
+    voxel coords as three (S, R) planes; origin (3,) or (R, 3)."""
+    origin = jnp.broadcast_to(origin, points_G.shape)           # (R, 3)
+    v_point = points_G - origin                                 # (R, 3)
+    dist_g = jnp.sqrt(jnp.sum(v_point * v_point, axis=-1))      # (R,)
+    half = jnp.float32(0.5)
+    num = jnp.zeros(vx.shape, dtype=jnp.float32)
+    for comp, o_c, p_c in ((vx, origin[:, 0], v_point[:, 0]),
+                           (vy, origin[:, 1], v_point[:, 1]),
+                           (vz, origin[:, 2], v_point[:, 2])):
+        center = (comp.astype(jnp.float32) + half) * voxel_size
+        num = num + (center - o_c[None, :]) * p_c[None, :]
+    dist_gv = num / jnp.maximum(dist_g, 1e-12)[None, :]
+    return dist_g[None, :] - dist_gv
 
 
 def update_terms(sdf: jnp.ndarray, weight: jnp.ndarray, cfg: TsdfConfig,

@@ -1,0 +1,95 @@
+"""Multi-host bring-up and streaming (config 5 of BASELINE.json).
+
+Replaces the reference's ROS1 TCPROS pub/sub + TF tree transport (SURVEY 2c,
+5.8) with single-controller JAX: `jax.distributed` + a global mesh whose `grid`
+axis spans every device on every host. Each host ingests its own frame stream
+(data-parallel); the per-step ray all_gather of parallel/sharding.py rides ICI
+within a slice and DCN across slices — no other cross-host communication is
+needed because block ownership is hash-partitioned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..core.camera import PinholeIntrinsics
+from ..models.common import Frame
+from . import sharding
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed bring-up (no-op for single-process runs)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def local_batch_to_global(frames: Frame, mesh) -> Frame:
+    """Place this host's per-local-device frame batch into the global array.
+
+    frames: leading axis == number of *local* devices. Uses
+    make_array_from_process_local_data so each host contributes its slice of
+    the globally sharded frame batch."""
+    spec = jax.sharding.PartitionSpec(sharding.AXIS)
+    ns = jax.NamedSharding(mesh, spec)
+
+    def place(x):
+        x = np.asarray(x)
+        global_shape = (mesh.devices.size,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(ns, x, global_shape)
+
+    return jax.tree.map(place, frames)
+
+
+class MultiHostPipeline:
+    """Continuous multi-host ingestion: every step consumes one frame per
+    device globally, integrates into the sharded grid, optionally meshes."""
+
+    def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics,
+                 mesh=None):
+        self.cfg = cfg
+        self.intr = intr
+        self.mesh = mesh if mesh is not None else sharding.make_mesh()
+        self.sgrid = sharding.create_sharded(cfg, self.mesh)
+        self.steps = 0
+
+    @property
+    def frames_per_step(self) -> int:
+        return len(jax.local_devices())
+
+    def step(self, local_frames: Frame):
+        """local_frames: leading axis = local device count."""
+        frames = local_batch_to_global(local_frames, self.mesh)
+        self.sgrid = sharding.integrate_frames_sharded(
+            self.sgrid, frames, self.cfg, self.intr, self.mesh)
+        self.steps += 1
+        return self.sgrid
+
+    def run(self, frame_iter: Iterable[Frame], max_steps: Optional[int] = None):
+        batch = []
+        n = self.frames_per_step
+        for f in frame_iter:
+            batch.append(f)
+            if len(batch) == n:
+                self.step(Frame(
+                    depth=jnp.stack([b.depth for b in batch]),
+                    labels=jnp.stack([b.labels for b in batch]),
+                    colors=jnp.stack([b.colors for b in batch]),
+                    T_G_C=jnp.stack([b.T_G_C for b in batch])))
+                batch = []
+                if max_steps is not None and self.steps >= max_steps:
+                    break
+        return self.sgrid
+
+    def merged_grid(self):
+        return sharding.merge_shards(self.sgrid, self.cfg)

@@ -1,0 +1,125 @@
+"""Spatial sharding of the voxel grid across a TPU device mesh.
+
+The volumetric analogue of context parallelism (SURVEY 5.7 / 2c): the block
+hash table is sharded by block-key hash across the `grid` mesh axis; every
+device owns ~1/D of the blocks (hash ownership gives load balance for free —
+no spatial hot spots). Incoming frames are data-parallel (one frame per device,
+config 5 of BASELINE.json); each device backprojects its own frame, then the
+prepared ray batches ride one `all_gather` over ICI so every shard can apply
+the updates that land in blocks it owns. Updates themselves are the same
+commutative scatter-adds as single-chip (ops/integrate.py shard filter) — no
+halo state is ever exchanged, because *rays* are replicated to the shards they
+touch instead of block contents (SURVEY 7 hard part e).
+
+Replaces: the reference's ROS pub/sub fan-out + single-process thread pool
+(kimera_semantics_ros; SURVEY 2c "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import FusionConfig
+from ..core.camera import PinholeIntrinsics
+from ..grid import blocks as gblocks
+from ..grid.blocks import VoxelGrid
+from ..models import common
+from ..ops import dedup as dedup_ops
+from ..ops.integrate import integrate_ray_batch
+
+AXIS = "grid"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=(AXIS,))
+
+
+def create_sharded(cfg: FusionConfig, mesh: Mesh):
+    """A stack of per-device grid shards, leading axis sharded over the mesh."""
+    d = mesh.devices.size
+
+    @partial(jax.jit, out_shardings=jax.NamedSharding(mesh, P(AXIS)))
+    def init():
+        grid = gblocks.create(cfg)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x[None], (d,) + x.shape),
+                            grid)
+
+    return init()
+
+
+@partial(jax.jit, static_argnames=("cfg", "intr", "mesh"))
+def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
+                             intr: PinholeIntrinsics, mesh: Mesh):
+    """One data-parallel step: D frames (leading axis) into D grid shards."""
+    d = mesh.devices.size
+    R = cfg.pipeline.max_rays
+
+    def body(grid_stack, frame_stack):
+        grid = jax.tree.map(lambda x: x[0], grid_stack)
+        frame = jax.tree.map(lambda x: x[0], frame_stack)
+        my = jax.lax.axis_index(AXIS)
+
+        (_, pts_G, origin, colors, labels, weights, valid,
+         clearing) = common.prepare_points(frame, intr, cfg)
+        # Per-frame start-voxel subsampling on the local shard's approx set.
+        keep, start_set = dedup_ops.start_voxel_dedup(
+            grid.start_set, pts_G, valid,
+            voxel_size_inv=1.0 / cfg.grid.voxel_size,
+            subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor)
+        grid = dataclasses.replace(grid, start_set=start_set)
+        kept, pts_G, colors, labels, weights, clearing = common.compact(
+            keep, R, pts_G, colors, labels, weights, clearing)
+        origins = jnp.broadcast_to(origin, pts_G.shape)
+
+        # Ray replication across shards: one all_gather over ICI.
+        gather = lambda x: jax.lax.all_gather(x, AXIS).reshape(
+            (d * R,) + x.shape[1:])
+        grid = integrate_ray_batch(
+            grid, cfg, gather(origins), gather(pts_G), gather(weights),
+            gather(colors), gather(labels), gather(clearing), gather(kept),
+            shard_id=my, num_shards=d)
+        return jax.tree.map(lambda x: x[None], grid)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                         out_specs=P(AXIS), check_vma=False)(sgrid, frames)
+
+
+def merge_shards(sgrid, cfg: FusionConfig) -> VoxelGrid:
+    """Host-side merge of shard stack -> one VoxelGrid (for meshing/export).
+
+    Because ownership is disjoint, merging is pure re-insertion of every
+    shard's allocated blocks into a fresh table sized D*capacity."""
+    d = int(np.asarray(sgrid.n_blocks).shape[0])
+    merged_cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid,
+                                      block_capacity=cfg.grid.block_capacity * d))
+    out = gblocks.create(merged_cfg)
+    cap_in = cfg.grid.block_capacity
+    for s in range(d):
+        nb = int(np.asarray(sgrid.n_blocks)[s])
+        if nb == 0:
+            continue
+        coords = jnp.asarray(np.asarray(sgrid.block_coords)[s][:nb])
+        out = gblocks.allocate_blocks(
+            out, coords, jnp.ones(nb, dtype=bool), merged_cfg.grid)
+        slots = gblocks.lookup_slots(out, coords, merged_cfg.grid)
+        for field in ["wsum", "wsdf", "sem_count"]:      # (B+1, V3) channels
+            src = jnp.asarray(np.asarray(getattr(sgrid, field))[s][:nb])
+            dst = getattr(out, field).at[slots].add(src)
+            out = dataclasses.replace(out, **{field: dst})
+        for field in ["wcolor", "sem_delta"]:            # (C, B+1, V3) channels
+            src = jnp.asarray(np.asarray(getattr(sgrid, field))[s][:, :nb])
+            dst = getattr(out, field).at[:, slots].add(src)
+            out = dataclasses.replace(out, **{field: dst})
+        upd = out.updated.at[slots].set(True)
+        out = dataclasses.replace(out, updated=upd)
+    return out, merged_cfg

@@ -1,0 +1,129 @@
+"""CLI entry points — the reference's three binaries, TPU-native.
+
+  python -m kimera_semantics_tpu.server.node stream <dataset_dir> ...
+      live-streaming server (kimera_semantics_node equivalent: periodic
+      incremental meshing while frames arrive)
+  python -m kimera_semantics_tpu.server.node batch <dataset_dir> ...
+      offline batch reconstruction (kimera_semantics_rosbag equivalent:
+      full pipeline incl. PLY mesh, map save, batch ESDF — CS2)
+  python -m kimera_semantics_tpu.server.node sim-eval ...
+      synthetic-world evaluation (semantic_simulator_eval equivalent — CS3)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--voxel-size", type=float, default=0.05)
+    p.add_argument("--voxels-per-side", type=int, default=16)
+    p.add_argument("--block-capacity", type=int, default=4096)
+    p.add_argument("--truncation", type=float, default=0.1)
+    p.add_argument("--max-ray-length", type=float, default=5.0)
+    p.add_argument("--method", choices=["fast", "merged"], default="fast",
+                   help="integrator type (ros_params.cpp:24)")
+    p.add_argument("--semantic-csv", default=None,
+                   help="label,color CSV (semantic_label_2_color_csv_filepath)")
+    p.add_argument("--measurement-probability", type=float, default=0.9)
+    p.add_argument("--color-mode", default="semantic",
+                   choices=["color", "semantic", "semantic_probability"])
+    p.add_argument("--dynamic-labels", type=int, nargs="*", default=[20])
+    p.add_argument("--max-rays", type=int, default=32768)
+    p.add_argument("--mesh-out", default="mesh.ply")
+    p.add_argument("--map-out", default=None)
+    p.add_argument("--esdf", action="store_true",
+                   help="batch ESDF after reconstruction (CS2 tail)")
+    p.add_argument("--max-frames", type=int, default=None)
+
+
+def _build(args):
+    from ..config import (ColorMode, FusionConfig, GridConfig, IntegratorType,
+                          PipelineConfig, SemanticConfig, TsdfConfig)
+    from ..core.color import LabelColorMap
+    cfg = FusionConfig(
+        grid=GridConfig(voxel_size=args.voxel_size,
+                        voxels_per_side=args.voxels_per_side,
+                        block_capacity=args.block_capacity),
+        tsdf=TsdfConfig(truncation_distance=args.truncation,
+                        max_ray_length_m=args.max_ray_length),
+        semantic=SemanticConfig(
+            semantic_measurement_probability=args.measurement_probability,
+            color_mode=ColorMode(args.color_mode),
+            dynamic_labels=tuple(args.dynamic_labels)),
+        pipeline=PipelineConfig(max_rays=args.max_rays),
+        integrator=IntegratorType(args.method),
+    )
+    lmap = (LabelColorMap.from_csv(args.semantic_csv)
+            if args.semantic_csv else LabelColorMap.random())
+    return cfg, lmap
+
+
+def cmd_batch(args, streaming: bool):
+    from ..io.dataset import DirectoryDataset
+    from ..ops import esdf as esdf_ops
+    from ..server.pipeline import SemanticTsdfServer, ServerConfig
+    from ..utils import timing
+
+    cfg, lmap = _build(args)
+    ds = DirectoryDataset(args.dataset, label_map=lmap)
+    srv = SemanticTsdfServer(
+        cfg, ds.intr, lmap,
+        ServerConfig(mesh_every_n_frames=5 if streaming else 0,
+                     mesh_filename=args.mesh_out))
+    n = srv.run(ds, max_frames=args.max_frames)
+    mesh = srv.generate_mesh(args.mesh_out)
+    if args.map_out:
+        srv.save_map(args.map_out)
+    out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}
+    if args.esdf:
+        res = esdf_ops.compute_esdf(srv.grid, cfg)
+        out["esdf_voxels"] = int(res.distance.size)
+    print(timing.report(), file=sys.stderr)
+    print(json.dumps(out))
+
+
+def cmd_sim_eval(args):
+    from ..core.camera import PinholeIntrinsics
+    from ..io.dataset import SyntheticDataset
+    from ..server.pipeline import SemanticTsdfServer
+    from ..sim import eval as sim_eval
+
+    cfg, lmap = _build(args)
+    intr = PinholeIntrinsics(fx=160.0, fy=160.0, cx=159.5, cy=119.5,
+                             width=320, height=240)
+    ds = SyntheticDataset(num_frames=args.num_viewpoints, intr=intr,
+                          label_map=lmap)
+    srv = SemanticTsdfServer(cfg, intr, lmap)
+    srv.run(ds)
+    errs = sim_eval.compare_to_world(srv.grid, cfg, ds.world,
+                                     surface_band=cfg.tsdf.truncation_distance)
+    mesh = srv.generate_mesh(args.mesh_out)
+    mesh_err = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
+    print(json.dumps({
+        "rmse_tsdf": errs.rmse_tsdf, "mae_tsdf": errs.mae_tsdf,
+        "label_accuracy": errs.label_accuracy, "compared": errs.num_compared,
+        "mesh_error": mesh_err, **srv.stats()}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kimera_semantics_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("stream", "batch"):
+        p = sub.add_parser(name)
+        p.add_argument("dataset")
+        _add_common(p)
+    p = sub.add_parser("sim-eval")
+    p.add_argument("--num-viewpoints", type=int, default=50)
+    _add_common(p)
+    args = ap.parse_args(argv)
+    if args.cmd in ("stream", "batch"):
+        cmd_batch(args, streaming=args.cmd == "stream")
+    else:
+        cmd_sim_eval(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""SemanticTsdfServer equivalent: the streaming fusion pipeline.
+
+Mirrors the reference server surface (SemanticTsdfServer subclassing
+vxb::TsdfServer, semantic_tsdf_server.cpp:49-77) without ROS: a frame loop with
+  - message throttling (`min_time_between_msgs_sec`, TsdfServer behavior),
+  - integrator dispatch via the factory (semantic_tsdf_server.cpp:71-77),
+  - periodic incremental mesh updates (`update_mesh_every_n_sec` -> here
+    every-N-frames, timer-driven behavior of launch:131),
+  - mesh generation + PLY save, grid save/load (kimera_semantics_rosbag.cpp:148-167),
+  - per-phase timing (vxb::timing parity, utils/timing.py).
+
+The host loop overlaps rendering/IO of frame t+1 with device compute of frame t
+(JAX dispatch is async; we only block on grid state at mesh/stat boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import FusionConfig
+from ..core.camera import PinholeIntrinsics
+from ..core.color import LabelColorMap
+from ..grid import blocks as gblocks
+from ..io import ply as ply_io
+from ..io import serial as serial_io
+from ..models import factory
+from ..models.common import Frame
+from ..ops import mesh as mesh_ops
+from ..utils import timing
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    mesh_every_n_frames: int = 0      # 0 = no periodic meshing
+    min_frame_interval: float = 0.0   # seconds of *stream time* between frames
+    mesh_filename: str = ""
+    enable_icp: bool = False          # scan-to-map pose refinement before
+                                      # integration (voxblox enable_icp parity)
+    icp_iters: int = 6
+
+
+class SemanticTsdfServer:
+    def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics,
+                 label_map: Optional[LabelColorMap] = None,
+                 server_cfg: Optional[ServerConfig] = None):
+        self.cfg = cfg
+        self.intr = intr
+        self.label_map = label_map or LabelColorMap.random(cfg.grid.num_labels)
+        self.server_cfg = server_cfg or ServerConfig()
+        self.integrator = factory.create(cfg.integrator, cfg, intr)
+        self.grid = gblocks.create(cfg)
+        self._frames_integrated = 0
+        self._last_stream_time = -np.inf
+        self.mesh_callbacks: List[Callable[[mesh_ops.Mesh], None]] = []
+
+    # -- streaming ---------------------------------------------------------
+
+    def insert_frame(self, frame: Frame, stream_time: Optional[float] = None
+                     ) -> bool:
+        """Integrate one frame; returns False if throttled
+        (min_time_between_msgs_sec behavior)."""
+        if (stream_time is not None and
+                stream_time - self._last_stream_time <
+                self.server_cfg.min_frame_interval):
+            return False
+        if stream_time is not None:
+            self._last_stream_time = stream_time
+        if self.server_cfg.enable_icp and self._frames_integrated > 0:
+            frame = self._refine_pose(frame)
+        t = timing.Timer(f"integrate/{self.cfg.integrator.value}")
+        self.grid = self.integrator.integrate(self.grid, frame)
+        t.stop(sync=self.grid.wsum)
+        self._frames_integrated += 1
+        n = self.server_cfg.mesh_every_n_frames
+        if n and self._frames_integrated % n == 0:
+            self.update_mesh()
+        return True
+
+    def run(self, dataset, max_frames: Optional[int] = None) -> int:
+        """Batch mode — the kimera_semantics_rosbag main loop (CS2)."""
+        count = 0
+        for i, frame in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            self.insert_frame(frame)
+            count += 1
+        return count
+
+    def _refine_pose(self, frame: Frame) -> Frame:
+        """Scan-to-map TSDF alignment (ops/icp.py) — voxblox enable_icp."""
+        from ..core import camera as cam
+        from ..ops import icp as icp_ops
+        with timing.Timer("icp/align"):
+            pts_C, valid = cam.backproject(frame.depth, self.intr)
+            # Subsample for speed: every 16th pixel.
+            pts_C, valid = pts_C[::16], valid[::16]
+            T, _ = icp_ops.align_to_map(self.grid, self.cfg, pts_C, valid,
+                                        frame.T_G_C,
+                                        iters=self.server_cfg.icp_iters)
+        return dataclasses.replace(frame, T_G_C=T)
+
+    # -- meshing / output --------------------------------------------------
+
+    def update_mesh(self) -> mesh_ops.Mesh:
+        """Incremental mesh over blocks updated since the last call."""
+        import jax.numpy as jnp
+        with timing.Timer("mesh/update"):
+            m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
+                                      only_updated=True)
+        self.grid = dataclasses.replace(
+            self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
+        for cb in self.mesh_callbacks:
+            cb(m)
+        return m
+
+    def generate_mesh(self, path: Optional[str] = None) -> mesh_ops.Mesh:
+        """Full mesh over all allocated blocks (+ optional PLY save) —
+        TsdfServer::generateMesh (kimera_semantics_rosbag.cpp:148)."""
+        with timing.Timer("mesh/generate"):
+            m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
+                                      only_updated=False)
+        path = path or self.server_cfg.mesh_filename
+        if path:
+            ply_io.write_ply(path, m.vertices, m.colors, m.triangles)
+        return m
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_map(self, path: str):
+        serial_io.save_grid(path, self.grid)
+
+    def load_map(self, path: str):
+        self.grid = serial_io.load_grid(path, self.cfg)
+
+    # -- stats -------------------------------------------------------------
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.grid.n_blocks)
+
+    def stats(self) -> dict:
+        return {
+            "frames": self._frames_integrated,
+            "blocks": int(self.grid.n_blocks),
+            "overflow": int(self.grid.overflow),
+            "observed_voxels": int(np.asarray(
+                (self.grid.wsum[:-1] > 0).sum())),
+        }

@@ -66,8 +66,11 @@ def render_depth_labels(world: sim_world.World, T_G_C: jnp.ndarray,
     return depth, labels
 
 
-def orbit_pose(angle: float, radius: float = 2.0, height: float = 1.5,
-               target=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+def orbit_pose(angle: float, radius: float = 3.2, height: float = 2.2,
+               target=(0.0, 0.0, 1.5)) -> jnp.ndarray:
+    # NB: the eval world's sphere has radius 2 at (0,0,2)
+    # (semantic_simulation_eval.cpp:16-34) — the default orbit stays outside
+    # it with >1 m clearance so depths exceed min_ray_length.
     """Camera on a circle looking at `target` — the eval harness's viewpoint
     sweep (launch/kimera_semantics_eval.launch: 50 generated viewpoints)."""
     import numpy as np

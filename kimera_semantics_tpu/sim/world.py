@@ -169,9 +169,11 @@ def generate_semantic_sdf(world: World, cfg: FusionConfig,
         wsum = grid.wsum.at[slots_dev].set(gt_weight)
         wsdf = grid.wsdf.at[slots_dev].set(
             jnp.clip(sdf, -trunc, trunc) * gt_weight)
-        # GT label at p=1: one strong delta observation.
-        onehot = jax.nn.one_hot(label, g.num_labels, dtype=jnp.float32)
-        sem_delta = grid.sem_delta.at[slots_dev].set(onehot * 100.0)
+        # GT label at p=1: one strong delta observation. sem_delta layout is
+        # (L, B+1, V3) — scatter per-label planes.
+        onehot = jax.nn.one_hot(label, g.num_labels, dtype=jnp.float32,
+                                axis=0)                     # (L, Nb, V3)
+        sem_delta = grid.sem_delta.at[:, slots_dev].set(onehot * 100.0)
         sem_count = grid.sem_count.at[slots_dev].set(1.0)
         updated = grid.updated.at[slots_dev].set(True)
         return dataclasses.replace(grid, wsum=wsum, wsdf=wsdf,

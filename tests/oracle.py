@@ -51,34 +51,40 @@ def grid_index(point, voxel_size_inv):
 
 def raycast_voxels(origin, point_G, is_clearing, *, voxel_size, truncation,
                    max_ray_length, carving):
-    """voxblox RayCaster: list of global voxel indices traversed."""
-    origin = np.asarray(origin, dtype=np.float64)
-    point_G = np.asarray(point_G, dtype=np.float64)
+    """voxblox RayCaster: list of global voxel indices traversed.
+
+    float32 arithmetic throughout — the reference's vxb::FloatingPoint is
+    float, and DDA tie-breaking is precision-sensitive."""
+    f32 = np.float32
+    origin = np.asarray(origin, dtype=f32)
+    point_G = np.asarray(point_G, dtype=f32)
     vec = point_G - origin
-    norm = np.linalg.norm(vec)
+    norm = f32(np.sqrt(np.sum(vec * vec, dtype=f32)))
     if norm < 1e-12:
         return []
-    unit = vec / norm
+    unit = (vec / np.maximum(norm, f32(1e-12))).astype(f32)
     if is_clearing:
-        length = min(max(norm - truncation, 0.0), max_ray_length)
+        length = f32(min(max(norm - f32(truncation), f32(0.0)),
+                         f32(max_ray_length)))
         end = origin + unit * length
         start = origin if carving else end
     else:
-        end = point_G + unit * truncation
-        start = origin if carving else point_G - unit * truncation
+        end = point_G + unit * f32(truncation)
+        start = origin if carving else point_G - unit * f32(truncation)
 
-    inv = 1.0 / voxel_size
-    start_s = start * inv
-    end_s = end * inv
-    curr = np.array(grid_index(start, inv), dtype=np.int64)
-    end_i = np.array(grid_index(end, inv), dtype=np.int64)
+    inv = f32(1.0 / voxel_size)
+    start_s = (start * inv).astype(f32)
+    end_s = (end * inv).astype(f32)
+    curr = np.floor(start_s + f32(GRID_EPS)).astype(np.int64)
+    end_i = np.floor(end_s + f32(GRID_EPS)).astype(np.int64)
     n_steps = int(np.abs(end_i - curr).sum())
-    ray = end_s - start_s
+    ray = (end_s - start_s).astype(f32)
     sign = np.sign(ray).astype(np.int64)
-    corrected = np.maximum(sign, 0).astype(np.float64)
+    corrected = np.maximum(sign, 0).astype(f32)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t_next = np.where(ray == 0, np.inf, (corrected - (start_s - curr)) / ray)
-        t_step = np.where(ray == 0, np.inf, sign / ray)
+        t_next = np.where(ray == 0, np.inf,
+                          (corrected - (start_s - curr)) / ray).astype(f32)
+        t_step = np.where(ray == 0, np.inf, sign / ray).astype(f32)
     out = []
     for _ in range(n_steps + 1):
         out.append(tuple(int(c) for c in curr))
@@ -92,7 +98,7 @@ def raycast_voxels(origin, point_G, is_clearing, *, voxel_size, truncation,
 def integrate_rays(grid: OracleGrid, origin, points_G, weights, colors, labels,
                    is_clearing, valid, *, truncation, max_ray_length, carving,
                    use_weight_dropoff=True, log_match=None, log_nonmatch=None,
-                   measurement_clamp=True):
+                   measurement_clamp=True, label_hists=None):
     """Sequential semantic TSDF integration over a ray batch.
 
     measurement_clamp=True follows the TPU engine's contract (clamp each
@@ -131,8 +137,17 @@ def integrate_rays(grid: OracleGrid, origin, points_G, weights, colors, labels,
                 vox.weight = new_w
             # Semantic update: every traversed voxel, regardless of weight
             # (updateSemanticVoxel is unconditional in _fast.cpp:124-140).
-            lab = int(labels[r])
-            if lab != 0 and log_match is not None:
-                vox.logodds += log_nonmatch
-                vox.logodds[lab] += log_match - log_nonmatch
+            if log_match is not None:
+                if label_hists is not None:
+                    # Merged integrator: full histogram (unknown col zeroed,
+                    # _merged.cpp:254-328 with L from base.cpp:93-128).
+                    hist = np.asarray(label_hists[r], dtype=np.float64).copy()
+                    hist[0] = 0.0
+                    vox.logodds += log_nonmatch * hist.sum()
+                    vox.logodds += (log_match - log_nonmatch) * hist
+                else:
+                    lab = int(labels[r])
+                    if lab != 0:
+                        vox.logodds += log_nonmatch
+                        vox.logodds[lab] += log_match - log_nonmatch
             vox.label = int(np.argmax(vox.logodds))

@@ -1,0 +1,59 @@
+"""TSDF scan-to-map alignment tests (ops/icp.py — enable_icp parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         PipelineConfig, TsdfConfig)
+from kimera_semantics_tpu.core import transforms
+from kimera_semantics_tpu.core.camera import PinholeIntrinsics, backproject
+from kimera_semantics_tpu.ops import icp as icp_ops
+from kimera_semantics_tpu.sim import render as sim_render
+from kimera_semantics_tpu.sim import world as sim_world
+
+
+def cfg_():
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.1, voxels_per_side=8, block_capacity=2048),
+        tsdf=TsdfConfig(truncation_distance=0.3),
+        pipeline=PipelineConfig(max_rays=64, dedup_table_size=1 << 10),
+    )
+
+
+def test_sample_tsdf_matches_analytic():
+    cfg = cfg_()
+    w = sim_world.WorldBuilder().add_sphere((0, 0, 0), 1.0).build()
+    grid = sim_world.generate_semantic_sdf(w, cfg, (-1.6,) * 3, (1.6,) * 3)
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1.2, 1.2, (256, 3)).astype(np.float32)
+    d, wt = icp_ops.sample_tsdf(grid, cfg, jnp.asarray(pts))
+    true = np.linalg.norm(pts, axis=1) - 1.0
+    m = (np.asarray(wt) > 0) & (np.abs(true) < 0.25)  # inside trunc band
+    assert m.sum() > 30
+    np.testing.assert_allclose(np.asarray(d)[m], true[m], atol=0.03)
+
+
+def test_alignment_recovers_perturbation():
+    cfg = cfg_()
+    world = sim_world.default_eval_world()
+    grid = sim_world.generate_semantic_sdf(world, cfg, (-4.2, -4.2, -0.4),
+                                           (4.2, 4.2, 3.8))
+    intr = PinholeIntrinsics(fx=50, fy=50, cx=31.5, cy=23.5, width=64,
+                             height=48)
+    T_true = sim_render.orbit_pose(0.7)
+    depth, _ = sim_render.render_depth_labels(world, T_true, intr)
+    pts_C, valid = backproject(depth, intr)
+
+    # Perturb the pose by a few cm / ~2 degrees.
+    dq = jnp.array([0.0, 0.017, 0.0, 1.0])
+    T_pert = transforms.compose(
+        T_true, transforms.from_quat_trans(dq, jnp.array([0.04, -0.03, 0.02])))
+    pre = float(jnp.linalg.norm(T_pert[:3, 3] - T_true[:3, 3]))
+
+    T_ref, rms = icp_ops.align_to_map(grid, cfg, pts_C, valid, T_pert, iters=8)
+    post = float(jnp.linalg.norm(T_ref[:3, 3] - T_true[:3, 3]))
+    rot_err = float(jnp.linalg.norm(
+        np.asarray(T_ref[:3, :3] @ T_true[:3, :3].T) - np.eye(3)))
+    assert post < pre * 0.6, (pre, post)
+    assert rot_err < 0.05
+    assert float(rms) < 0.05

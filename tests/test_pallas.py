@@ -1,0 +1,79 @@
+"""Pallas kernel equivalence: interpreted kernel vs the XLA SoA path.
+
+Small shapes only — interpret mode executes step-by-step. On real TPU hardware
+the compiled kernel runs the same arithmetic; bench.py exercises it.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         PipelineConfig, TsdfConfig)
+from kimera_semantics_tpu.grid import hash as bhash
+from kimera_semantics_tpu.ops import pallas_kernels, raycast, tsdf
+
+
+def make_cfg(carving=True):
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8, block_capacity=64),
+        tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=3.0,
+                        voxel_carving_enabled=carving),
+        pipeline=PipelineConfig(max_rays=8, dedup_table_size=1 << 10,
+                                max_steps=32),
+    )
+
+
+@pytest.mark.parametrize("carving", [True, False])
+@pytest.mark.parametrize("clearing", [False, True])
+def test_stream_matches_xla_path(carving, clearing):
+    cfg = make_cfg(carving)
+    g, t = cfg.grid, cfg.tsdf
+    S = cfg.resolved_max_steps()
+    rng = np.random.RandomState(11)
+    R = 8
+    origin = np.array([0.2, -0.1, 0.3], dtype=np.float32)
+    pts = (origin + rng.uniform(-2, 2, (R, 3))).astype(np.float32)
+    weights = rng.uniform(0.5, 2.0, R).astype(np.float32)
+    clr = np.full(R, clearing)
+    valid = np.ones(R, dtype=bool)
+    valid[-1] = False
+
+    key_p, local_p, w_p, wsdf_p, wc_p, sv_p = pallas_kernels.dda_update_stream(
+        cfg, jnp.asarray(np.tile(origin[:, None], (1, R))), jnp.asarray(pts.T),
+        jnp.asarray(weights), jnp.asarray(clr), jnp.asarray(valid),
+        interpret=True)
+
+    # XLA reference path (mirrors ops/integrate.py CPU branch).
+    start_rs, end_rs = raycast.setup_rays(
+        jnp.asarray(origin), jnp.asarray(pts), jnp.asarray(clr),
+        voxel_size=g.voxel_size, truncation_distance=t.truncation_distance,
+        max_ray_length_m=t.max_ray_length_m, voxel_carving_enabled=carving)
+    voxels, sv = raycast.traverse_soa(start_rs.T, end_rs.T, S)
+    vx, vy, vz = voxels[:, 0], voxels[:, 1], voxels[:, 2]
+    sv = sv & jnp.asarray(valid)[None, :]
+    bx, by, bz = (jnp.floor_divide(v, g.voxels_per_side) for v in (vx, vy, vz))
+    sv = sv & bhash.in_bounds_soa(bx, by, bz, g.world_extent_blocks)
+    keys = bhash.pack_block_coords_soa(bx, by, bz, g.world_extent_blocks)
+    vps = g.voxels_per_side
+    local = ((vx - bx * vps) * vps + (vy - by * vps)) * vps + (vz - bz * vps)
+    sdf = tsdf.projective_sdf_soa(jnp.asarray(origin), jnp.asarray(pts),
+                                  vx, vy, vz, g.voxel_size)
+    w, wsdf_, gate = tsdf.update_terms(sdf, jnp.asarray(weights)[None, :], t,
+                                       g.voxel_size)
+    w = jnp.where(sv, w, 0.0)
+    wsdf_ = jnp.where(sv, wsdf_, 0.0)
+    wc = jnp.where(sv & gate, w, 0.0)
+
+    np.testing.assert_array_equal(np.asarray(sv_p), np.asarray(sv))
+    m = np.asarray(sv)
+    np.testing.assert_array_equal(np.asarray(key_p)[m], np.asarray(keys)[m])
+    np.testing.assert_array_equal(np.asarray(local_p)[m], np.asarray(local)[m])
+    np.testing.assert_allclose(np.asarray(w_p)[m], np.asarray(w)[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wsdf_p)[m], np.asarray(wsdf_)[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wc_p)[m], np.asarray(wc)[m],
+                               rtol=1e-5, atol=1e-6)
+    # Invalid entries contribute nothing.
+    np.testing.assert_array_equal(np.asarray(w_p)[~m], 0.0)

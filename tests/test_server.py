@@ -1,0 +1,120 @@
+"""Server pipeline + ESDF + timing tests."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         IntegratorType, PipelineConfig,
+                                         SemanticConfig, TsdfConfig)
+from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.io import ply as ply_io
+from kimera_semantics_tpu.io.dataset import SyntheticDataset
+from kimera_semantics_tpu.ops import esdf as esdf_ops
+from kimera_semantics_tpu.server.pipeline import SemanticTsdfServer, ServerConfig
+from kimera_semantics_tpu.sim import world as sim_world
+from kimera_semantics_tpu.utils import timing
+
+INTR = PinholeIntrinsics(fx=60.0, fy=60.0, cx=39.5, cy=29.5, width=80,
+                         height=60)
+
+
+def small_cfg():
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8, block_capacity=768),
+        tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
+        pipeline=PipelineConfig(max_rays=4096, dedup_table_size=1 << 14),
+    )
+
+
+class TestServer:
+    def test_batch_run_and_mesh(self, tmp_path):
+        cfg = small_cfg()
+        lmap = LabelColorMap.random()
+        srv = SemanticTsdfServer(cfg, INTR, lmap)
+        ds = SyntheticDataset(num_frames=4, intr=INTR, label_map=lmap)
+        n = srv.run(ds)
+        assert n == 4
+        stats = srv.stats()
+        assert stats["blocks"] > 10 and stats["overflow"] == 0
+        path = str(tmp_path / "mesh.ply")
+        mesh = srv.generate_mesh(path)
+        assert mesh.num_triangles > 100
+        rv, rc, rt = ply_io.read_ply(path)
+        assert len(rv) == len(mesh.vertices)
+
+    def test_throttling(self):
+        cfg = small_cfg()
+        srv = SemanticTsdfServer(
+            cfg, INTR, server_cfg=ServerConfig(min_frame_interval=0.5))
+        ds = SyntheticDataset(num_frames=3, intr=INTR)
+        f = ds.frame(0)
+        assert srv.insert_frame(f, stream_time=0.0)
+        assert not srv.insert_frame(f, stream_time=0.2)  # throttled
+        assert srv.insert_frame(f, stream_time=0.6)
+
+    def test_incremental_mesh_resets_updated(self):
+        cfg = small_cfg()
+        srv = SemanticTsdfServer(cfg, INTR)
+        ds = SyntheticDataset(num_frames=2, intr=INTR,
+                              label_map=srv.label_map)
+        srv.insert_frame(ds.frame(0))
+        m1 = srv.update_mesh()
+        assert m1.num_triangles > 0
+        m2 = srv.update_mesh()
+        assert m2.num_triangles == 0  # nothing updated since
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = small_cfg()
+        srv = SemanticTsdfServer(cfg, INTR)
+        ds = SyntheticDataset(num_frames=2, intr=INTR, label_map=srv.label_map)
+        srv.run(ds)
+        path = str(tmp_path / "map.ksdv")
+        srv.save_map(path)
+        srv2 = SemanticTsdfServer(cfg, INTR)
+        srv2.load_map(path)
+        np.testing.assert_array_equal(np.asarray(srv2.grid.wsum),
+                                      np.asarray(srv.grid.wsum))
+
+
+class TestEsdf:
+    def test_sphere_esdf(self):
+        cfg = small_cfg()
+        w = sim_world.WorldBuilder().add_sphere((0, 0, 0), 1.0).build()
+        grid = sim_world.generate_semantic_sdf(w, cfg, (-2,) * 3, (2,) * 3)
+        res = esdf_ops.compute_esdf(grid, cfg, max_dist=2.0)
+        # Probe: voxel near (1.8, 0, 0) should have esdf ~ 0.8.
+        v = np.array([[7, 0, 0]])  # voxel centers at 0.25*(i+0.5): i=7 -> 1.875
+        d = res.sample(v)[0]
+        expect = 1.875 * np.sqrt(1 + (0.125 / 1.875) ** 2)  # approx |c|-1
+        np.testing.assert_allclose(d, np.linalg.norm([1.875, .125, .125]) - 1.0,
+                                   atol=0.3)
+        # Inside the sphere: negative.
+        inside = res.sample(np.array([[0, 0, 0]]))[0]
+        assert inside < 0
+
+    def test_esdf_extends_beyond_truncation(self):
+        cfg = small_cfg()
+        w = sim_world.WorldBuilder().add_sphere((0, 0, 0), 0.6).build()
+        grid = sim_world.generate_semantic_sdf(w, cfg, (-2,) * 3, (2,) * 3)
+        res = esdf_ops.compute_esdf(grid, cfg, max_dist=3.0)
+        far = res.sample(np.array([[7, 7, 7]]))[0]  # corner ~ (1.875,)*3
+        true = np.linalg.norm([1.875] * 3) - 0.6
+        assert far > cfg.tsdf.truncation_distance  # beyond TSDF band
+        np.testing.assert_allclose(far, true, atol=0.35)
+
+
+class TestTiming:
+    def test_accumulation_and_report(self):
+        timing.reset()
+        with timing.Timer("unit/test"):
+            pass
+        with timing.Timer("unit/test"):
+            pass
+        total, count, mean = timing.get("unit/test")
+        assert count == 2 and total >= 0
+        assert "unit/test" in timing.report()
