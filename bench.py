@@ -39,7 +39,11 @@ def main():
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                         voxel_carving_enabled=True, use_const_weight=False),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
-        pipeline=PipelineConfig(max_rays=32768, dedup_table_size=1 << 20),
+        pipeline=PipelineConfig(
+            max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
+            dedup_table_size=1 << 20,
+            scatter_mode=os.environ.get("BENCH_SCATTER", "direct"),
+            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
                              width=640, height=480)

@@ -40,13 +40,19 @@ class EsdfResult:
 
 @partial(jax.jit, static_argnames=("shape", "max_dist"))
 def _jump_flood(seed_pos: jnp.ndarray, seed_mask: jnp.ndarray,
-                centers: jnp.ndarray, shape, max_dist: float):
-    """seed_pos (X,Y,Z,3): surface point for seeds; JFA to all voxels."""
+                seed_val: jnp.ndarray, centers: jnp.ndarray, shape,
+                max_dist: float):
+    """JFA over seed voxel centers. Each seed carries its own |tsdf| residual
+    (`seed_val`) — the distance estimate at a voxel is
+    |center - seed_center| + seed_residual, matching the true Euclidean
+    distance to the zero crossing to first order."""
     X, Y, Z = shape
     big = jnp.float32(max_dist * 4.0)
     best_pos = jnp.where(seed_mask[..., None], seed_pos, big)
+    best_val = jnp.where(seed_mask, seed_val, 0.0)
     best_d = jnp.where(seed_mask,
-                       jnp.linalg.norm(seed_pos - centers, axis=-1), big)
+                       jnp.linalg.norm(seed_pos - centers, axis=-1) + best_val,
+                       big)
 
     steps = []
     s = 1 << int(np.ceil(np.log2(max(X, Y, Z))))
@@ -61,29 +67,32 @@ def _jump_flood(seed_pos: jnp.ndarray, seed_mask: jnp.ndarray,
     kk = jnp.arange(Z)[None, None, :]
 
     def one_step(carry, step):
-        best_pos, best_d = carry
+        best_pos, best_val, best_d = carry
 
         def try_neighbor(i, carry):
-            best_pos, best_d = carry
+            best_pos, best_val, best_d = carry
             off = nbr[i] * step
-            cand_pos = jnp.roll(best_pos, shift=(-off[0], -off[1], -off[2]),
-                                axis=(0, 1, 2))
+            shift = (-off[0], -off[1], -off[2])
+            cand_pos = jnp.roll(best_pos, shift=shift, axis=(0, 1, 2))
+            cand_val = jnp.roll(best_val, shift=shift, axis=(0, 1, 2))
             # jnp.roll wraps — mask lanes whose source index left the volume,
             # else far-boundary seeds leak across as fake neighbors.
             src_ok = ((ii + off[0] >= 0) & (ii + off[0] < X)
                       & (jj + off[1] >= 0) & (jj + off[1] < Y)
                       & (kk + off[2] >= 0) & (kk + off[2] < Z))
-            d = jnp.linalg.norm(cand_pos - centers, axis=-1)
+            d = jnp.linalg.norm(cand_pos - centers, axis=-1) + cand_val
             better = src_ok & (d < best_d)
             best_pos = jnp.where(better[..., None], cand_pos, best_pos)
+            best_val = jnp.where(better, cand_val, best_val)
             best_d = jnp.where(better, d, best_d)
-            return best_pos, best_d
+            return best_pos, best_val, best_d
 
-        carry = jax.lax.fori_loop(0, 27, try_neighbor, (best_pos, best_d))
+        carry = jax.lax.fori_loop(0, 27, try_neighbor,
+                                  (best_pos, best_val, best_d))
         return carry, None
 
-    (best_pos, best_d), _ = jax.lax.scan(
-        one_step, (best_pos, best_d), jnp.asarray(steps))
+    (best_pos, best_val, best_d), _ = jax.lax.scan(
+        one_step, (best_pos, best_val, best_d), jnp.asarray(steps))
     return best_d
 
 
@@ -129,7 +138,7 @@ def compute_esdf(grid: VoxelGrid, cfg: FusionConfig,
     # used with the residual tsdf added to the final distance.
     observed = dense_w > 1e-6
     near = observed & (jnp.abs(dense_d) < cfg.tsdf.truncation_distance * 0.99)
-    dist = _jump_flood(centers, near, centers, dims, max_dist)
+    dist = _jump_flood(centers, near, jnp.abs(dense_d), centers, dims, max_dist)
 
     # Signed: negative inside surfaces (tsdf < 0 at observed voxels).
     signed = jnp.where(observed & (dense_d < 0), -dist, dist)

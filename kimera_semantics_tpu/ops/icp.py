@@ -55,16 +55,23 @@ def sample_tsdf(grid: VoxelGrid, cfg: FusionConfig, points: jnp.ndarray):
 
 
 def _exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
-    """Twist (6,) = (rot_vec, trans) -> (4, 4) via Rodrigues (first-order
-    coupling on V is adequate for the small per-frame corrections here)."""
+    """Twist (6,) = (rot_vec, trans) -> (4, 4).
+
+    Taylor-safe Rodrigues: R = I + A [w]x + B [w]x^2 with A = sin(t)/t and
+    B = (1-cos t)/t^2 written as smooth functions of t^2 — the naive
+    `w/|w|` form has NaN gradients at the zero twist, exactly where
+    Gauss-Newton linearizes."""
     w = xi[:3]
     v = xi[3:]
-    theta = jnp.linalg.norm(w) + 1e-12
-    k = w / theta
-    kx = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]],
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-8
+    t2_safe = jnp.where(small, 1.0, t2)
+    t = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2_safe)
+    wx = jnp.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]],
                    dtype=xi.dtype)
-    rot = (jnp.eye(3, dtype=xi.dtype) + jnp.sin(theta) * kx
-           + (1 - jnp.cos(theta)) * (kx @ kx))
+    rot = jnp.eye(3, dtype=xi.dtype) + a * wx + b * (wx @ wx)
     top = jnp.concatenate([rot, v.reshape(3, 1)], axis=1)
     return jnp.concatenate(
         [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=xi.dtype)], axis=0)
@@ -79,26 +86,35 @@ def align_to_map(grid: VoxelGrid, cfg: FusionConfig, points_C: jnp.ndarray,
     Returns (T_refined (4,4), rms_residual ()). Equivalent role to voxblox
     `ICP::runICP` inside processPointCloudMessageAndInsert."""
 
-    def loss_fn(xi, T):
+    trunc = cfg.tsdf.truncation_distance
+
+    def residuals(xi, T):
         T_adj = _exp_se3(xi) @ T
         pts = points_C @ T_adj[:3, :3].T + T_adj[:3, 3]
         d, w = sample_tsdf(grid, cfg, pts)
-        m = valid & (w > 1e-3)
-        r = jnp.where(m, d, 0.0)
-        return 0.5 * jnp.sum(r * r), (jnp.sum(m), jnp.sum(r * r))
+        # Clamped samples sit on the truncation plateau: zero pull, but their
+        # trilinear edges inject spurious gradients — gate them out.
+        m = valid & (w > 1e-3) & (jnp.abs(d) < 0.9 * trunc)
+        return jnp.where(m, d, 0.0), m
 
     def body(T, _):
         xi0 = jnp.zeros(6, dtype=jnp.float32)
-        (grad, (n, sq)) = jax.grad(loss_fn, has_aux=True)(xi0, T)
-        hess = jax.hessian(lambda x: loss_fn(x, T)[0])(xi0)
+        r, m = residuals(xi0, T)
+        # Gauss-Newton: H = J^T J (the trilinear field's second derivatives
+        # are noise across cell boundaries — full Newton diverges).
+        jac = jax.jacfwd(lambda x: residuals(x, T)[0])(xi0)   # (N, 6)
+        grad = jac.T @ r
+        hess = jac.T @ jac
         hess = hess + damping * jnp.eye(6, dtype=hess.dtype) * (
             1.0 + jnp.trace(hess) / 6.0)
         step = -jnp.linalg.solve(hess, grad)
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step,
+                         jnp.zeros_like(step))
         # Trust region on the twist magnitude (half a voxel / ~3 degrees).
         cap_t = cfg.grid.voxel_size
         norm = jnp.linalg.norm(step) + 1e-12
         step = step * jnp.minimum(1.0, cap_t / norm)
-        rms = jnp.sqrt(sq / jnp.maximum(n, 1))
+        rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(m), 1))
         return _exp_se3(step) @ T, rms
 
     T, rms = jax.lax.scan(body, T_G_C, jnp.arange(iters))

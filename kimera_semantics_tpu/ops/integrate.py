@@ -30,11 +30,14 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..config import FusionConfig
+from ..config import ColorMode, FusionConfig
 from ..grid import blocks as gblocks
 from ..grid import hash as bhash
 from ..grid.blocks import VoxelGrid
 from . import raycast, semantic, tsdf
+
+# Test hook: route the pallas branch through interpret mode off-TPU.
+FORCE_PALLAS_INTERPRET = False
 
 
 def integrate_ray_batch(
@@ -69,14 +72,17 @@ def integrate_ray_batch(
     import jax
     # "axon" is the TPU-tunnel platform name in some environments.
     use_pallas = (cfg.pipeline.use_pallas
-                  and jax.default_backend() in ("tpu", "axon"))
+                  and (jax.default_backend() in ("tpu", "axon")
+                       or FORCE_PALLAS_INTERPRET))
+    run_key = run_idx = None
     if use_pallas:
         # --- 1+4 fused: Pallas DDA/update-stream kernel -------------------
         from . import pallas_kernels
         origin3 = jnp.broadcast_to(origin, points_G.shape).T
-        keys, local, w, w_sdf, wc_gate, step_valid = (
+        keys, local, w, w_sdf, wc_gate, step_valid, run_key, run_idx = (
             pallas_kernels.dda_update_stream(
-                cfg, origin3, points_G.T, weights, is_clearing, ray_valid))
+                cfg, origin3, points_G.T, weights, is_clearing, ray_valid,
+                interpret=FORCE_PALLAS_INTERPRET))
     else:
         # --- 1. DDA expansion (SoA, XLA scan) -----------------------------
         start_rs, end_rs = raycast.setup_rays(
@@ -109,29 +115,58 @@ def integrate_ray_batch(
 
     ext = g.world_extent_blocks
     if num_shards > 1 and shard_id is not None:
-        owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num_shards
+        # Ownership filter at whichever granularity is available: run keys
+        # (pallas) or step keys (XLA).
+        salt = jnp.int32(0x2545F491)
+        if run_key is not None:
+            run_owner = bhash.mix(run_key ^ salt) % num_shards
+            run_key = jnp.where(run_owner == shard_id, run_key, -1)
+        owner = bhash.mix(keys ^ salt) % num_shards
         step_valid = step_valid & (owner == shard_id)
         w = jnp.where(step_valid, w, 0.0)
         w_sdf = jnp.where(step_valid, w_sdf, 0.0)
         wc_gate = jnp.where(step_valid, wc_gate, 0.0)
 
-    # --- 2. Block allocation pre-pass ------------------------------------
-    # A ray stays in one block for ~vps consecutive steps; inserting only
-    # block-transition entries shrinks the insert stream by that factor.
-    changed = jnp.ones(keys.shape, dtype=bool)
-    changed = changed.at[1:].set(keys[1:] != keys[:-1])
-    tk, ts_, bc, nb, ov = bhash.insert(
-        grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
-        keys.reshape(-1), (step_valid & changed).reshape(-1),
-        g.table_size, cap, ext)
-    grid = dataclasses.replace(
-        grid, table_keys=tk, table_slots=ts_, block_coords=bc, n_blocks=nb,
-        overflow=grid.overflow + ov)
+    # --- 2+3. Block allocation pre-pass + slot lookup ---------------------
+    if run_key is not None:
+        # Run-compacted hash ops: ~vps x fewer random accesses (SURVEY 7c;
+        # measured 800 ms -> ~30 ms per frame on v5e).
+        active = run_key >= 0                                  # (MAXR, R)
+        tk, ts_, bc, nb, ov = bhash.insert(
+            grid.table_keys, grid.table_slots, grid.block_coords,
+            grid.n_blocks, run_key.reshape(-1), active.reshape(-1),
+            g.table_size, cap, ext)
+        grid = dataclasses.replace(
+            grid, table_keys=tk, table_slots=ts_, block_coords=bc,
+            n_blocks=nb, overflow=grid.overflow + ov)
+        run_slots = bhash.lookup(grid.table_keys, grid.table_slots,
+                                 run_key.reshape(-1), g.table_size
+                                 ).reshape(run_key.shape)
+        run_slots = jnp.where(active & (run_slots >= 0), run_slots, cap)
+        # Broadcast run slots back to steps: select-sum over the MAXR planes
+        # (vector ops only — no step-level gather).
+        slots = jnp.zeros(keys.shape, dtype=jnp.int32)
+        for p in range(run_key.shape[0]):
+            slots = slots + jnp.where(run_idx == p, run_slots[p][None, :], 0)
+        slots = jnp.where(step_valid, slots, cap)
+        touched_slots = run_slots.reshape(-1)
+    else:
+        # Step-level path (XLA fallback): consecutive-dedup the insert stream.
+        changed = jnp.ones(keys.shape, dtype=bool)
+        changed = changed.at[1:].set(keys[1:] != keys[:-1])
+        tk, ts_, bc, nb, ov = bhash.insert(
+            grid.table_keys, grid.table_slots, grid.block_coords,
+            grid.n_blocks, keys.reshape(-1),
+            (step_valid & changed).reshape(-1), g.table_size, cap, ext)
+        grid = dataclasses.replace(
+            grid, table_keys=tk, table_slots=ts_, block_coords=bc,
+            n_blocks=nb, overflow=grid.overflow + ov)
+        slots = bhash.lookup(grid.table_keys, grid.table_slots,
+                             keys.reshape(-1), g.table_size
+                             ).reshape(keys.shape)
+        slots = jnp.where(step_valid & (slots >= 0), slots, cap)  # (S, R)
+        touched_slots = slots.reshape(-1)
 
-    # --- 3. Slot lookup ---------------------------------------------------
-    slots = bhash.lookup(grid.table_keys, grid.table_slots,
-                         keys.reshape(-1), g.table_size).reshape(keys.shape)
-    slots = jnp.where(step_valid & (slots >= 0), slots, cap)   # (S, R)
     key = slots * v3 + local                                    # flat voxel key
     n_flat = (cap + 1) * v3
 
@@ -167,10 +202,14 @@ def integrate_ray_batch(
     wsum = scat(grid.wsum.reshape(n_flat), w).reshape(grid.wsum.shape)
     wsdf = scat(grid.wsdf.reshape(n_flat), w_sdf).reshape(grid.wsdf.shape)
     wcolor = grid.wcolor
-    for c in range(3):
-        ch = scat(wcolor[c].reshape(n_flat),
-                  wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
-        wcolor = wcolor.at[c].set(ch)
+    if cfg.semantic.color_mode == ColorMode.COLOR:
+        # Measured-color blending feeds the mesh only in ColorMode.COLOR
+        # (semantic modes recolor from labels at mesh time) — 3 scatter
+        # channels saved otherwise.
+        for c in range(3):
+            ch = scat(wcolor[c].reshape(n_flat),
+                      wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
+            wcolor = wcolor.at[c].set(ch)
 
     if label_hist is None:
         # Fast integrator: one label per ray -> scalar adds at (label, key)
@@ -212,7 +251,7 @@ def integrate_ray_batch(
                 grid.wsum.shape)
             sem_delta = sem_delta.at[lab].set(ch)
 
-    updated = grid.updated.at[slots.reshape(-1)].set(True, mode="drop")
+    updated = grid.updated.at[touched_slots].set(True, mode="drop")
 
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor,

@@ -32,8 +32,9 @@ TILE = 512  # rays per program (lane-dim multiple of 128)
 
 def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
                 key_ref, local_ref, w_ref, wsdf_ref, wc_ref, valid_ref,
-                *, S, voxel_size, trunc, max_ray, carving, vps, ext,
-                use_dropoff, max_probe_reach):
+                run_key_ref, run_idx_ref,
+                *, S, MAXR, voxel_size, trunc, max_ray, carving, vps, ext,
+                use_dropoff):
     f32 = jnp.float32
     origin = origin_ref[:]        # (3, T)
     point = point_ref[:]          # (3, T)
@@ -77,8 +78,15 @@ def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
         dropoff_scale = f32(1.0) / jnp.maximum(f32(trunc) - dropoff_eps,
                                                f32(1e-12))
 
+    # Block-run compaction state: rays stay in one block for ~vps steps, so
+    # hash insert/lookup downstream run at (run, ray) granularity — MAXR
+    # bounds the block transitions (sum over axes of steps/vps).
+    T = origin.shape[1]
+    run_key_ref[:, :] = jnp.full((MAXR, T), -1, dtype=jnp.int32)
+    run_rows = jax.lax.broadcasted_iota(jnp.int32, (MAXR, T), 0)
+
     def step(s, state):
-        curr, t_next = state
+        curr, t_next, pos, prev_key = state
         vx, vy, vz = curr[0], curr[1], curr[2]
         bx = jnp.floor_divide(vx, vps)
         by = jnp.floor_divide(vy, vps)
@@ -112,6 +120,18 @@ def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
         wc_ref[s, :] = wc
         valid_ref[s, :] = valid.astype(jnp.int32)
 
+        # Run bookkeeping: bump the run counter on block change, record the
+        # block key at the new run slot (one-hot accumulate across MAXR rows).
+        # A ray's valid steps form one contiguous segment (prefix length x
+        # single in-bounds interval), so tracking transitions only on valid
+        # steps is exact.
+        changed = (key != prev_key) & valid
+        pos = jnp.minimum(pos + changed.astype(jnp.int32), MAXR - 1)
+        upd = (run_rows == pos[None, :]) & changed[None, :]
+        run_key_ref[:, :] = jnp.where(upd, key[None, :], run_key_ref[:, :])
+        run_idx_ref[s, :] = pos
+        prev_key = jnp.where(valid, key, prev_key)
+
         # Advance DDA: axis of min crossing time (first-min tie break).
         min01 = jnp.minimum(t_next[0], t_next[1])
         a = jnp.where(t_next[1] < t_next[0], 1, 0)
@@ -120,9 +140,11 @@ def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
                   == axis[None, :])
         curr = curr + jnp.where(onehot, sign, 0)
         t_next = t_next + jnp.where(onehot, t_step, 0.0)
-        return curr, t_next
+        return curr, t_next, pos, prev_key
 
-    jax.lax.fori_loop(0, S, step, (curr, t_next))
+    jax.lax.fori_loop(0, S, step, (
+        curr, t_next, jnp.full((origin.shape[1],), -1, dtype=jnp.int32),
+        jnp.full((origin.shape[1],), -2, dtype=jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -140,17 +162,17 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
     """
     g, t = cfg.grid, cfg.tsdf
     S = cfg.resolved_max_steps()
+    MAXR = max_runs(cfg)
     R = points3.shape[1]
     tile = TILE if R % TILE == 0 else R  # small-R fallback (tests)
     flags = jnp.stack([is_clearing.astype(jnp.int32),
                        ray_valid.astype(jnp.int32)])
 
     kernel = functools.partial(
-        _dda_kernel, S=S, voxel_size=g.voxel_size,
+        _dda_kernel, S=S, MAXR=MAXR, voxel_size=g.voxel_size,
         trunc=t.truncation_distance, max_ray=t.max_ray_length_m,
         carving=t.voxel_carving_enabled, vps=g.voxels_per_side,
-        ext=g.world_extent_blocks, use_dropoff=t.use_weight_dropoff,
-        max_probe_reach=0)
+        ext=g.world_extent_blocks, use_dropoff=t.use_weight_dropoff)
 
     grid_spec = pl.GridSpec(
         grid=(R // tile,),
@@ -160,15 +182,28 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((S, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-            for _ in range(6)
-        ],
+        out_specs=(
+            [pl.BlockSpec((S, tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM) for _ in range(6)]
+            + [pl.BlockSpec((MAXR, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((S, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)]
+        ),
     )
     shapes = ([jax.ShapeDtypeStruct((S, R), jnp.int32)] * 2
               + [jax.ShapeDtypeStruct((S, R), jnp.float32)] * 3
-              + [jax.ShapeDtypeStruct((S, R), jnp.int32)])
-    key, local, w, wsdf, wc, valid = pl.pallas_call(
+              + [jax.ShapeDtypeStruct((S, R), jnp.int32),
+                 jax.ShapeDtypeStruct((MAXR, R), jnp.int32),
+                 jax.ShapeDtypeStruct((S, R), jnp.int32)])
+    key, local, w, wsdf, wc, valid, run_key, run_idx = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
     )(origin3, points3, weights[None, :], flags)
-    return key, local, w, wsdf, wc, valid.astype(bool)
+    return key, local, w, wsdf, wc, valid.astype(bool), run_key, run_idx
+
+
+def max_runs(cfg: FusionConfig) -> int:
+    """Upper bound on block transitions per ray: each axis crosses a block
+    boundary at most steps_axis/vps + 1 times; summed <= S/vps + 3, plus the
+    initial run."""
+    return cfg.resolved_max_steps() // cfg.grid.voxels_per_side + 5

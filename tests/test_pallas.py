@@ -39,10 +39,11 @@ def test_stream_matches_xla_path(carving, clearing):
     valid = np.ones(R, dtype=bool)
     valid[-1] = False
 
-    key_p, local_p, w_p, wsdf_p, wc_p, sv_p = pallas_kernels.dda_update_stream(
-        cfg, jnp.asarray(np.tile(origin[:, None], (1, R))), jnp.asarray(pts.T),
-        jnp.asarray(weights), jnp.asarray(clr), jnp.asarray(valid),
-        interpret=True)
+    (key_p, local_p, w_p, wsdf_p, wc_p, sv_p, run_key, run_idx) = (
+        pallas_kernels.dda_update_stream(
+            cfg, jnp.asarray(np.tile(origin[:, None], (1, R))),
+            jnp.asarray(pts.T), jnp.asarray(weights), jnp.asarray(clr),
+            jnp.asarray(valid), interpret=True))
 
     # XLA reference path (mirrors ops/integrate.py CPU branch).
     start_rs, end_rs = raycast.setup_rays(
@@ -77,3 +78,56 @@ def test_stream_matches_xla_path(carving, clearing):
                                rtol=1e-5, atol=1e-6)
     # Invalid entries contribute nothing.
     np.testing.assert_array_equal(np.asarray(w_p)[~m], 0.0)
+
+    # Run compaction invariant: every valid step's run maps back to its key.
+    rk, ri = np.asarray(run_key), np.asarray(run_idx)
+    keys_np = np.asarray(keys)
+    for s in range(m.shape[0]):
+        for r in range(R):
+            if m[s, r]:
+                assert ri[s, r] >= 0
+                assert rk[ri[s, r], r] == keys_np[s, r], (s, r)
+
+
+def test_integrate_pallas_interpret_matches_xla():
+    """Full integrate_ray_batch equivalence: pallas(run-compacted hash path)
+    vs the XLA step-level path."""
+    import dataclasses as dc
+    from kimera_semantics_tpu.grid import blocks
+    from kimera_semantics_tpu.ops import integrate as integ
+
+    cfg = make_cfg(True)
+    rng = np.random.RandomState(5)
+    R = 8
+    origin = jnp.asarray(np.array([0.1, 0.0, 0.2], np.float32))
+    pts = jnp.asarray((np.array([0.1, 0.0, 0.2])
+                       + rng.uniform(-2, 2, (R, 3))).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.5, 2.0, R).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 255, (R, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 21, R).astype(np.int32))
+    clr = jnp.zeros(R, dtype=bool)
+    valid = jnp.ones(R, dtype=bool)
+
+    g_xla = integ.integrate_ray_batch(
+        blocks.create(cfg), cfg, origin, pts, weights, colors, labels, clr,
+        valid)
+    integ.FORCE_PALLAS_INTERPRET = True
+    try:
+        g_pal = integ.integrate_ray_batch(
+            blocks.create(cfg), cfg, origin, pts, weights, colors, labels,
+            clr, valid)
+    finally:
+        integ.FORCE_PALLAS_INTERPRET = False
+
+    assert int(g_pal.n_blocks) == int(g_xla.n_blocks)
+    # Compare voxel channels via block-coord alignment (slot ids may differ).
+    coords = np.asarray(g_xla.block_coords)[:int(g_xla.n_blocks)]
+    s_x = np.asarray(blocks.lookup_slots(g_xla, jnp.asarray(coords), cfg.grid))
+    s_p = np.asarray(blocks.lookup_slots(g_pal, jnp.asarray(coords), cfg.grid))
+    for f in ["wsum", "wsdf", "sem_count"]:
+        np.testing.assert_allclose(np.asarray(getattr(g_pal, f))[s_p],
+                                   np.asarray(getattr(g_xla, f))[s_x],
+                                   rtol=1e-5, atol=1e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(g_pal.sem_delta)[:, s_p],
+                               np.asarray(g_xla.sem_delta)[:, s_x],
+                               rtol=1e-5, atol=1e-6)
