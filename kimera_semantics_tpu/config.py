@@ -130,7 +130,15 @@ class PipelineConfig:
     use_pallas: bool = True      # fused Pallas DDA/update-stream kernel
                                  # (interpreted off-TPU; ops/pallas_kernels.py)
     scatter_mode: str = "direct" # "direct" scatter-add | "sorted" segment-sum
-                                 # + unique-index scatter (ops/reduce.py)
+                                 # + unique-index scatter | "segment" sort +
+                                 # segmented-scan compaction (ops/reduce.py) —
+                                 # fastest on TPU: XLA scatter cost is
+                                 # per-index serial (~11 ns), so reduce the
+                                 # 5.9M-entry stream to its ~10-100k unique
+                                 # (voxel, label) segments before scattering
+    segment_budget: int = 1 << 18  # "segment" mode: static cap on unique
+                                 # (voxel, label) segments per frame; spills
+                                 # are counted in grid.overflow
 
     def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.max_steps is not None:

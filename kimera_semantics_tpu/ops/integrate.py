@@ -190,6 +190,19 @@ def integrate_ray_batch(
     # --- 5. Scatter-add ---------------------------------------------------
     kf = key.reshape(-1)
     lk = make_likelihood_cached(cfg)
+
+    use_segment = (cfg.pipeline.scatter_mode == "segment"
+                   and label_hist is None)
+    if use_segment:
+        # (voxel, label) combined key must fit int32 (see config docstring).
+        lab_shift = max(1, (L - 1).bit_length())
+        if (n_flat << lab_shift) >= 2 ** 31:
+            use_segment = False
+    if use_segment:
+        return _segment_scatter_apply(
+            grid, cfg, key, slots, local, w, w_sdf, wc_gate, step_valid,
+            labels, colors, ray_valid, touched_slots, lab_shift, lk)
+
     sorted_mode = cfg.pipeline.scatter_mode == "sorted"
 
     if sorted_mode:
@@ -256,6 +269,88 @@ def integrate_ray_batch(
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor,
         sem_count=sem_count, sem_delta=sem_delta, updated=updated)
+
+
+def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
+                           step_valid, labels, colors, ray_valid,
+                           touched_slots, lab_shift, lk):
+    """"segment" scatter mode: reduce the (S, R) update stream to its unique
+    (voxel, label) segments before touching the grid.
+
+    Rationale (measured on v5e, scripts/profile_scatter_model.py): XLA TPU
+    scatter costs ~11 ns per index, serially — 5.9M-entry streams cost ~65 ms
+    PER CHANNEL, while the stream only contains ~10-100k unique voxels
+    (100-300x duplication: many rays traverse the same near-camera voxels).
+    Sort + exact segmented scan + compaction (ops/reduce.py) costs ~60 ms
+    total and leaves scatters with only `segment_budget` indices.
+
+    The signed w*sdf channel is offset to w*(sdf+trunc) >= 0 so every reduced
+    channel is non-negative (keeps options open for monotone-scan variants)
+    and recovered exactly afterwards: sum(w*sdf) = sum(w*(sdf+trunc))
+    - trunc*sum(w).
+    """
+    import jax
+    from .reduce import TRASH_KEY, segment_compact_reduce
+    from . import semantic
+
+    g, t = cfg.grid, cfg.tsdf
+    v3, cap, L = g.vps3, g.block_capacity, g.num_labels
+    n_flat = (cap + 1) * v3
+    B = cfg.pipeline.segment_budget
+    trunc = t.truncation_distance
+
+    valid_upd = step_valid & (slots < cap)
+    inform = semantic.informative(labels) & ray_valid
+    cnt = jnp.where(valid_upd & inform[None, :], 1.0, 0.0)
+    lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
+    lab_b = jnp.clip(lab_b, 0, (1 << lab_shift) - 1)
+    k2 = jnp.where(valid_upd, (key << lab_shift) | lab_b, TRASH_KEY)
+    wv = jnp.where(valid_upd, w, 0.0)
+    wsdf_s = jnp.where(valid_upd, w_sdf + trunc * w, 0.0)
+
+    ok, (tw, tsdf_s, tcnt), n_drop = segment_compact_reduce(
+        k2.reshape(-1), (wv.reshape(-1), wsdf_s.reshape(-1),
+                         cnt.reshape(-1)), B)
+
+    seg_valid = ok != TRASH_KEY
+    vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
+    lab_seg = ok & ((1 << lab_shift) - 1)
+
+    wsum = grid.wsum.reshape(n_flat).at[vox].add(
+        tw, mode="drop", indices_are_sorted=True).reshape(grid.wsum.shape)
+    wsdf = grid.wsdf.reshape(n_flat).at[vox].add(
+        tsdf_s - trunc * tw, mode="drop",
+        indices_are_sorted=True).reshape(grid.wsdf.shape)
+    sem_count = grid.sem_count.reshape(n_flat).at[vox].add(
+        tcnt, mode="drop",
+        indices_are_sorted=True).reshape(grid.sem_count.shape)
+    sem_key = jnp.where(seg_valid, lab_seg * n_flat + vox, L * n_flat)
+    sem_delta = grid.sem_delta.reshape(L * n_flat).at[sem_key].add(
+        tcnt * lk.delta, mode="drop",
+        unique_indices=True).reshape(grid.sem_delta.shape)
+
+    wcolor = grid.wcolor
+    if cfg.semantic.color_mode == ColorMode.COLOR:
+        # Color channels keyed by voxel only (labels irrelevant): a second
+        # sort pair carrying the three gated color sums.
+        kv = jnp.where(valid_upd, key, TRASH_KEY)
+        chans = tuple((wc_gate * colors[None, :, c]).reshape(-1)
+                      for c in range(3))
+        okc, tcol, n_drop_c = segment_compact_reduce(kv.reshape(-1), chans, B)
+        cvalid = okc != TRASH_KEY
+        cvox = jnp.where(cvalid, okc, n_flat)
+        for c in range(3):
+            ch = wcolor[c].reshape(n_flat).at[cvox].add(
+                tcol[c], mode="drop",
+                indices_are_sorted=True).reshape(grid.wsum.shape)
+            wcolor = wcolor.at[c].set(ch)
+        n_drop = n_drop + n_drop_c
+
+    updated = grid.updated.at[touched_slots].set(True, mode="drop")
+    return dataclasses.replace(
+        grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
+        sem_delta=sem_delta, updated=updated,
+        overflow=grid.overflow + n_drop)
 
 
 _LIKELIHOOD_CACHE = {}

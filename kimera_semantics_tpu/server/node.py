@@ -32,6 +32,10 @@ def _add_common(p):
                    choices=["color", "semantic", "semantic_probability"])
     p.add_argument("--dynamic-labels", type=int, nargs="*", default=[20])
     p.add_argument("--max-rays", type=int, default=32768)
+    p.add_argument("--scatter-mode", default="segment",
+                   choices=["direct", "sorted", "segment"],
+                   help="grid update strategy (PipelineConfig.scatter_mode); "
+                        "'segment' is the TPU-fast sorted-compaction path")
     p.add_argument("--mesh-out", default="mesh.ply")
     p.add_argument("--map-out", default=None)
     p.add_argument("--esdf", action="store_true",
@@ -53,7 +57,8 @@ def _build(args):
             semantic_measurement_probability=args.measurement_probability,
             color_mode=ColorMode(args.color_mode),
             dynamic_labels=tuple(args.dynamic_labels)),
-        pipeline=PipelineConfig(max_rays=args.max_rays),
+        pipeline=PipelineConfig(max_rays=args.max_rays,
+                                scatter_mode=args.scatter_mode),
         integrator=IntegratorType(args.method),
     )
     lmap = (LabelColorMap.from_csv(args.semantic_csv)

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 # makes re-runs fast.
 import jax  # noqa: E402
 
+# The env var alone is NOT enough: the axon sitecustomize hook (baked into
+# every interpreter via PYTHONPATH) calls jax.config.update("jax_platforms",
+# "axon,cpu") at startup, overriding JAX_PLATFORMS and silently routing
+# "CPU" tests through the TPU tunnel (slow, and a wedged tunnel hangs every
+# fetch). A post-import config update takes final precedence.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_ksd_tests"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

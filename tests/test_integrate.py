@@ -149,7 +149,15 @@ class TestFusedUpdateVsOracle:
         np.testing.assert_allclose(got["logodds"], exp["logodds"], atol=1e-4)
 
     def test_many_random_rays_match_oracle(self):
+        import dataclasses as dc
+        from kimera_semantics_tpu.config import ColorMode
+        # Measured-color blending is only accumulated in ColorMode.COLOR
+        # (semantic modes recolor from labels at mesh render time —
+        # ops/mesh.py render_colors; the oracle here tracks the voxblox
+        # measured blend).
         cfg = make_cfg(const_weight=False)
+        cfg = dc.replace(cfg, semantic=dc.replace(cfg.semantic,
+                                                  color_mode=ColorMode.COLOR))
         rng = np.random.RandomState(3)
         origin = np.array([0.1, 0.2, -0.1])
         n = 40
@@ -218,3 +226,50 @@ class TestFusedUpdateVsOracle:
         np.testing.assert_array_equal(got["label"], exp["label"])
         assert (exp["label"] == 9).all()
         np.testing.assert_allclose(got["logodds"], exp["logodds"], atol=1e-3)
+
+
+class TestSegmentScatterMode:
+    """"segment" scatter mode must produce the same grid as "direct"."""
+
+    def _run_both(self, color_mode=None, budget=1 << 14, seed=3, n=48):
+        import dataclasses as dc
+        rng = np.random.RandomState(seed)
+        cfg = make_cfg(max_rays=64, const_weight=False)
+        if color_mode is not None:
+            cfg = dc.replace(cfg, semantic=dc.replace(
+                cfg.semantic, color_mode=color_mode))
+        cfg_seg = dc.replace(cfg, pipeline=dc.replace(
+            cfg.pipeline, scatter_mode="segment", segment_budget=budget))
+        origin = np.zeros(3, np.float32)
+        pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        labels = rng.randint(0, cfg.grid.num_labels, n)
+        colors = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+        clearing = rng.rand(n) < 0.2
+        weights = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        g_dir = run_rays(cfg, origin, pts, labels, clearing, colors, weights)
+        g_seg = run_rays(cfg_seg, origin, pts, labels, clearing, colors,
+                         weights)
+        return g_dir, g_seg
+
+    def test_matches_direct(self):
+        g_dir, g_seg = self._run_both()
+        for ch in ("wsum", "wsdf", "sem_count", "sem_delta"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_seg, ch)), np.asarray(getattr(g_dir, ch)),
+                rtol=2e-5, atol=1e-5, err_msg=ch)
+        assert int(g_seg.overflow) == int(g_dir.overflow)
+        np.testing.assert_array_equal(np.asarray(g_seg.updated),
+                                      np.asarray(g_dir.updated))
+
+    def test_matches_direct_color_mode(self):
+        from kimera_semantics_tpu.config import ColorMode
+        g_dir, g_seg = self._run_both(color_mode=ColorMode.COLOR)
+        for ch in ("wsum", "wsdf", "wcolor", "sem_count", "sem_delta"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_seg, ch)), np.asarray(getattr(g_dir, ch)),
+                rtol=2e-5, atol=1e-5, err_msg=ch)
+
+    def test_budget_overflow_accounted(self):
+        g_dir, g_seg = self._run_both(budget=32)
+        # Far fewer budget slots than unique voxels: overflow must be counted.
+        assert int(g_seg.overflow) > 0
