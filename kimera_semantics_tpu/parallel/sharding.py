@@ -80,9 +80,11 @@ def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
             keep, R, pts_G, colors, labels, weights, clearing)
         origins = jnp.broadcast_to(origin, pts_G.shape)
 
-        # Ray replication across shards: one all_gather over ICI.
+        # Ray replication across shards: one all_gather over ICI. The ray
+        # budget after compact() is min(#pixels, max_rays) — fold the shard
+        # axis into whatever it actually is.
         gather = lambda x: jax.lax.all_gather(x, AXIS).reshape(
-            (d * R,) + x.shape[1:])
+            (-1,) + x.shape[1:])
         grid = integrate_ray_batch(
             grid, cfg, gather(origins), gather(pts_G), gather(weights),
             gather(colors), gather(labels), gather(clearing), gather(kept),

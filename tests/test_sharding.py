@@ -85,8 +85,9 @@ class TestShardedIntegration:
             b = np.asarray(getattr(grid, field))[np.asarray(slots_g)]
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
                                        err_msg=field)
-        a = np.asarray(merged.sem_delta)[np.asarray(slots_m)]
-        b = np.asarray(grid.sem_delta)[np.asarray(slots_g)]
+        # sem_delta layout is (L, B+1, V3) — label axis first.
+        a = np.asarray(merged.sem_delta)[:, np.asarray(slots_m)]
+        b = np.asarray(grid.sem_delta)[:, np.asarray(slots_g)]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
     def test_ownership_is_disjoint(self, mesh):
