@@ -42,7 +42,7 @@ def main():
         pipeline=PipelineConfig(
             max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
             dedup_table_size=1 << 20,
-            scatter_mode=os.environ.get("BENCH_SCATTER", "direct"),
+            scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,

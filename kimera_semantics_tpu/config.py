@@ -129,7 +129,7 @@ class PipelineConfig:
     dedup_table_size: int = 1 << 20  # matches ApproxHashSet 2^20 slots (_fast.h:98-130)
     use_pallas: bool = True      # fused Pallas DDA/update-stream kernel
                                  # (interpreted off-TPU; ops/pallas_kernels.py)
-    scatter_mode: str = "direct" # "direct" scatter-add | "sorted" segment-sum
+    scatter_mode: str = "segment"  # "direct" scatter-add | "sorted" segment-sum
                                  # + unique-index scatter | "segment" sort +
                                  # segmented-scan compaction (ops/reduce.py) —
                                  # fastest on TPU: XLA scatter cost is
