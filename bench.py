@@ -57,15 +57,35 @@ def main():
     jax.block_until_ready(frames[-1].depth)
 
     grid = blocks.create(cfg)
-    step = lambda g, f: fast.integrate_frame(g, f, cfg, intr)
+    # BENCH_BATCH > 1 fuses that many frames' rays into one stream per jit
+    # call (models/fast.py integrate_frames) — amortizes fixed sort/scatter
+    # costs; frames/s counts individual frames either way.
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if batch > 1:
+        from kimera_semantics_tpu.models.common import Frame as _F
+        assert n_frames % batch == 0, "BENCH_FRAMES must be divisible by BENCH_BATCH"
+
+        def stack(fs):
+            return _F(depth=jnp.stack([f.depth for f in fs]),
+                      labels=jnp.stack([f.labels for f in fs]),
+                      colors=jnp.stack([f.colors for f in fs]),
+                      T_G_C=jnp.stack([f.T_G_C for f in fs]))
+        step = lambda g, fs: fast.integrate_frames(g, stack(fs), cfg, intr)
+        groups = [frames[i:i + batch]
+                  for i in range(4, 4 + n_frames, batch)]
+        warm = [frames[0:batch]]
+    else:
+        step = lambda g, f: fast.integrate_frame(g, f, cfg, intr)
+        groups = list(frames[4:4 + n_frames])
+        warm = list(frames[:4])
 
     # Warmup/compile on the first frames.
-    for f in frames[:4]:
+    for f in warm:
         grid = step(grid, f)
     jax.block_until_ready(grid.wsum)
 
     t0 = time.perf_counter()
-    for f in frames[4:4 + n_frames]:
+    for f in groups:
         grid = step(grid, f)
     jax.block_until_ready(grid.wsum)
     elapsed = time.perf_counter() - t0
@@ -108,6 +128,7 @@ def main():
         "ms_per_frame": round(1000.0 * elapsed / n_frames, 3),
         "blocks_allocated": int(grid.n_blocks),
         "overflow": int(grid.overflow),
+        "batch": batch,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -139,6 +139,11 @@ class PipelineConfig:
     segment_budget: int = 1 << 18  # "segment" mode: static cap on unique
                                  # (voxel, label) segments per frame; spills
                                  # are counted in grid.overflow
+    stream_active_fraction: float = 0.75  # "segment" mode: post-sort slice —
+                                 # padded streams are ~50% trash, so the scan
+                                 # and compaction sort run on this fraction
+                                 # of the stream; denser streams spill to
+                                 # grid.overflow. 1.0 disables.
 
     def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.max_steps is not None:

@@ -26,7 +26,7 @@ from ..ops.integrate import integrate_ray_batch
 from . import common
 
 
-@partial(jax.jit, static_argnames=("cfg", "intr"))
+@partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     """One full frame update, jit-compiled end to end."""
@@ -66,3 +66,58 @@ class FastSemanticTsdfIntegrator:
 
     def integrate(self, grid: VoxelGrid, frame: common.Frame) -> VoxelGrid:
         return integrate_frame(grid, frame, self.cfg, self.intr)
+
+
+@partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
+def integrate_frames(grid: VoxelGrid, frames: common.Frame,
+                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
+    """Batched multi-frame update: B frames in one fused stream.
+
+    frames: a Frame whose arrays carry a leading batch axis (B, ...). The B
+    frames' compacted rays (each with its own per-ray origin) are concatenated
+    into one (B*max_rays,) ray batch and integrated in a single
+    integrate_ray_batch call — one sort/scan/scatter pass instead of B,
+    amortizing the fixed per-op costs of the segment scatter path.
+
+    Start-voxel dedup runs per frame in order, threading the approx set
+    exactly as B sequential integrate_frame calls would (reference resets the
+    set every scan at the default clear_checks_every_n_frames=1, so batched
+    and sequential integration see the same dedup decisions; with
+    clear_every > 1 the set drift matches sequential semantics too).
+    """
+    B = frames.depth.shape[0]
+    R = cfg.pipeline.max_rays
+    parts = {k: [] for k in ("origin", "pts", "colors", "labels", "weights",
+                             "clearing", "kept")}
+    for b in range(B):
+        f = jax.tree.map(lambda x: x[b], frames)
+        (_, pts_G, origin, colors, labels, weights, valid,
+         is_clearing) = common.prepare_points(f, intr, cfg)
+
+        counter = grid.frame_counter + 1
+        do_reset = counter >= cfg.tsdf.clear_checks_every_n_frames
+        start_set = jnp.where(do_reset, jnp.full_like(grid.start_set, -1),
+                              grid.start_set)
+        counter = jnp.where(do_reset, 0, counter)
+        keep, start_set = dedup_ops.start_voxel_dedup(
+            start_set, pts_G, valid,
+            voxel_size_inv=1.0 / cfg.grid.voxel_size,
+            subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor)
+        grid = dataclasses.replace(grid, start_set=start_set,
+                                   frame_counter=counter)
+
+        kept, pts_G, colors, labels, weights, is_clearing = common.compact(
+            keep, R, pts_G, colors, labels, weights, is_clearing)
+        parts["origin"].append(jnp.broadcast_to(origin[None, :],
+                                                pts_G.shape))
+        parts["pts"].append(pts_G)
+        parts["colors"].append(colors)
+        parts["labels"].append(labels)
+        parts["weights"].append(weights)
+        parts["clearing"].append(is_clearing)
+        parts["kept"].append(kept)
+
+    cat = {k: jnp.concatenate(v, axis=0) for k, v in parts.items()}
+    return integrate_ray_batch(
+        grid, cfg, cat["origin"], cat["pts"], cat["weights"], cat["colors"],
+        cat["labels"], cat["clearing"], cat["kept"])

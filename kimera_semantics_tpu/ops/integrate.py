@@ -132,7 +132,7 @@ def integrate_ray_batch(
         # Run-compacted hash ops: ~vps x fewer random accesses (SURVEY 7c;
         # measured 800 ms -> ~30 ms per frame on v5e).
         active = run_key >= 0                                  # (MAXR, R)
-        tk, ts_, bc, nb, ov = bhash.insert(
+        tk, ts_, bc, nb, ov = bhash.insert_compacted(
             grid.table_keys, grid.table_slots, grid.block_coords,
             grid.n_blocks, run_key.reshape(-1), active.reshape(-1),
             g.table_size, cap, ext)
@@ -308,9 +308,14 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     wv = jnp.where(valid_upd, w, 0.0)
     wsdf_s = jnp.where(valid_upd, w_sdf + trunc * w, 0.0)
 
+    # max_run: a sorted stream holds at most one entry per ray per (voxel,
+    # label) — DDA never revisits a voxel within a ray.
+    n_rays = key.shape[1]
+    frac = cfg.pipeline.stream_active_fraction
     ok, (tw, tsdf_s, tcnt), n_drop = segment_compact_reduce(
         k2.reshape(-1), (wv.reshape(-1), wsdf_s.reshape(-1),
-                         cnt.reshape(-1)), B)
+                         cnt.reshape(-1)), B, max_run=n_rays,
+        active_frac=frac)
 
     seg_valid = ok != TRASH_KEY
     vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
@@ -336,7 +341,9 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
         kv = jnp.where(valid_upd, key, TRASH_KEY)
         chans = tuple((wc_gate * colors[None, :, c]).reshape(-1)
                       for c in range(3))
-        okc, tcol, n_drop_c = segment_compact_reduce(kv.reshape(-1), chans, B)
+        okc, tcol, n_drop_c = segment_compact_reduce(kv.reshape(-1), chans,
+                                                     B, max_run=n_rays,
+                                                     active_frac=frac)
         cvalid = okc != TRASH_KEY
         cvox = jnp.where(cvalid, okc, n_flat)
         for c in range(3):

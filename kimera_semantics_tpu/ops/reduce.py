@@ -10,6 +10,7 @@ parallelism, no atomics, no serialization.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -114,7 +115,8 @@ class SortedUpdates:
 TRASH_KEY = np.int32(0x7FFFFFFF)
 
 
-def segmented_scan_sums(is_start: jnp.ndarray, channels):
+def segmented_scan_sums(is_start: jnp.ndarray, channels,
+                        max_run: int | None = None):
     """Exact inclusive segmented prefix-sum (Hillis-Steele with flags).
 
     channels: tuple of (N,) float arrays, summed within segments delimited by
@@ -123,12 +125,20 @@ def segmented_scan_sums(is_start: jnp.ndarray, channels):
     segment holds the sum of its segment's elements up to i. Additions only
     ever combine values from the same segment, so precision is that of a
     (log-depth) tree sum of the segment — no global-cumsum cancellation.
+
+    max_run bounds the longest segment whose sum must be exact; levels stop
+    once the doubling window covers it (callers: a sorted voxel-update stream
+    has at most one entry per ray per voxel, so max_run = the ray count —
+    cuts ~1/3 of the levels, and level count dominates both compile time and
+    runtime of the unrolled graph). Segments longer than max_run yield
+    partial sums — only acceptable for trash segments that are discarded.
     """
     n = int(is_start.shape[0])
+    limit = n if max_run is None else min(n, max_run)
     s_list = list(channels)
     f = is_start
     d = 1
-    while d < n:
+    while d < limit:
         f_shift = jnp.concatenate(
             [np.ones((d,), dtype=bool), f[:-d]])
         for j, s in enumerate(s_list):
@@ -140,12 +150,15 @@ def segmented_scan_sums(is_start: jnp.ndarray, channels):
     return tuple(s_list)
 
 
-def segment_compact_reduce(keys: jnp.ndarray, channels, budget: int):
+def segment_compact_reduce(keys: jnp.ndarray, channels, budget: int,
+                           max_run: int | None = None,
+                           active_frac: float | None = None):
     """Group-reduce an update stream by key and compact to a static budget.
 
     keys: (N,) int32, trash entries == TRASH_KEY (their channel values MUST be
     zero). channels: tuple of up to 3 (N,) f32 arrays (lax.sort 4-operand
-    limit — see cliff note above).
+    limit — see cliff note above). max_run: optional bound on the largest
+    real segment (see segmented_scan_sums) — trash may exceed it freely.
 
     Returns (out_keys (budget,), out_sums tuple of (budget,), n_dropped):
     out_keys are the unique keys sorted ascending (TRASH_KEY beyond
@@ -156,16 +169,28 @@ def segment_compact_reduce(keys: jnp.ndarray, channels, budget: int):
     assert len(channels) <= 3, "lax.sort >4 operands hits the slow path"
     sorted_ = jax.lax.sort((keys,) + tuple(channels), num_keys=1)
     sk, sch = sorted_[0], sorted_[1:]
+    pre_drop = jnp.int32(0)
+    if active_frac is not None and active_frac < 1.0:
+        # Trash sorts to the end (TRASH_KEY = int32 max); padded update
+        # streams are typically ~50% trash, so slice it off and run the scan
+        # and compaction sort on the active prefix only. Real entries beyond
+        # the slice (streams denser than active_frac) are dropped and
+        # counted — same static-budget contract as `budget` itself.
+        n_keep = int(math.ceil(active_frac * sk.shape[0]))
+        n_act = jnp.sum((keys != TRASH_KEY).astype(jnp.int32))
+        pre_drop = jnp.maximum(0, n_act - n_keep)
+        sk = sk[:n_keep]
+        sch = tuple(c[:n_keep] for c in sch)
     n = int(sk.shape[0])
     neq = sk[1:] != sk[:-1]
     is_start = jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), dtype=bool)])
-    scans = segmented_scan_sums(is_start, sch)
+    scans = segmented_scan_sums(is_start, sch, max_run=max_run)
     valid_end = is_end & (sk != TRASH_KEY)
     ck = jnp.where(valid_end, sk, TRASH_KEY)
     out = jax.lax.sort((ck,) + tuple(scans), num_keys=1)
     out_keys = out[0][:budget]
     out_sums = tuple(o[:budget] for o in out[1:])
     n_seg = jnp.sum(valid_end.astype(jnp.int32))
-    n_dropped = jnp.maximum(0, n_seg - budget)
+    n_dropped = jnp.maximum(0, n_seg - budget) + pre_drop
     return out_keys, out_sums, n_dropped
