@@ -33,6 +33,7 @@ def main():
     from kimera_semantics_tpu.io.dataset import SyntheticDataset
     from kimera_semantics_tpu.models import fast
 
+    bench_batch = int(os.environ.get("BENCH_BATCH", "1"))
     cfg = FusionConfig(
         grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
                         block_capacity=4096),
@@ -43,6 +44,9 @@ def main():
             max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
             dedup_table_size=1 << 20,
             scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
+            # the (voxel,label) segment budget scales with the number of
+            # frames fused per dispatch
+            segment_budget=(1 << 18) * max(1, bench_batch),
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
@@ -57,11 +61,18 @@ def main():
     jax.block_until_ready(frames[-1].depth)
 
     grid = blocks.create(cfg)
-    # BENCH_BATCH > 1 fuses that many frames' rays into one stream per jit
-    # call (models/fast.py integrate_frames) — amortizes fixed sort/scatter
-    # costs; frames/s counts individual frames either way.
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    if batch > 1:
+    # BENCH_METHOD selects the integrator; BENCH_BATCH > 1 fuses that many
+    # frames' rays into one stream per jit call (models/fast.py
+    # integrate_frames) — amortizes fixed sort/scatter costs; frames/s counts
+    # individual frames either way.
+    method = os.environ.get("BENCH_METHOD", "fast")
+    batch = 1 if method == "merged" else bench_batch
+    if method == "merged":
+        from kimera_semantics_tpu.models import merged as merged_mod
+        step = lambda g, f: merged_mod.integrate_frame(g, f, cfg, intr)
+        groups = list(frames[4:4 + n_frames])
+        warm = list(frames[:4])
+    elif batch > 1:
         from kimera_semantics_tpu.models.common import Frame as _F
         assert n_frames % batch == 0, "BENCH_FRAMES must be divisible by BENCH_BATCH"
 
@@ -120,7 +131,7 @@ def main():
     updates_per_s = upd / elapsed
 
     result = {
-        "metric": "fast_semantic_integration_frames_per_s_per_chip",
+        "metric": (f"{method}_semantic_integration_frames_per_s_per_chip"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
