@@ -66,10 +66,15 @@ def main():
     # integrate_frames) — amortizes fixed sort/scatter costs; frames/s counts
     # individual frames either way.
     method = os.environ.get("BENCH_METHOD", "fast")
-    batch = 1 if method == "merged" else bench_batch
+    batch = 1 if method in ("merged", "projective") else bench_batch
     if method == "merged":
         from kimera_semantics_tpu.models import merged as merged_mod
         step = lambda g, f: merged_mod.integrate_frame(g, f, cfg, intr)
+        groups = list(frames[4:4 + n_frames])
+        warm = list(frames[:4])
+    elif method == "projective":
+        from kimera_semantics_tpu.models import projective as proj_mod
+        step = lambda g, f: proj_mod.integrate_frame(g, f, cfg, intr)
         groups = list(frames[4:4 + n_frames])
         warm = list(frames[:4])
     elif batch > 1:

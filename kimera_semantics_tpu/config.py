@@ -39,6 +39,9 @@ class IntegratorType(enum.Enum):
 
     MERGED = "merged"
     FAST = "fast"
+    # TPU-native voxel-centric integrator (no reference equivalent by name;
+    # same capability surface — see models/projective.py).
+    PROJECTIVE = "projective"
 
 
 # The reference initializes each voxel's 21 log-odds priors to the hard-coded
@@ -144,6 +147,15 @@ class PipelineConfig:
                                  # and compaction sort run on this fraction
                                  # of the stream; denser streams spill to
                                  # grid.overflow. 1.0 disables.
+    # Projective-integrator statics (models/projective.py):
+    block_budget: int = 512      # touched-block list size per frame; spills
+                                 # counted in grid.overflow
+    sample_window: int = 64      # image patch side per block (mip-level
+                                 # chosen so the block's projection fits)
+    sample_mode: str = "auto"    # "onehot" (MXU, TPU) | "gather" (XLA,
+                                 # exact, CPU) | "auto"
+    alloc_stride: int = 4        # pixel subsampling for the block-level
+                                 # allocation DDA
 
     def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.max_steps is not None:

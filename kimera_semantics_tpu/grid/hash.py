@@ -190,3 +190,37 @@ def insert_compacted(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
                                 n_blocks, uk, uk != trash, table_size,
                                 capacity, extent)
     return tk, ts, bc, nb, ov + dropped
+
+
+@partial(jax.jit, static_argnames=("table_size", "capacity", "extent",
+                                   "budget"))
+def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
+                      block_coords: jnp.ndarray, n_blocks: jnp.ndarray,
+                      keys: jnp.ndarray, active: jnp.ndarray,
+                      table_size: int, capacity: int, extent: int,
+                      budget: int):
+    """insert_compacted + this frame's touched-block list (projective path).
+
+    Returns (table_keys, table_slots, block_coords, n_blocks, overflow,
+    frame_coords (budget, 3) int32, frame_slots (budget,) int32). Padding
+    entries sit consecutively at the tail with slot == capacity (the trash
+    row) — the layout the Pallas block_rmw_add kernel expects. Unique keys
+    beyond `budget` are dropped and counted in overflow (their blocks may
+    still be allocated on a later frame)."""
+    import numpy as np
+    trash = np.int32(0x7FFFFFFF)
+    k = jnp.where(active, keys, trash)
+    sk = jnp.sort(k)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]]) & (sk != trash)
+    n_uniq = jnp.sum(is_first.astype(jnp.int32))
+    uk = jnp.sort(jnp.where(is_first, sk, trash))[:budget]
+    dropped = jnp.maximum(0, n_uniq - budget)
+    tk, ts, bc, nb, ov = insert(table_keys, table_slots, block_coords,
+                                n_blocks, uk, uk != trash, table_size,
+                                capacity, extent)
+    fslots = lookup(tk, ts, uk, table_size)
+    real = (uk != trash) & (fslots >= 0)
+    fslots = jnp.where(real, fslots, capacity)
+    fcoords = jnp.where(real[:, None], unpack_block_key(uk, extent), 0)
+    return tk, ts, bc, nb, ov + dropped, fcoords, fslots

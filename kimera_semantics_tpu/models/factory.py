@@ -13,6 +13,7 @@ from ..config import FusionConfig, IntegratorType
 from ..core.camera import PinholeIntrinsics
 from .fast import FastSemanticTsdfIntegrator
 from .merged import MergedSemanticTsdfIntegrator
+from .projective import ProjectiveSemanticTsdfIntegrator
 
 
 def create(kind: Union[str, IntegratorType], cfg: FusionConfig,
@@ -23,4 +24,6 @@ def create(kind: Union[str, IntegratorType], cfg: FusionConfig,
         return FastSemanticTsdfIntegrator(cfg, intr)
     if kind == IntegratorType.MERGED:
         return MergedSemanticTsdfIntegrator(cfg, intr)
+    if kind == IntegratorType.PROJECTIVE:
+        return ProjectiveSemanticTsdfIntegrator(cfg, intr)
     raise ValueError(f"unknown integrator type: {kind}")

@@ -1,0 +1,130 @@
+"""Mip-pyramid image atlas for the projective integrator.
+
+The projective (voxel-centric) integrator samples the depth/label/color images
+at each voxel's projected pixel. To bound the per-block image patch to a fixed
+window (so patch extraction is a static dynamic-slice and the one-hot MXU
+gather has static shapes), every block samples at the mip level at which its
+projected bounding box fits in the window. This file builds that pyramid:
+
+  - depth is MIN-pooled (conservative: the nearest surface wins, so coarse
+    sampling can never carve free space *through* a closer surface);
+  - label and color follow the argmin pixel (they describe the surviving
+    surface, not an average across a depth discontinuity);
+  - all levels are packed side by side into one (C, H, atlas_width) float32
+    atlas so a single dynamic-slice covers any (level, window) patch.
+
+Channels are encoded to survive the exact one-hot matmul gather
+(ops/projective.py): depth in meters (invalid -> DEPTH_SENTINEL, finite so
+0 * sentinel = 0 in the MXU instead of NaN poisoning), label as a small
+integer, color as two channels rg = r*256+g and b (both <= 65535, exactly
+representable through a bf16 hi/lo split, unlike a single 24-bit packing).
+
+The reference has no equivalent (its integrators are ray-centric); this is
+the TPU-native mechanism behind the same capability surface
+(kimera_semantics/src/semantic_tsdf_integrator_fast.cpp hot loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+DEPTH_SENTINEL = 1.0e6  # invalid-depth marker: large but finite (no NaN/Inf
+                        # may enter the one-hot matmul sample path)
+
+
+@dataclasses.dataclass(frozen=True)
+class MipPlan:
+    """Static geometry of the atlas (hashable; jit-static)."""
+
+    height: int                  # level-0 image height
+    width: int                   # level-0 image width
+    window: int                  # patch window (pixels, per side)
+    num_levels: int
+    widths: Tuple[int, ...]      # per-level widths
+    heights: Tuple[int, ...]
+    offsets: Tuple[int, ...]     # per-level x offset in the atlas
+    atlas_width: int             # padded to a lane multiple
+    atlas_height: int            # >= window so any patch slice fits
+    full_level: int              # coarsest level: whole image fits the window
+
+
+def make_plan(height: int, width: int, window: int) -> MipPlan:
+    """Choose the level count so the coarsest level's full image fits the
+    window (with the +-2px origin margin used by block_patch_meta): any block,
+    even one straddling the camera plane, can then always be sampled."""
+    margin = 8
+    full_level = 0
+    while (width >> full_level) > window - margin or \
+          (height >> full_level) > window - margin:
+        full_level += 1
+    num_levels = full_level + 1
+    if (width % (1 << full_level)) or (height % (1 << full_level)):
+        raise ValueError(
+            f"image {width}x{height} not divisible by 2^{full_level}; "
+            "pad the input or choose a different window")
+    widths = tuple(width >> l for l in range(num_levels))
+    heights = tuple(height >> l for l in range(num_levels))
+    offsets = tuple(sum(widths[:l]) for l in range(num_levels))
+    atlas_width = ((max(sum(widths), window) + 127) // 128) * 128
+    atlas_height = ((max(height, window) + 7) // 8) * 8
+    return MipPlan(height=height, width=width, window=window,
+                   num_levels=num_levels, widths=widths, heights=heights,
+                   offsets=offsets, atlas_width=atlas_width,
+                   atlas_height=atlas_height, full_level=full_level)
+
+
+def _min_pool_with_payload(chans: jnp.ndarray) -> jnp.ndarray:
+    """(C, h, w) -> (C, h/2, w/2); channel 0 (depth) min-pooled, the other
+    channels follow the winning (argmin-depth) pixel."""
+    a, b = chans[:, :, 0::2], chans[:, :, 1::2]
+    keep_a = a[0] <= b[0]
+    h = jnp.where(keep_a[None], a, b)
+    a, b = h[:, 0::2, :], h[:, 1::2, :]
+    keep_a = a[0] <= b[0]
+    return jnp.where(keep_a[None], a, b)
+
+
+def build_atlas(depth: jnp.ndarray, labels: jnp.ndarray, colors: jnp.ndarray,
+                plan: MipPlan) -> jnp.ndarray:
+    """(H, W) depth/labels + (H, W, 3) colors -> (4, H, atlas_width) f32 atlas.
+
+    Channel order: [depth, label, rg, b]."""
+    d = jnp.where(jnp.isfinite(depth) & (depth > 0.0),
+                  depth.astype(jnp.float32), DEPTH_SENTINEL)
+    lab = labels.astype(jnp.float32)
+    c = jnp.round(colors.astype(jnp.float32))
+    rg = c[..., 0] * 256.0 + c[..., 1]
+    chans = jnp.stack([d, lab, rg, c[..., 2]])                  # (4, H, W)
+    atlas = jnp.zeros((4, plan.atlas_height, plan.atlas_width), jnp.float32)
+    atlas = atlas.at[0].set(DEPTH_SENTINEL)
+    level = chans
+    for l in range(plan.num_levels):
+        if l > 0:
+            level = _min_pool_with_payload(level)
+        atlas = atlas.at[:, : plan.heights[l],
+                         plan.offsets[l]: plan.offsets[l] + plan.widths[l]
+                         ].set(level)
+    return atlas
+
+
+def level_tables(plan: MipPlan):
+    """Per-level (width, height, offset) as jnp arrays for traced-level
+    indexing."""
+    return (jnp.array(plan.widths, jnp.int32),
+            jnp.array(plan.heights, jnp.int32),
+            jnp.array(plan.offsets, jnp.int32))
+
+
+def unpack_color(rg: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the rg/b channel packing -> (..., 3) float32 in [0, 255].
+
+    The sampled rg may carry the bf16 hi/lo-split error (< 0.5 absolute, see
+    ops/projective.py); rounding first makes the unpack exact."""
+    rg = jnp.round(rg)
+    r = jnp.floor(rg / 256.0)
+    g = rg - r * 256.0
+    return jnp.stack([r, g, jnp.round(b)], axis=-1)

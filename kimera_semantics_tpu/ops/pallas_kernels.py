@@ -207,3 +207,89 @@ def max_runs(cfg: FusionConfig) -> int:
     boundary at most steps_axis/vps + 1 times; summed <= S/vps + 3, plus the
     initial run."""
     return cfg.resolved_max_steps() // cfg.grid.voxels_per_side + 5
+
+
+# ---------------------------------------------------------------------------
+# Blockwise read-modify-write accumulation (projective integrator apply).
+# ---------------------------------------------------------------------------
+
+def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_sem, d_wc,
+                in_w, in_wsdf, in_cnt, in_sem, in_wc,
+                out_w, out_wsdf, out_cnt, out_sem, out_wc):
+    out_w[:] = in_w[:] + d_w[:]
+    out_wsdf[:] = in_wsdf[:] + d_wsdf[:]
+    out_cnt[:] = in_cnt[:] + d_cnt[:]
+    # grid blocks are (L, 1, VS, 128) / (3, 1, VS, 128); deltas (1, L, VS, 128).
+    out_sem[:, 0] = in_sem[:, 0] + d_sem[0]
+    out_wc[:, 0] = in_wc[:, 0] + d_wc[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
+                  d_w, d_wsdf, d_cnt, d_sem, d_wc, interpret=False):
+    """grid_channel[slots[k]] += delta[k] for K touched blocks, in place.
+
+    XLA's scatter walks indices serially (~3-14 us per row at these payload
+    sizes — scripts/profile_projective_core2.py); here each grid step is one
+    block-row DMA in + add + DMA out, pipelined by Pallas, with the channels
+    aliased input->output so untouched rows are never copied. `slots` must
+    place padding (trash-row) entries consecutively (the frame block list is
+    compacted: real slots first, then padding) — Pallas coalesces consecutive
+    equal block indices into a single fetch/writeback.
+
+    Layouts: wsum/wsdf/sem_count (B+1, V3); sem_delta (L, B+1, V3);
+    wcolor (3, B+1, V3); deltas (K, V3) / (K, L, V3) / (K, 3, V3).
+    V3 must be a multiple of 128 (Mosaic (8, 128) block-tiling rule — the
+    voxel axis is reshaped to trailing (V3/128, 128) dims, a free bitcast).
+    """
+    K, V3 = d_w.shape
+    L = d_sem.shape[1]
+    if V3 % 128:
+        raise ValueError(f"block_rmw_add needs vps^3 % 128 == 0, got {V3}")
+    VS = V3 // 128
+    shp = wsum.shape
+    B1 = shp[0]
+    r2 = lambda x: x.reshape(x.shape[:-1] + (VS, 128))
+    wsum, wsdf, sem_count, sem_delta, wcolor, d_w, d_wsdf, d_cnt, d_sem, \
+        d_wc = map(r2, (wsum, wsdf, sem_count, sem_delta, wcolor, d_w,
+                        d_wsdf, d_cnt, d_sem, d_wc))
+
+    def by_slot(i, slots):
+        return (slots[i], 0, 0)
+
+    def by_slot_mid(i, slots):
+        return (0, slots[i], 0, 0)
+
+    def by_i(i, slots):
+        return (i, 0, 0)
+
+    def by_i4(i, slots):
+        return (i, 0, 0, 0)
+
+    chan_spec = lambda: pl.BlockSpec((1, VS, 128), by_slot)
+    sem_spec = lambda: pl.BlockSpec((L, 1, VS, 128), by_slot_mid)
+    col_spec = lambda: pl.BlockSpec((3, 1, VS, 128), by_slot_mid)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, VS, 128), by_i), pl.BlockSpec((1, VS, 128), by_i),
+            pl.BlockSpec((1, VS, 128), by_i),
+            pl.BlockSpec((1, L, VS, 128), by_i4),
+            pl.BlockSpec((1, 3, VS, 128), by_i4),
+            chan_spec(), chan_spec(), chan_spec(), sem_spec(), col_spec(),
+        ],
+        out_specs=[chan_spec(), chan_spec(), chan_spec(), sem_spec(),
+                   col_spec()],
+    )
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                  for x in (wsum, wsdf, sem_count, sem_delta, wcolor)]
+    # Aliases index the pallas_call operands (scalar-prefetch arg included):
+    # operands are (slots, 5 deltas, 5 grid channels) -> channels at 6..10.
+    outs = pl.pallas_call(
+        _rmw_kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(slots, d_w, d_wsdf, d_cnt, d_sem, d_wc,
+      wsum, wsdf, sem_count, sem_delta, wcolor)
+    return tuple(x.reshape(x.shape[:-2] + (V3,)) for x in outs)

@@ -23,7 +23,8 @@ def _add_common(p):
     p.add_argument("--block-capacity", type=int, default=4096)
     p.add_argument("--truncation", type=float, default=0.1)
     p.add_argument("--max-ray-length", type=float, default=5.0)
-    p.add_argument("--method", choices=["fast", "merged"], default="fast",
+    p.add_argument("--method", choices=["fast", "merged", "projective"],
+                   default="fast",
                    help="integrator type (ros_params.cpp:24)")
     p.add_argument("--semantic-csv", default=None,
                    help="label,color CSV (semantic_label_2_color_csv_filepath)")

@@ -62,7 +62,7 @@ def surface_error(cfg, grid, world):
     return resid.mean(), label_acc
 
 
-@pytest.mark.parametrize("kind", ["fast", "merged"])
+@pytest.mark.parametrize("kind", ["fast", "merged", "projective"])
 class TestEndToEnd:
     def test_reconstruction_accuracy(self, kind):
         cfg, ds, grid = reconstruct(kind)
@@ -96,6 +96,10 @@ class TestFactory:
                           FastSemanticTsdfIntegrator)
         assert isinstance(factory.create("merged", cfg, INTR),
                           MergedSemanticTsdfIntegrator)
+        from kimera_semantics_tpu.models.projective import (
+            ProjectiveSemanticTsdfIntegrator)
+        assert isinstance(factory.create("projective", cfg, INTR),
+                          ProjectiveSemanticTsdfIntegrator)
         with pytest.raises(ValueError):
             factory.create("bogus", cfg, INTR)
 

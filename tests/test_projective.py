@@ -1,0 +1,342 @@
+"""Projective-integrator correctness: mip atlas, patch metadata containment,
+sampler-mode equivalence, a from-scratch NumPy oracle of the per-voxel update
+semantics, and the Pallas blockwise-apply kernel vs the XLA scatter path."""
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (ColorMode, FusionConfig, GridConfig,
+                                         PipelineConfig, SemanticConfig,
+                                         TsdfConfig)
+from kimera_semantics_tpu.core import transforms
+from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.io.dataset import SyntheticDataset
+from kimera_semantics_tpu.models import projective as proj_model
+from kimera_semantics_tpu.ops import mip as mip_ops
+from kimera_semantics_tpu.ops import projective as proj_ops
+from kimera_semantics_tpu.ops.integrate import make_likelihood_cached
+
+INTR = PinholeIntrinsics(fx=60.0, fy=60.0, cx=39.5, cy=29.5, width=80,
+                         height=60)
+
+
+def cfg_small(**kw):
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8,
+                        block_capacity=768),
+        tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
+        semantic=SemanticConfig(semantic_measurement_probability=0.8),
+        pipeline=PipelineConfig(block_budget=256, sample_window=64,
+                                alloc_stride=4),
+        **kw,
+    )
+
+
+class TestMip:
+    def test_plan(self):
+        plan = mip_ops.make_plan(480, 640, 64)
+        assert plan.full_level == 4 and plan.num_levels == 5
+        assert plan.widths == (640, 320, 160, 80, 40)
+        assert plan.offsets[1] == 640 and plan.atlas_width % 128 == 0
+
+    def test_min_pool_follows_argmin(self):
+        rng = np.random.RandomState(0)
+        d = rng.uniform(0.5, 5.0, (8, 8)).astype(np.float32)
+        lab = rng.randint(0, 9, (8, 8)).astype(np.float32)
+        chans = jnp.stack([jnp.asarray(d), jnp.asarray(lab)])
+        out = np.asarray(mip_ops._min_pool_with_payload(chans))
+        for i in range(4):
+            for j in range(4):
+                cell_d = d[2 * i:2 * i + 2, 2 * j:2 * j + 2]
+                cell_l = lab[2 * i:2 * i + 2, 2 * j:2 * j + 2]
+                k = np.unravel_index(np.argmin(cell_d), (2, 2))
+                assert out[0, i, j] == cell_d[k]
+                assert out[1, i, j] == cell_l[k]
+
+    def test_invalid_depth_sentinel(self):
+        d = jnp.array([[0.0, np.nan], [2.0, -1.0]], dtype=jnp.float32)
+        lab = jnp.zeros((2, 2), jnp.int32)
+        col = jnp.zeros((2, 2, 3), jnp.float32)
+        plan = mip_ops.make_plan(2, 2, 64)
+        atlas = np.asarray(mip_ops.build_atlas(d, lab, col, plan))
+        assert atlas[0, 0, 0] == mip_ops.DEPTH_SENTINEL
+        assert atlas[0, 1, 0] == 2.0
+        assert np.all(np.isfinite(atlas))
+
+    def test_color_pack_roundtrip(self):
+        rng = np.random.RandomState(1)
+        c = rng.randint(0, 256, (4, 4, 3)).astype(np.float32)
+        plan = mip_ops.make_plan(4, 4, 64)
+        atlas = mip_ops.build_atlas(jnp.ones((4, 4)), jnp.zeros((4, 4)),
+                                    jnp.asarray(c), plan)
+        rgb = np.asarray(mip_ops.unpack_color(atlas[2, :4, :4],
+                                              atlas[3, :4, :4]))
+        np.testing.assert_array_equal(rgb, c)
+
+
+class TestPatchMeta:
+    def test_containment(self):
+        """Every in-image voxel of every block must land inside its window."""
+        cfg = cfg_small()
+        plan = mip_ops.make_plan(INTR.height, INTR.width,
+                                 cfg.pipeline.sample_window)
+        rng = np.random.RandomState(2)
+        T_G_C = np.asarray(SyntheticDataset(num_frames=8, intr=INTR).pose(3))
+        T_C_G = np.asarray(transforms.inverse(jnp.asarray(T_G_C)))
+        bc = rng.randint(-6, 6, (64, 3)).astype(np.int32)
+        lvl, u0, v0, _, _ = jax.tree.map(np.asarray, proj_ops.block_patch_meta(
+            jnp.asarray(bc), jnp.asarray(T_C_G), INTR, plan,
+            cfg.grid.block_size))
+        vps = cfg.grid.voxels_per_side
+        win = plan.window
+        for k in range(64):
+            corners = (bc[k][None] + np.array(
+                [[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)])
+            ) * cfg.grid.block_size
+            cam = corners @ T_C_G[:3, :3].T + T_C_G[:3, 3]
+            if not np.all(cam[:, 2] > 1e-3):
+                continue  # fallback level: full image fits by construction
+            # dense voxel centers
+            lin = np.arange(vps ** 3)
+            loc = np.stack([lin // vps ** 2, (lin // vps) % vps, lin % vps], 1)
+            ctr = (bc[k][None] * vps + loc + 0.5) * cfg.grid.voxel_size
+            cc = ctr @ T_C_G[:3, :3].T + T_C_G[:3, 3]
+            z = cc[:, 2]
+            sel = z > 1e-3
+            u = np.floor(60.0 * cc[sel, 0] / z[sel] + 39.5 + 0.5).astype(int)
+            v = np.floor(60.0 * cc[sel, 1] / z[sel] + 29.5 + 0.5).astype(int)
+            inimg = (u >= 0) & (u < 80) & (v >= 0) & (v < 60)
+            col = (u[inimg] >> lvl[k]) - u0[k]
+            row = (v[inimg] >> lvl[k]) - v0[k]
+            assert np.all((col >= 0) & (col < win)), f"block {k}"
+            assert np.all((row >= 0) & (row < win)), f"block {k}"
+
+
+class TestSampler:
+    def test_onehot_matches_gather(self):
+        rng = np.random.RandomState(3)
+        K, C, win, V3 = 6, 4, 32, 512
+        patches = jnp.asarray(
+            rng.uniform(0, 7.0, (K, C, win, win)).astype(np.float32))
+        row = jnp.asarray(rng.randint(-2, win + 2, (K, V3)).astype(np.int32))
+        col = jnp.asarray(rng.randint(-2, win + 2, (K, V3)).astype(np.int32))
+        a = np.asarray(proj_ops.sample_patches(patches, row, col, "gather"))
+        b = np.asarray(proj_ops.sample_patches(patches, row, col, "onehot"))
+        assert np.max(np.abs(a - b)) < 1e-3  # bf16 hi/lo split bound
+
+    def test_onehot_integer_channels_exact(self):
+        rng = np.random.RandomState(4)
+        K, win, V3 = 4, 16, 256
+        ints = rng.randint(0, 65536, (K, 2, win, win)).astype(np.float32)
+        row = jnp.asarray(rng.randint(0, win, (K, V3)).astype(np.int32))
+        col = jnp.asarray(rng.randint(0, win, (K, V3)).astype(np.int32))
+        a = np.asarray(proj_ops.sample_patches(jnp.asarray(ints), row, col,
+                                               "gather"))
+        b = np.asarray(proj_ops.sample_patches(jnp.asarray(ints), row, col,
+                                               "onehot"))
+        np.testing.assert_array_equal(np.round(b), a)
+
+
+def numpy_projective_oracle(bc, real, depth, labels, colors, T_G_C, intr,
+                            cfg):
+    """Independent per-voxel reimplementation of voxel_deltas semantics."""
+    g, t, sem = cfg.grid, cfg.tsdf, cfg.semantic
+    vps, V3, L = g.voxels_per_side, g.vps3, g.num_labels
+    plan = mip_ops.make_plan(intr.height, intr.width,
+                             cfg.pipeline.sample_window)
+    # numpy mip pyramid (min-depth argmin-payload)
+    d0 = np.where(np.isfinite(depth) & (depth > 0), depth,
+                  mip_ops.DEPTH_SENTINEL).astype(np.float32)
+    levels = [(d0, labels.astype(np.int32), colors.astype(np.float32))]
+    for l in range(1, plan.num_levels):
+        dp, lp, cp = levels[-1]
+        h, w = dp.shape
+        dn = np.empty((h // 2, w // 2), np.float32)
+        ln = np.empty((h // 2, w // 2), np.int32)
+        cn = np.empty((h // 2, w // 2, 3), np.float32)
+        for i in range(h // 2):
+            for j in range(w // 2):
+                cell = dp[2 * i:2 * i + 2, 2 * j:2 * j + 2]
+                # row-major argmin != the pairwise reduction order for exact
+                # ties; the pooled data has no ties in this test
+                k = np.unravel_index(np.argmin(cell), (2, 2))
+                dn[i, j] = cell[k]
+                ln[i, j] = lp[2 * i + k[0], 2 * j + k[1]]
+                cn[i, j] = cp[2 * i + k[0], 2 * j + k[1]]
+        levels.append((dn, ln, cn))
+
+    T_C_G = np.linalg.inv(T_G_C)
+    lk = make_likelihood_cached(cfg)
+    K = bc.shape[0]
+    out = {"w": np.zeros((K, V3), np.float32),
+           "wsdf": np.zeros((K, V3), np.float32),
+           "cnt": np.zeros((K, V3), np.float32),
+           "sem": np.zeros((K, L, V3), np.float32),
+           "wcolor": np.zeros((K, 3, V3), np.float32)}
+    corners8 = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)],
+                        np.float32)
+    for k in range(K):
+        if not real[k]:
+            continue
+        # level selection (mirrors block_patch_meta)
+        cam8 = ((bc[k][None] + corners8) * g.block_size) @ T_C_G[:3, :3].T \
+            + T_C_G[:3, 3]
+        if np.all(cam8[:, 2] > 1e-3):
+            u8 = intr.fx * cam8[:, 0] / cam8[:, 2] + intr.cx
+            v8 = intr.fy * cam8[:, 1] / cam8[:, 2] + intr.cy
+            ext = max(u8.max() - u8.min(), v8.max() - v8.min())
+            lvl = int(np.clip(math.ceil(math.log2(max(ext, 1.0)
+                                                  / (plan.window - 8))),
+                              0, plan.full_level))
+        else:
+            lvl = plan.full_level
+        dl, ll, cl = levels[lvl]
+        for lin in range(V3):
+            loc = np.array([lin // vps ** 2, (lin // vps) % vps, lin % vps])
+            ctr = (bc[k] * vps + loc + 0.5) * g.voxel_size
+            p = T_C_G[:3, :3] @ ctr + T_C_G[:3, 3]
+            if p[2] <= 1e-3:
+                continue
+            u = int(np.floor(intr.fx * p[0] / p[2] + intr.cx + 0.5))
+            v = int(np.floor(intr.fy * p[1] / p[2] + intr.cy + 0.5))
+            if not (0 <= u < intr.width and 0 <= v < intr.height):
+                continue
+            z_px = dl[v >> lvl, u >> lvl]
+            lab = int(ll[v >> lvl, u >> lvl])
+            rgb = cl[v >> lvl, u >> lvl]
+            if not (0 < z_px < mip_ops.DEPTH_SENTINEL * 0.5):
+                continue
+            t_v = float(np.linalg.norm(p))
+            ray_norm = t_v * z_px / p[2]
+            if ray_norm < t.min_ray_length_m:
+                continue
+            clearing = ray_norm > t.max_ray_length_m
+            if clearing and not t.allow_clear:
+                continue
+            if lab in sem.dynamic_labels:
+                continue
+            sdf = ray_norm - t_v
+            if clearing:
+                clear_len = np.clip(ray_norm - t.truncation_distance, 0.0,
+                                    t.max_ray_length_m)
+                if t.voxel_carving_enabled:
+                    if t_v > clear_len:
+                        continue
+                elif abs(t_v - clear_len) > 0.5 * g.voxel_size:
+                    continue
+            else:
+                if t.voxel_carving_enabled:
+                    if sdf < -t.truncation_distance:
+                        continue
+                elif abs(sdf) > t.truncation_distance:
+                    continue
+            w_pt = 1.0 if t.use_const_weight else 1.0 / max(z_px * z_px,
+                                                            1e-12)
+            trunc = t.truncation_distance
+            if t.use_weight_dropoff and sdf < -g.voxel_size:
+                w_pt = max(w_pt * (trunc + sdf) / (trunc - g.voxel_size), 0.0)
+            out["w"][k, lin] = w_pt
+            out["wsdf"][k, lin] = w_pt * np.clip(sdf, -trunc, trunc)
+            if lab != 0:
+                out["cnt"][k, lin] = 1.0
+                out["sem"][k, lab, lin] = lk.delta
+            if cfg.semantic.color_mode == ColorMode.COLOR and \
+                    abs(sdf) < trunc and w_pt > 0:
+                out["wcolor"][k, :, lin] = w_pt * rgb
+    return out
+
+
+class TestVoxelDeltasOracle:
+    @pytest.mark.parametrize("carving,color_mode", [
+        (True, ColorMode.SEMANTIC), (False, ColorMode.COLOR)])
+    def test_matches_numpy(self, carving, color_mode):
+        cfg = cfg_small()
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf,
+                                          voxel_carving_enabled=carving),
+            semantic=dataclasses.replace(cfg.semantic, color_mode=color_mode))
+        ds = SyntheticDataset(num_frames=6, intr=INTR,
+                              label_map=LabelColorMap.random())
+        fr = ds.frame(2)
+        plan = mip_ops.make_plan(INTR.height, INTR.width,
+                                 cfg.pipeline.sample_window)
+        atlas = mip_ops.build_atlas(fr.depth, fr.labels, fr.colors, plan)
+        rng = np.random.RandomState(7)
+        bc = rng.randint(-8, 8, (24, 3)).astype(np.int32)
+        real = np.ones(24, bool)
+        real[-2:] = False
+        d = proj_ops.voxel_deltas(jnp.asarray(bc), jnp.asarray(real), atlas,
+                                  fr.T_G_C, INTR, plan, cfg, "gather")
+        ref = numpy_projective_oracle(
+            bc, real, np.asarray(fr.depth), np.asarray(fr.labels),
+            np.asarray(fr.colors), np.asarray(fr.T_G_C), INTR, cfg)
+        for name, tol in (("w", 1e-5), ("wsdf", 1e-5), ("cnt", 0.0),
+                          ("sem", 1e-6), ("wcolor", 2e-3)):
+            got = np.asarray(d[name])
+            want = ref[name]
+            mism = np.abs(got - want) > tol + 1e-4 * np.abs(want)
+            assert not mism.any(), (
+                f"{name}: {mism.sum()} mismatches, max "
+                f"{np.abs(got - want).max()}")
+
+
+class TestApplyPaths:
+    def test_pallas_rmw_matches_scatter(self):
+        cfg = cfg_small()
+        ds = SyntheticDataset(num_frames=4, intr=INTR,
+                              label_map=LabelColorMap.random())
+        fr = ds.frame(1)
+        g0 = blocks.create(cfg)
+
+        proj_model.FORCE_PALLAS_INTERPRET = True
+        try:
+            cfg_p = dataclasses.replace(
+                cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                                  use_pallas=True))
+            # jit cache keys on cfg (hashable dataclass), so the two variants
+            # compile separately even with the module flag flipped.
+            g_pallas = proj_model.integrate_frame(blocks.create(cfg_p), fr,
+                                                  cfg_p, INTR)
+        finally:
+            proj_model.FORCE_PALLAS_INTERPRET = False
+        cfg_x = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, use_pallas=False))
+        g_xla = proj_model.integrate_frame(blocks.create(cfg_x), fr, cfg_x,
+                                           INTR)
+        nb = int(g_xla.n_blocks)
+        assert nb == int(g_pallas.n_blocks) and nb > 0
+        for name in ("wsum", "wsdf", "sem_count", "sem_delta", "wcolor"):
+            a = np.asarray(getattr(g_pallas, name))
+            b = np.asarray(getattr(g_xla, name))
+            sl = (slice(None), slice(0, nb)) if a.ndim == 3 else slice(0, nb)
+            np.testing.assert_allclose(a[sl], b[sl], rtol=0, atol=1e-6,
+                                       err_msg=name)
+        del g0
+
+
+class TestFrameBlockList:
+    def test_padding_consecutive_and_slots_valid(self):
+        cfg = cfg_small()
+        ds = SyntheticDataset(num_frames=4, intr=INTR,
+                              label_map=LabelColorMap.random())
+        grid = blocks.create(cfg)
+        grid2, fcoords, fslots = proj_model._allocate(grid, ds.frame(0), cfg,
+                                                      INTR)
+        fs = np.asarray(fslots)
+        cap = cfg.grid.block_capacity
+        real = fs < cap
+        # all real entries precede all padding entries
+        assert not np.any(np.diff(real.astype(int)) > 0)
+        assert real.sum() == int(grid2.n_blocks) > 0
+        assert np.unique(fs[real]).size == real.sum()
+        # coords round-trip through the grid's block table
+        bcs = np.asarray(grid2.block_coords)
+        np.testing.assert_array_equal(bcs[fs[real]],
+                                      np.asarray(fcoords)[real])
