@@ -76,6 +76,18 @@ class GridConfig:
             raise ValueError(
                 f"block_capacity={self.block_capacity} x vps^3={self.vps3} "
                 "overflows int32 flat voxel keys; reduce capacity or vps")
+        if self.block_capacity % 8:
+            raise ValueError("block_capacity must be a multiple of 8 "
+                             "(TPU sublane tile; grid/blocks.py row padding)")
+
+    @property
+    def padded_rows(self) -> int:
+        """Rows per voxel channel: capacity + one 8-row tile so the trash
+        slot (index == capacity) owns an exclusive sublane-tile group — the
+        projective RMW kernel fetches channel rows in (8, V3) tile blocks
+        (ops/pallas_kernels.py block_rmw_add). Rows capacity..capacity+7 are
+        garbage by contract (the reference's discarded writes)."""
+        return self.block_capacity + 8
 
     @property
     def vps3(self) -> int:
@@ -150,8 +162,11 @@ class PipelineConfig:
     # Projective-integrator statics (models/projective.py):
     block_budget: int = 512      # touched-block list size per frame; spills
                                  # counted in grid.overflow
-    sample_window: int = 64      # image patch side per block (mip-level
-                                 # chosen so the block's projection fits)
+    patch_rows: int = 128        # image patch rows per block (origin aligned
+                                 # to 8; mip level chosen so the projection
+                                 # fits — ops/mip.py thresholds)
+    patch_cols: int = 256        # image patch cols per block (origin 128-
+                                 # aligned, hence the extra slack)
     sample_mode: str = "auto"    # "onehot" (MXU, TPU) | "gather" (XLA,
                                  # exact, CPU) | "auto"
     alloc_stride: int = 4        # pixel subsampling for the block-level

@@ -80,18 +80,19 @@ def create(cfg: FusionConfig) -> VoxelGrid:
     g = cfg.grid
     B, V3, L, H, D = (g.block_capacity, g.vps3, g.num_labels, g.table_size,
                       cfg.pipeline.dedup_table_size)
+    R = g.padded_rows  # B + 8: slots B..B+7 are the trash tile (see config)
     return VoxelGrid(
         table_keys=jnp.full((H,), bhash.EMPTY_KEY, dtype=jnp.int32),
         table_slots=jnp.full((H,), -1, dtype=jnp.int32),
         block_coords=jnp.zeros((B, 3), dtype=jnp.int32),
         n_blocks=jnp.int32(0),
         overflow=jnp.int32(0),
-        wsum=jnp.zeros((B + 1, V3), dtype=jnp.float32),
-        wsdf=jnp.zeros((B + 1, V3), dtype=jnp.float32),
-        wcolor=jnp.zeros((3, B + 1, V3), dtype=jnp.float32),
-        sem_count=jnp.zeros((B + 1, V3), dtype=jnp.float32),
-        sem_delta=jnp.zeros((L, B + 1, V3), dtype=jnp.float32),
-        updated=jnp.zeros((B + 1,), dtype=bool),
+        wsum=jnp.zeros((R, V3), dtype=jnp.float32),
+        wsdf=jnp.zeros((R, V3), dtype=jnp.float32),
+        wcolor=jnp.zeros((3, R, V3), dtype=jnp.float32),
+        sem_count=jnp.zeros((R, V3), dtype=jnp.float32),
+        sem_delta=jnp.zeros((L, R, V3), dtype=jnp.float32),
+        updated=jnp.zeros((R,), dtype=bool),
         start_set=jnp.full((D,), -1, dtype=jnp.int32),
         observed_set=jnp.full((D,), -1, dtype=jnp.int32),
         frame_counter=jnp.int32(0),

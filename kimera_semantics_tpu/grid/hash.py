@@ -223,4 +223,8 @@ def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
     real = (uk != trash) & (fslots >= 0)
     fslots = jnp.where(real, fslots, capacity)
     fcoords = jnp.where(real[:, None], unpack_block_key(uk, extent), 0)
-    return tk, ts, bc, nb, ov + dropped, fcoords, fslots
+    # Sort the list by slot (trash == capacity sorts last): the projective
+    # RMW kernel requires equal slot-tile groups to be consecutive
+    # (ops/pallas_kernels.py block_rmw_add).
+    order = jnp.argsort(fslots)
+    return tk, ts, bc, nb, ov + dropped, fcoords[order], fslots[order]

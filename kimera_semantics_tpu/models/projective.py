@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import FusionConfig
+from ..config import ColorMode, FusionConfig
 from ..core import transforms
 from ..core.camera import PinholeIntrinsics
 from ..grid import hash as bhash
@@ -111,23 +111,36 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     """One full projective frame update, jit-compiled end to end."""
     g = cfg.grid
     plan = mip_ops.make_plan(intr.height, intr.width,
-                             cfg.pipeline.sample_window)
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
 
     grid, fcoords, fslots = _allocate(grid, frame, cfg, intr)
     real = fslots < g.block_capacity
 
-    d = proj_ops.voxel_deltas(fcoords, real, atlas, frame.T_G_C, intr, plan,
-                              cfg, _sample_mode(cfg))
-
     if _use_pallas(cfg):
         from ..ops import pallas_kernels
-        # Kernel sem layout: deltas (K, L, V3) against grid (L, B+1, V3).
+        from ..ops.integrate import make_likelihood_cached
+        T_C_G = transforms.inverse(frame.T_G_C)
+        lvl, u0l, v0, u0a = proj_ops.block_patch_meta(
+            fcoords, T_C_G, intr, plan, g.block_size)
+        meta = jnp.stack(
+            [v0, u0a, real.astype(jnp.int32), lvl, u0l,
+             fcoords[:, 0], fcoords[:, 1], fcoords[:, 2]], axis=1)
+        tflat = jnp.zeros((1, 128), jnp.float32).at[0, :12].set(
+            T_C_G[:3, :4].reshape(-1))
+        with_color = cfg.semantic.color_mode == ColorMode.COLOR
+        d_w, d_wsdf, d_cnt, d_lab, d_wc = (
+            pallas_kernels.projective_sample_update(
+                meta, tflat, atlas, cfg, intr, plan, with_color=with_color,
+                interpret=FORCE_PALLAS_INTERPRET))
         wsum, wsdf, sem_count, sem_delta, wcolor = pallas_kernels.block_rmw_add(
             grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta, grid.wcolor,
-            fslots, d["w"], d["wsdf"], d["cnt"], d["sem"], d["wcolor"],
+            fslots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+            lk_delta=make_likelihood_cached(cfg).delta,
             interpret=FORCE_PALLAS_INTERPRET)
     else:
+        d = proj_ops.voxel_deltas(fcoords, real, atlas, frame.T_G_C, intr,
+                                  plan, cfg, _sample_mode(cfg))
         safe = jnp.where(real, fslots, g.block_capacity)
         wsum = grid.wsum.at[safe].add(d["w"], mode="drop")
         wsdf = grid.wsdf.at[safe].add(d["wsdf"], mode="drop")

@@ -168,7 +168,8 @@ def integrate_ray_batch(
         touched_slots = slots.reshape(-1)
 
     key = slots * v3 + local                                    # flat voxel key
-    n_flat = (cap + 1) * v3
+    n_flat = (cap + 1) * v3   # key space: valid keys + the trash row
+    row_flat = cfg.grid.padded_rows * v3  # physical rows (8-row trash tile)
 
     if ag_dest_voxels is not None:
         # Anti-grazing (_merged.cpp:306-313): dest voxels of this frame's
@@ -212,15 +213,15 @@ def integrate_ray_batch(
     else:
         scat = lambda tgt, vals: tgt.at[kf].add(vals.reshape(-1))
 
-    wsum = scat(grid.wsum.reshape(n_flat), w).reshape(grid.wsum.shape)
-    wsdf = scat(grid.wsdf.reshape(n_flat), w_sdf).reshape(grid.wsdf.shape)
+    wsum = scat(grid.wsum.reshape(-1), w).reshape(grid.wsum.shape)
+    wsdf = scat(grid.wsdf.reshape(-1), w_sdf).reshape(grid.wsdf.shape)
     wcolor = grid.wcolor
     if cfg.semantic.color_mode == ColorMode.COLOR:
         # Measured-color blending feeds the mesh only in ColorMode.COLOR
         # (semantic modes recolor from labels at mesh time) — 3 scatter
         # channels saved otherwise.
         for c in range(3):
-            ch = scat(wcolor[c].reshape(n_flat),
+            ch = scat(wcolor[c].reshape(-1),
                       wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
             wcolor = wcolor.at[c].set(ch)
 
@@ -229,23 +230,23 @@ def integrate_ray_batch(
         # (one-hot frequency, semantic_tsdf_integrator_fast.cpp:132-140).
         inform = semantic.informative(labels) & ray_valid
         cnt = jnp.where(step_valid & inform[None, :], 1.0, 0.0)
-        sem_count = scat(grid.sem_count.reshape(n_flat), cnt).reshape(
+        sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
             grid.sem_count.shape)
-        # sem_delta layout (L, B+1, V3): flat index label * n_flat + key.
+        # sem_delta layout (L, rows, V3): flat index label * row_flat + key.
         lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
         if sorted_mode:
             su2 = SortedUpdates.build(kf, trash_key=-1,
                                       secondary=lab_b.reshape(-1))
             seg_lab = su2.secondary_at_segments()
             out_idx = jnp.where(su2.out_keys >= 0,
-                                seg_lab * n_flat + su2.out_keys, -1)
-            sem_delta = su2.apply(grid.sem_delta.reshape(L * n_flat),
+                                seg_lab * row_flat + su2.out_keys, -1)
+            sem_delta = su2.apply(grid.sem_delta.reshape(-1),
                                   cnt.reshape(-1) * lk.delta,
                                   out_index=out_idx).reshape(
                                       grid.sem_delta.shape)
         else:
-            lkey = jnp.where(cnt > 0, lab_b * n_flat + key, L * n_flat)
-            sem_delta = grid.sem_delta.reshape(L * n_flat).at[
+            lkey = jnp.where(cnt > 0, lab_b * row_flat + key, L * row_flat)
+            sem_delta = grid.sem_delta.reshape(-1).at[
                 lkey.reshape(-1)].add(
                 jnp.broadcast_to(jnp.float32(lk.delta), lkey.shape).reshape(-1),
                 mode="drop").reshape(grid.sem_delta.shape)
@@ -255,12 +256,12 @@ def integrate_ray_batch(
         hist = label_hist.at[:, semantic.UNKNOWN_LABEL].set(0.0)
         total = jnp.sum(hist, axis=-1)                         # (R,)
         cnt = jnp.where(step_valid, total[None, :], 0.0)
-        sem_count = scat(grid.sem_count.reshape(n_flat), cnt).reshape(
+        sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
             grid.sem_count.shape)
         sem_delta = grid.sem_delta
         for lab in range(L):  # static L scatters of (S, R) scalars
             add = jnp.where(step_valid, hist[:, lab][None, :], 0.0) * lk.delta
-            ch = scat(sem_delta[lab].reshape(n_flat), add).reshape(
+            ch = scat(sem_delta[lab].reshape(-1), add).reshape(
                 grid.wsum.shape)
             sem_delta = sem_delta.at[lab].set(ch)
 
@@ -296,6 +297,7 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     g, t = cfg.grid, cfg.tsdf
     v3, cap, L = g.vps3, g.block_capacity, g.num_labels
     n_flat = (cap + 1) * v3
+    row_flat = g.padded_rows * v3
     B = cfg.pipeline.segment_budget
     trunc = t.truncation_distance
 
@@ -321,16 +323,16 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
     lab_seg = ok & ((1 << lab_shift) - 1)
 
-    wsum = grid.wsum.reshape(n_flat).at[vox].add(
+    wsum = grid.wsum.reshape(-1).at[vox].add(
         tw, mode="drop", indices_are_sorted=True).reshape(grid.wsum.shape)
-    wsdf = grid.wsdf.reshape(n_flat).at[vox].add(
+    wsdf = grid.wsdf.reshape(-1).at[vox].add(
         tsdf_s - trunc * tw, mode="drop",
         indices_are_sorted=True).reshape(grid.wsdf.shape)
-    sem_count = grid.sem_count.reshape(n_flat).at[vox].add(
+    sem_count = grid.sem_count.reshape(-1).at[vox].add(
         tcnt, mode="drop",
         indices_are_sorted=True).reshape(grid.sem_count.shape)
-    sem_key = jnp.where(seg_valid, lab_seg * n_flat + vox, L * n_flat)
-    sem_delta = grid.sem_delta.reshape(L * n_flat).at[sem_key].add(
+    sem_key = jnp.where(seg_valid, lab_seg * row_flat + vox, L * row_flat)
+    sem_delta = grid.sem_delta.reshape(-1).at[sem_key].add(
         tcnt * lk.delta, mode="drop",
         unique_indices=True).reshape(grid.sem_delta.shape)
 
@@ -347,7 +349,7 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
         cvalid = okc != TRASH_KEY
         cvox = jnp.where(cvalid, okc, n_flat)
         for c in range(3):
-            ch = wcolor[c].reshape(n_flat).at[cvox].add(
+            ch = wcolor[c].reshape(-1).at[cvox].add(
                 tcol[c], mode="drop",
                 indices_are_sorted=True).reshape(grid.wsum.shape)
             wcolor = wcolor.at[c].set(ch)

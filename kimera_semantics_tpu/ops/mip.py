@@ -1,23 +1,30 @@
 """Mip-pyramid image atlas for the projective integrator.
 
-The projective (voxel-centric) integrator samples the depth/label/color images
-at each voxel's projected pixel. To bound the per-block image patch to a fixed
-window (so patch extraction is a static dynamic-slice and the one-hot MXU
-gather has static shapes), every block samples at the mip level at which its
-projected bounding box fits in the window. This file builds that pyramid:
+The projective (voxel-centric) integrator samples the depth/label/color
+images at each voxel's projected pixel. To bound the per-block image patch to
+a fixed window (so patch extraction is a static dynamic-slice and the one-hot
+MXU gather has static shapes), every block samples at the mip level at which
+its projected bounding box fits in the window. This file builds that pyramid:
 
   - depth is MIN-pooled (conservative: the nearest surface wins, so coarse
     sampling can never carve free space *through* a closer surface);
   - label and color follow the argmin pixel (they describe the surviving
     surface, not an average across a depth discontinuity);
-  - all levels are packed side by side into one (C, H, atlas_width) float32
-    atlas so a single dynamic-slice covers any (level, window) patch.
+  - all levels are packed side by side into one (H, atlas_width) float32
+    plane per channel, so a single dynamic-slice covers any (level, window)
+    patch.
 
-Channels are encoded to survive the exact one-hot matmul gather
-(ops/projective.py): depth in meters (invalid -> DEPTH_SENTINEL, finite so
-0 * sentinel = 0 in the MXU instead of NaN poisoning), label as a small
-integer, color as two channels rg = r*256+g and b (both <= 65535, exactly
-representable through a bf16 hi/lo split, unlike a single 24-bit packing).
+Window geometry is dictated by Mosaic's in-kernel dynamic-slice alignment
+(ops/pallas_kernels.py projective_sample_update): row offsets must be
+multiples of 8 and column offsets multiples of 128, so windows are
+row_window x col_window (default 128 x 256) and the usable bbox thresholds
+are (row_window - 9, col_window - 130) — the slack absorbs alignment.
+
+Channels are encoded to survive the exact one-hot matmul gather: depth in
+meters (invalid -> DEPTH_SENTINEL, finite so 0 * sentinel = 0 in the MXU
+instead of NaN poisoning), label as a small integer, color as two channels
+rg = r*256+g and b (both <= 65535, exactly recoverable through a bf16 hi/lo
+split, unlike a single 24-bit packing).
 
 The reference has no equivalent (its integrators are ray-centric); this is
 the TPU-native mechanism behind the same capability surface
@@ -42,39 +49,51 @@ class MipPlan:
 
     height: int                  # level-0 image height
     width: int                   # level-0 image width
-    window: int                  # patch window (pixels, per side)
+    row_window: int              # patch rows (sublane dim, offset mult of 8)
+    col_window: int              # patch cols (lane dim, offset mult of 128)
     num_levels: int
     widths: Tuple[int, ...]      # per-level widths
     heights: Tuple[int, ...]
     offsets: Tuple[int, ...]     # per-level x offset in the atlas
-    atlas_width: int             # padded to a lane multiple
-    atlas_height: int            # >= window so any patch slice fits
+    atlas_width: int             # padded to a lane multiple, >= col_window
+    atlas_height: int            # >= row_window, multiple of 8
     full_level: int              # coarsest level: whole image fits the window
 
+    @property
+    def row_threshold(self) -> int:
+        # -1 origin margin, -7 row alignment slack, -1 rounding
+        return self.row_window - 9
 
-def make_plan(height: int, width: int, window: int) -> MipPlan:
+    @property
+    def col_threshold(self) -> int:
+        # -1 origin margin, -127 column alignment slack, -2 rounding
+        return self.col_window - 130
+
+
+def make_plan(height: int, width: int, row_window: int = 128,
+              col_window: int = 256) -> MipPlan:
     """Choose the level count so the coarsest level's full image fits the
-    window (with the +-2px origin margin used by block_patch_meta): any block,
-    even one straddling the camera plane, can then always be sampled."""
-    margin = 8
+    window even after alignment slack: any block, even one straddling the
+    camera plane, can then always be sampled."""
     full_level = 0
-    while (width >> full_level) > window - margin or \
-          (height >> full_level) > window - margin:
+    while (width >> full_level) > col_window - 127 or \
+          (height >> full_level) > row_window - 7:
         full_level += 1
     num_levels = full_level + 1
     if (width % (1 << full_level)) or (height % (1 << full_level)):
         raise ValueError(
             f"image {width}x{height} not divisible by 2^{full_level}; "
-            "pad the input or choose a different window")
+            "pad the input or choose different windows")
     widths = tuple(width >> l for l in range(num_levels))
     heights = tuple(height >> l for l in range(num_levels))
     offsets = tuple(sum(widths[:l]) for l in range(num_levels))
-    atlas_width = ((max(sum(widths), window) + 127) // 128) * 128
-    atlas_height = ((max(height, window) + 7) // 8) * 8
-    return MipPlan(height=height, width=width, window=window,
-                   num_levels=num_levels, widths=widths, heights=heights,
-                   offsets=offsets, atlas_width=atlas_width,
-                   atlas_height=atlas_height, full_level=full_level)
+    atlas_width = ((max(sum(widths), col_window) + 127) // 128) * 128
+    atlas_height = ((max(height, row_window) + 7) // 8) * 8
+    return MipPlan(height=height, width=width, row_window=row_window,
+                   col_window=col_window, num_levels=num_levels,
+                   widths=widths, heights=heights, offsets=offsets,
+                   atlas_width=atlas_width, atlas_height=atlas_height,
+                   full_level=full_level)
 
 
 def _min_pool_with_payload(chans: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +109,7 @@ def _min_pool_with_payload(chans: jnp.ndarray) -> jnp.ndarray:
 
 def build_atlas(depth: jnp.ndarray, labels: jnp.ndarray, colors: jnp.ndarray,
                 plan: MipPlan) -> jnp.ndarray:
-    """(H, W) depth/labels + (H, W, 3) colors -> (4, H, atlas_width) f32 atlas.
+    """(H, W) depth/labels + (H, W, 3) colors -> (4, H, atlas_width) f32.
 
     Channel order: [depth, label, rg, b]."""
     d = jnp.where(jnp.isfinite(depth) & (depth > 0.0),

@@ -210,86 +210,330 @@ def max_runs(cfg: FusionConfig) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Fused projective sample + update-term kernel (models/projective.py).
+# ---------------------------------------------------------------------------
+
+PROJ_BPS = 8  # blocks per grid step (full sublane tiles for the voxel math)
+
+
+def _proj_kernel(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
+                 atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
+                 samp, e_scratch, rc_scratch, *, cfg, intr, plan,
+                 with_color):
+    """Per grid step: PROJ_BPS touched blocks.
+
+    Vector phase ((BPS, V3) planes, voxels on lanes): voxel centers ->
+    camera -> projected mip coords. Per-block phase: patch slice from the
+    VMEM-resident atlas (offsets 8/128-aligned by block_patch_meta), one-hot
+    MXU contraction per channel. Epilogue: the exact ops/projective.py
+    update math (shared code), outputs written as (BPS, V3) blocks.
+
+    samp scratch rows: [0..BPS) depth, [BPS..2BPS) label (+ rg, b when
+    with_color).
+    """
+    i = pl.program_id(0)
+    g = cfg.grid
+    vps, V3 = g.voxels_per_side, g.vps3
+    ROWS, COLS = plan.row_window, plan.col_window
+    BPS = PROJ_BPS
+    f32 = jnp.float32
+
+    mv = metav_ref[:]                                   # (BPS, 8) int32
+    real_v = mv[:, 2:3] > 0
+    lvl = mv[:, 3:4]
+    u0l = mv[:, 4:5]
+    v0v = mv[:, 0:1]
+    bx, by, bz = mv[:, 5:6], mv[:, 6:7], mv[:, 7:8]
+
+    # Voxel centers (BPS, V3).
+    lin = jax.lax.broadcasted_iota(jnp.int32, (BPS, V3), 1)
+    lx = lin // (vps * vps)
+    ly = (lin // vps) % vps
+    lz = lin % vps
+    vs = f32(g.voxel_size)
+    cx = ((bx * vps + lx).astype(f32) + 0.5) * vs
+    cy = ((by * vps + ly).astype(f32) + 0.5) * vs
+    cz = ((bz * vps + lz).astype(f32) + 0.5) * vs
+
+    T = tcg_ref[:]                                      # (1, 128) f32
+    def tc(j):
+        return T[:, j:j + 1]
+    pX = tc(0) * cx + tc(1) * cy + tc(2) * cz + tc(3)
+    pY = tc(4) * cx + tc(5) * cy + tc(6) * cz + tc(7)
+    pZ = tc(8) * cx + tc(9) * cy + tc(10) * cz + tc(11)
+    zok = pZ > 1e-3
+    zsafe = jnp.maximum(pZ, 1e-3)
+    u = f32(intr.fx) * pX / zsafe + f32(intr.cx)
+    v = f32(intr.fy) * pY / zsafe + f32(intr.cy)
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    in_img = (zok & (ui >= 0) & (ui < plan.width) & (vi >= 0)
+              & (vi < plan.height))
+    ul = jnp.right_shift(jnp.clip(ui, 0, plan.width - 1), lvl)
+    vl = jnp.right_shift(jnp.clip(vi, 0, plan.height - 1), lvl)
+    lvl_ok = ((ul < jnp.right_shift(jnp.full_like(lvl, plan.width), lvl))
+              & (vl < jnp.right_shift(jnp.full_like(lvl, plan.height), lvl)))
+    row = vl - v0v
+    col = ul - u0l
+    # Round-trip row/col through scratch: the one-hot compare feeding the MXU
+    # must read from a plain VMEM buffer (a long traced producer chain gives
+    # Mosaic a layout it rejects as a dot operand — "Bad lhs type").
+    rc_scratch[0:BPS, :] = row
+    rc_scratch[BPS:2 * BPS, :] = col
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, V3), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (COLS, V3), 0)
+    n_ch = 6 if with_color else 3
+
+    for b in range(BPS):
+        @pl.when(meta_s[i * BPS + b, 2] > 0)
+        def _():
+            v0b = pl.multiple_of(meta_s[i * BPS + b, 0], 8)
+            u0b = pl.multiple_of(meta_s[i * BPS + b, 1], 128)
+            pd = atlas_d[pl.ds(v0b, ROWS), pl.ds(u0b, COLS)]
+            hi = pd.astype(jnp.bfloat16)
+            lo = (pd - hi.astype(f32)).astype(jnp.bfloat16)
+            chans = [hi, lo,
+                     atlas_l[pl.ds(v0b, ROWS),
+                             pl.ds(u0b, COLS)].astype(jnp.bfloat16)]
+            if with_color:
+                prg = atlas_rg[pl.ds(v0b, ROWS), pl.ds(u0b, COLS)]
+                rg_hi = prg.astype(jnp.bfloat16)
+                rg_lo = (prg - rg_hi.astype(f32)).astype(jnp.bfloat16)
+                chans += [rg_hi, rg_lo,
+                          atlas_b[pl.ds(v0b, ROWS),
+                                  pl.ds(u0b, COLS)].astype(jnp.bfloat16)]
+            Ct = (rc_scratch[BPS + b:BPS + b + 1, :] == ciota
+                  ).astype(jnp.bfloat16)
+            Rt = (rc_scratch[b:b + 1, :] == riota).astype(f32)
+            acc = []
+            for ch in chans:
+                # precision must be pinned: the package default is HIGHEST
+                # (f32 geometry), which Mosaic rejects for bf16 operands
+                # ("Bad lhs type"); one-hot contractions are exact at any
+                # precision (single active term per output).
+                e_scratch[:] = jax.lax.dot_general(
+                    ch, Ct, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=f32)          # (ROWS, V3)
+                acc.append(jnp.sum(e_scratch[:] * Rt, axis=0,
+                                   keepdims=True))       # (1, V3)
+            samp[b:b + 1, :] = acc[0] + acc[1]           # depth
+            samp[BPS + b:BPS + b + 1, :] = acc[2]        # label
+            if with_color:
+                samp[2 * BPS + b:2 * BPS + b + 1, :] = acc[3] + acc[4]
+                samp[3 * BPS + b:3 * BPS + b + 1, :] = acc[5]
+
+    from . import projective as proj_ops
+    from . import mip as mip_ops
+    depth = samp[0:BPS, :]
+    label = jnp.round(samp[BPS:2 * BPS, :]).astype(jnp.int32)
+    w, w_sdf, cnt, upd, color_gate = proj_ops.update_terms_from_sample(
+        depth, label, pX, pY, pZ, zsafe, in_img & lvl_ok, real_v, cfg)
+    w_ref[:] = w
+    wsdf_ref[:] = w_sdf
+    cnt_ref[:] = cnt
+    lab_ref[:] = jnp.where(upd, label, 0)
+    if with_color:
+        rg = samp[2 * BPS:3 * BPS, :]
+        bb = samp[3 * BPS:4 * BPS, :]
+        rgb3 = mip_ops.unpack_color(rg, bb)              # (BPS, V3, 3)
+        wc = jnp.where(upd & color_gate, w, 0.0)
+        for c in range(3):
+            wc_ref[:, c, :] = wc * rgb3[..., c]
+    else:
+        wc_ref[:] = jnp.zeros_like(wc_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "intr", "plan", "with_color",
+                                    "interpret"))
+def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
+                             with_color=False, interpret=False):
+    """Fused projective per-voxel stage for K touched blocks.
+
+    Args:
+      meta: (K, 8) int32 [v0, u0_atlas, real, lvl, u0_level, bx, by, bz];
+        v0 multiple of 8, u0_atlas multiple of 128 (block_patch_meta).
+      T_C_G_flat: (1, 128) f32, rows of T_C_G in the first 12 slots.
+      atlas: (4, AH, AW) f32 mip atlas [depth, label, rg, b].
+    Returns (d_w, d_wsdf, d_cnt (K, V3) f32, label (K, V3) int32,
+             d_wc (K, 3, V3) f32 — zeros unless with_color).
+    """
+    K = meta.shape[0]
+    V3 = cfg.grid.vps3
+    BPS = PROJ_BPS
+    assert K % BPS == 0, "block_budget must be a multiple of PROJ_BPS"
+    ROWS = plan.row_window
+
+    kernel = functools.partial(_proj_kernel, cfg=cfg, intr=intr, plan=plan,
+                               with_color=with_color)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    bykv = lambda: pl.BlockSpec((BPS, V3), lambda i, m: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K // BPS,),
+        in_specs=[full(),                                  # T_C_G
+                  pl.BlockSpec((BPS, 8), lambda i, m: (i, 0)),   # metav
+                  full(), full(), full(), full()],         # atlas channels
+        out_specs=[bykv(), bykv(), bykv(), bykv(),
+                   pl.BlockSpec((BPS, 3, V3), lambda i, m: (i, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM(((4 if with_color else 2) * BPS, V3), jnp.float32),
+            pltpu.VMEM((ROWS, V3), jnp.float32),
+            pltpu.VMEM((2 * BPS, V3), jnp.int32),
+        ],
+    )
+    out_shapes = [jax.ShapeDtypeStruct((K, V3), jnp.float32),
+                  jax.ShapeDtypeStruct((K, V3), jnp.float32),
+                  jax.ShapeDtypeStruct((K, V3), jnp.float32),
+                  jax.ShapeDtypeStruct((K, V3), jnp.int32),
+                  jax.ShapeDtypeStruct((K, 3, V3), jnp.float32)]
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, T_C_G_flat, meta, atlas[0], atlas[1], atlas[2], atlas[3])
+
+
+# ---------------------------------------------------------------------------
 # Blockwise read-modify-write accumulation (projective integrator apply).
 # ---------------------------------------------------------------------------
 
-def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_sem, d_wc,
+def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
                 in_w, in_wsdf, in_cnt, in_sem, in_wc,
-                out_w, out_wsdf, out_cnt, out_sem, out_wc):
-    out_w[:] = in_w[:] + d_w[:]
-    out_wsdf[:] = in_wsdf[:] + d_wsdf[:]
-    out_cnt[:] = in_cnt[:] + d_cnt[:]
-    # grid blocks are (L, 1, VS, 128) / (3, 1, VS, 128); deltas (1, L, VS, 128).
-    out_sem[:, 0] = in_sem[:, 0] + d_sem[0]
-    out_wc[:, 0] = in_wc[:, 0] + d_wc[0]
+                out_w, out_wsdf, out_cnt, out_sem, out_wc,
+                *, lk_delta, num_labels):
+    """One sorted touched-slot per grid step; channel blocks are the (8, V3)
+    sublane-tile GROUP containing the slot (index_map slots[i] // 8).
+
+    Consecutive steps with equal group share one resident block (Pallas
+    coalesces equal indices): the first step of a run seeds from the aliased
+    input (pre-frame rows), later steps accumulate into the output buffer.
+    The delta row is placed at its in-group row via a one-hot row mask; the
+    delta arrays are fetched as the (8, V3) tile containing row i and the
+    live row selected with static-slice + scalar-mask sums (no dynamic
+    sublane slicing on TPU)."""
+    i = pl.program_id(0)
+    L = num_labels
+    slot = slots_ref[i]
+    first = jnp.logical_or(i == 0,
+                           slots_ref[jnp.maximum(i - 1, 0)] // 8 != slot // 8)
+    r_in = i % 8      # this step's delta row within its fetched tile
+    r_out = slot % 8  # target row within the channel group block
+
+    def pick_row(blk):
+        """blk (8, V3) -> (1, V3): row r_in via static slices + scalar masks
+        (r_in is traced; dynamic sublane slicing is not supported)."""
+        acc = None
+        for r in range(8):
+            m = (r_in == r).astype(blk.dtype)
+            term = blk[r:r + 1, :] * m
+            acc = term if acc is None else acc + term
+        return acc
+
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    place = (rowiota == r_out)                       # (8, 1)
+
+    def rmw(in_ref, out_ref, row):
+        base = jnp.where(first, in_ref[:], out_ref[:])
+        out_ref[:] = base + jnp.where(place, row, 0.0)
+
+    rmw(in_w, out_w, pick_row(d_w[:]))
+    rmw(in_wsdf, out_wsdf, pick_row(d_wsdf[:]))
+    cnt_row = pick_row(d_cnt[:])
+    rmw(in_cnt, out_cnt, cnt_row)
+
+    # Semantic one-hot built in place: sem_delta[l] += lk_delta * cnt at the
+    # measured label (ops/semantic.py decomposition). Blocks (L, 8, V3).
+    lab_row = pick_row(d_lab[:].astype(jnp.float32)).astype(jnp.int32)
+    labiota = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0)
+    sem_add = jnp.where((labiota == lab_row[None]) & place[None],
+                        cnt_row[None] * lk_delta, 0.0)
+    sem_base = jnp.where(first, in_sem[:], out_sem[:])
+    out_sem[:] = sem_base + sem_add
+
+    wc_rows = d_wc[:]                                # (3, 8, V3) tile
+    wc_row = None
+    for r in range(8):
+        m = (r_in == r).astype(jnp.float32)
+        term = wc_rows[:, r:r + 1, :] * m
+        wc_row = term if wc_row is None else wc_row + term
+    wc_base = jnp.where(first, in_wc[:], out_wc[:])
+    out_wc[:] = wc_base + jnp.where(place[None], wc_row, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("lk_delta", "interpret"))
 def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
-                  d_w, d_wsdf, d_cnt, d_sem, d_wc, interpret=False):
+                  d_w, d_wsdf, d_cnt, d_lab, d_wc, lk_delta,
+                  interpret=False):
     """grid_channel[slots[k]] += delta[k] for K touched blocks, in place.
 
-    XLA's scatter walks indices serially (~3-14 us per row at these payload
-    sizes — scripts/profile_projective_core2.py); here each grid step is one
-    block-row DMA in + add + DMA out, pipelined by Pallas, with the channels
-    aliased input->output so untouched rows are never copied. `slots` must
-    place padding (trash-row) entries consecutively (the frame block list is
-    compacted: real slots first, then padding) — Pallas coalesces consecutive
-    equal block indices into a single fetch/writeback.
+    Constraints this design routes around (measured / Mosaic rules):
+      - XLA scatter walks indices serially (~3-14 us per row at these
+        payload sizes — scripts/profile_projective_core2.py);
+      - reshaping channels to Mosaic-tileable (.., V3/128, 128) shapes is a
+        layout *copy* on TPU (~12 ms/frame over the grid);
+      - single rows of a (8, 128)-tiled array cannot be block-fetched or
+        DMA-sliced.
+    So: channels keep their native (rows, V3) layout, `slots` arrives SORTED
+    ascending (padding/trash entries last — grid/hash.py insert_frame_list),
+    and each grid step fetches the 8-row tile group containing its slot.
+    Runs of slots in one group coalesce into a single fetch/writeback, so
+    traffic scales with *distinct groups touched* (slots are allocated
+    consecutively, so frames touch near-minimal group counts).
 
-    Layouts: wsum/wsdf/sem_count (B+1, V3); sem_delta (L, B+1, V3);
-    wcolor (3, B+1, V3); deltas (K, V3) / (K, L, V3) / (K, 3, V3).
-    V3 must be a multiple of 128 (Mosaic (8, 128) block-tiling rule — the
-    voxel axis is reshaped to trailing (V3/128, 128) dims, a free bitcast).
+    Trash entries (slot == capacity) target the exclusive padding tile
+    (GridConfig.padded_rows) and carry zero deltas by construction.
+
+    Layouts: wsum/wsdf/sem_count (rows, V3); sem_delta (L, rows, V3);
+    wcolor (3, rows, V3); deltas (K, V3) f32 / d_lab (K, V3) int32 /
+    d_wc (K, 3, V3), all in frame-list order == sorted-slot order.
     """
     K, V3 = d_w.shape
-    L = d_sem.shape[1]
-    if V3 % 128:
-        raise ValueError(f"block_rmw_add needs vps^3 % 128 == 0, got {V3}")
-    VS = V3 // 128
-    shp = wsum.shape
-    B1 = shp[0]
-    r2 = lambda x: x.reshape(x.shape[:-1] + (VS, 128))
-    wsum, wsdf, sem_count, sem_delta, wcolor, d_w, d_wsdf, d_cnt, d_sem, \
-        d_wc = map(r2, (wsum, wsdf, sem_count, sem_delta, wcolor, d_w,
-                        d_wsdf, d_cnt, d_sem, d_wc))
+    L = sem_delta.shape[0]
+    # color delta to channel-major (XLA transpose — cheap at (K, 3, V3))
+    d_wc = jnp.transpose(d_wc, (1, 0, 2))
 
-    def by_slot(i, slots):
-        return (slots[i], 0, 0)
+    def by_tile(i, slots):
+        return (i // 8, 0)
 
-    def by_slot_mid(i, slots):
-        return (0, slots[i], 0, 0)
+    def by_group(i, slots):
+        return (slots[i] // 8, 0)
 
-    def by_i(i, slots):
-        return (i, 0, 0)
+    def by_group3(i, slots):
+        return (0, slots[i] // 8, 0)
 
-    def by_i4(i, slots):
-        return (i, 0, 0, 0)
-
-    chan_spec = lambda: pl.BlockSpec((1, VS, 128), by_slot)
-    sem_spec = lambda: pl.BlockSpec((L, 1, VS, 128), by_slot_mid)
-    col_spec = lambda: pl.BlockSpec((3, 1, VS, 128), by_slot_mid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, VS, 128), by_i), pl.BlockSpec((1, VS, 128), by_i),
-            pl.BlockSpec((1, VS, 128), by_i),
-            pl.BlockSpec((1, L, VS, 128), by_i4),
-            pl.BlockSpec((1, 3, VS, 128), by_i4),
-            chan_spec(), chan_spec(), chan_spec(), sem_spec(), col_spec(),
+            pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
+            pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
+            pl.BlockSpec((3, 8, V3), lambda i, s: (0, i // 8, 0)),
+            pl.BlockSpec((8, V3), by_group), pl.BlockSpec((8, V3), by_group),
+            pl.BlockSpec((8, V3), by_group),
+            pl.BlockSpec((L, 8, V3), by_group3),
+            pl.BlockSpec((3, 8, V3), by_group3),
         ],
-        out_specs=[chan_spec(), chan_spec(), chan_spec(), sem_spec(),
-                   col_spec()],
+        out_specs=[
+            pl.BlockSpec((8, V3), by_group), pl.BlockSpec((8, V3), by_group),
+            pl.BlockSpec((8, V3), by_group),
+            pl.BlockSpec((L, 8, V3), by_group3),
+            pl.BlockSpec((3, 8, V3), by_group3),
+        ],
     )
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)
                   for x in (wsum, wsdf, sem_count, sem_delta, wcolor)]
     # Aliases index the pallas_call operands (scalar-prefetch arg included):
     # operands are (slots, 5 deltas, 5 grid channels) -> channels at 6..10.
-    outs = pl.pallas_call(
-        _rmw_kernel, grid_spec=grid_spec, out_shape=out_shapes,
+    return pl.pallas_call(
+        functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L),
+        grid_spec=grid_spec, out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(slots, d_w, d_wsdf, d_cnt, d_sem, d_wc,
+    )(slots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
       wsum, wsdf, sem_count, sem_delta, wcolor)
-    return tuple(x.reshape(x.shape[:-2] + (V3,)) for x in outs)

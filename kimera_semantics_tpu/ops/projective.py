@@ -7,14 +7,22 @@ images at each voxel's projected pixel — the classic GPU dense-fusion design
 (KinectFusion / voxel hashing / nvblox), re-derived for TPU:
 
   - per-voxel image sampling is the only gather, and it is executed on the
-    MXU as two one-hot contractions over a per-block image patch (XLA's
-    native gather costs ~11-14 ns per index *serially*; the matmul form is
-    ~50x faster at these sizes — scripts/profile_projective_core2.py);
+    MXU as one-hot contractions over a per-block image patch (XLA's native
+    gather costs ~11-14 ns per index *serially*; the matmul form is ~50x
+    faster at these sizes — scripts/profile_projective_core2.py);
   - patches come from a mip atlas (ops/mip.py) at a per-block level chosen so
     the block's projected bbox fits a static window;
-  - all per-voxel math is dense (K blocks x vps^3 voxels) with no scatter:
-    the deltas are applied blockwise by a tiny Pallas read-modify-write
-    kernel (ops/pallas_kernels.py block_rmw_add) or an XLA scatter off-TPU.
+  - on TPU the whole per-voxel stage runs as ONE fused Pallas kernel
+    (ops/pallas_kernels.py projective_sample_update: atlas resident in VMEM,
+    in-kernel patch slice, per-block MXU one-hot dots, vectorized voxel
+    math — nothing but the per-block deltas ever touches HBM); this module
+    holds the shared metadata math plus the XLA reference/CPU path;
+  - deltas are applied blockwise by a tiny Pallas read-modify-write kernel
+    (block_rmw_add) or an XLA scatter off-TPU.
+
+Patch windows are row_window x col_window with origins aligned to (8, 128)
+— Mosaic's dynamic-slice rule — and mip levels chosen so the projected bbox
+fits the window minus alignment slack (mip.MipPlan thresholds).
 
 Update semantics per voxel mirror the ray-centric integrators exactly
 (ops/tsdf.py update_terms, ops/semantic.py): the one *documented deviation*
@@ -49,18 +57,20 @@ def _corner_offsets():
 
 def block_patch_meta(block_coords: jnp.ndarray, T_C_G: jnp.ndarray,
                      intr, plan: mip_ops.MipPlan, block_size: float):
-    """Per-block mip level + patch origin so every voxel of the block samples
-    inside a (window x window) patch.
+    """Per-block mip level + aligned patch origin so every voxel of the block
+    samples inside a (row_window x col_window) patch.
 
     The projection of an axis-aligned box with all corners in front of the
-    camera is contained in the bbox hull of its 8 projected corners; the level
-    is the smallest one at which that bbox fits the window. Blocks with any
+    camera is contained in the bbox hull of its 8 projected corners; the
+    level is the smallest one at which that bbox fits the plan thresholds
+    (window minus the (8, 128) origin-alignment slack). Blocks with any
     corner at/behind the camera plane fall back to `plan.full_level`, where
     the whole image fits the window, so containment always holds.
 
-    Returns (level (K,), u0_level, v0_level, u0_atlas, v0_atlas) int32.
+    Returns (level, u0_level, v0, u0_atlas) int32 arrays of shape (K,);
+    u0_level may be negative (alignment reaches left of the level origin —
+    such columns are never selected because level coords are >= 0).
     """
-    win = plan.window
     corners = (block_coords.astype(jnp.float32)[:, None, :]
                + _corner_offsets()[None]) * block_size          # (K, 8, 3)
     R, t = T_C_G[:3, :3], T_C_G[:3, 3]
@@ -77,84 +87,94 @@ def block_patch_meta(block_coords: jnp.ndarray, T_C_G: jnp.ndarray,
     vmax = jnp.max(jnp.where(front, v, -big), axis=1)
     all_front = jnp.all(front, axis=1)
 
-    extent = jnp.maximum(umax - umin, vmax - vmin)
-    lvl = jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0) / (win - 8)))
+    need = jnp.maximum((umax - umin) / plan.col_threshold,
+                       (vmax - vmin) / plan.row_threshold)
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(need, 1.0)))
     lvl = jnp.clip(lvl, 0, plan.full_level).astype(jnp.int32)
     lvl = jnp.where(all_front, lvl, plan.full_level)
 
-    widths, heights, offsets = mip_ops.level_tables(plan)
-    w_l, h_l, off_l = widths[lvl], heights[lvl], offsets[lvl]
-    u0 = (jnp.floor(umin).astype(jnp.int32) >> lvl) - 2
-    v0 = (jnp.floor(vmin).astype(jnp.int32) >> lvl) - 2
-    u0 = jnp.where(all_front, jnp.clip(u0, 0, jnp.maximum(w_l - win, 0)), 0)
-    v0 = jnp.where(all_front, jnp.clip(v0, 0, jnp.maximum(h_l - win, 0)), 0)
-    return lvl, u0, v0, off_l + u0, v0
+    _, _, offsets = mip_ops.level_tables(plan)
+    off_l = offsets[lvl]
+    vmin_l = jnp.where(all_front,
+                       (jnp.floor(vmin).astype(jnp.int32) >> lvl) - 1, 0)
+    umin_l = jnp.where(all_front,
+                       (jnp.floor(umin).astype(jnp.int32) >> lvl) - 1, 0)
+    v0 = jnp.clip(jnp.floor_divide(vmin_l, 8) * 8, 0,
+                  plan.atlas_height - plan.row_window)
+    u0a = jnp.clip(jnp.floor_divide(off_l + umin_l, 128) * 128, 0,
+                   plan.atlas_width - plan.col_window)
+    return lvl, u0a - off_l, v0, u0a
 
 
 def extract_patches(atlas: jnp.ndarray, u0_atlas: jnp.ndarray,
-                    v0_atlas: jnp.ndarray, window: int) -> jnp.ndarray:
-    """(C, H, AW) atlas -> (K, C, win, win) patches (vmapped dynamic-slice:
-    K slice-gathers, payload-sized rows — cheap, unlike per-element gathers)."""
+                    v0: jnp.ndarray, plan: mip_ops.MipPlan) -> jnp.ndarray:
+    """(C, AH, AW) atlas -> (K, C, rows, cols) patches (vmapped
+    dynamic-slice: K slice-gathers, payload-sized rows — cheap, unlike
+    per-element gathers). XLA reference path; the TPU kernel slices the
+    VMEM-resident atlas directly."""
     C = atlas.shape[0]
 
-    def one(v0, u0):
-        return jax.lax.dynamic_slice(atlas, (0, v0, u0), (C, window, window))
+    def one(v, u):
+        return jax.lax.dynamic_slice(
+            atlas, (0, v, u), (C, plan.row_window, plan.col_window))
 
-    return jax.vmap(one)(v0_atlas, u0_atlas)
+    return jax.vmap(one)(v0, u0_atlas)
 
 
 def sample_patches(patches: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray,
                    mode: str) -> jnp.ndarray:
-    """Per-voxel patch sampling: (K, C, win, win), (K, V3) -> (K, V3, C).
+    """Per-voxel patch sampling: (K, C, rows, cols), (K, V3) -> (K, V3, C).
 
-    mode "onehot": two one-hot contractions on the MXU. The patch is split
-      hi/lo into bf16 (exact to |x| * 2^-18 — integer channels <= 65535 and
-      metric depth recover exactly after rounding; measured 3e-5 abs on
-      depth), because f32 MXU passes cost ~6x. Out-of-window rows/cols
-      produce all-zero one-hots -> sample 0, masked upstream.
     mode "gather": XLA take_along_axis — exact, fast on CPU, serial on TPU.
+    mode "onehot": two one-hot contractions on the MXU (XLA einsum form;
+      superseded on TPU by the fused kernel, kept for tests/reference). The
+      patch is split hi/lo into bf16 (exact to |x| * 2^-18 — integer
+      channels <= 65535 and metric depth recover exactly after rounding).
+    Out-of-window rows/cols sample 0 (gather: masked; onehot: all-zero
+    one-hot) — masked upstream.
     """
-    K, C, win, _ = patches.shape
+    K, C, rows, cols = patches.shape
     if mode == "gather":
-        inwin = ((row >= 0) & (row < win) & (col >= 0) & (col < win))
-        idx = jnp.where(inwin, row * win + col, 0)
-        flat = patches.reshape(K, C, win * win)
+        inwin = ((row >= 0) & (row < rows) & (col >= 0) & (col < cols))
+        idx = jnp.where(inwin, row * cols + col, 0)
+        flat = patches.reshape(K, C, rows * cols)
         out = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # (K, C, V3)
         return jnp.where(inwin[:, None, :], out, 0.0).transpose(0, 2, 1)
     if mode != "onehot":
         raise ValueError(f"unknown sample mode: {mode}")
     hi = patches.astype(jnp.bfloat16)
     lo = (patches - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    p2 = jnp.concatenate([hi, lo], axis=1)                       # (K, 2C, w, w)
-    r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2)
-    R = (row[:, :, None] == r).astype(jnp.bfloat16)              # (K, V3, w)
-    Cm = (col[:, :, None] == r).astype(jnp.bfloat16)
+    p2 = jnp.concatenate([hi, lo], axis=1)                    # (K, 2C, r, c)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cols), 2)
+    R = (row[:, :, None] == ri).astype(jnp.bfloat16)          # (K, V3, r)
+    Cm = (col[:, :, None] == ci).astype(jnp.bfloat16)         # (K, V3, c)
     D = jnp.einsum("kvr,khrc->kvch", R, p2,
                    preferred_element_type=jnp.float32)
     val2 = jnp.einsum("kvch,kvc->kvh", D, Cm.astype(jnp.float32))
-    return val2[..., :C] + val2[..., C:]                         # (K, V3, C)
+    return val2[..., :C] + val2[..., C:]                       # (K, V3, C)
 
 
 def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
                  atlas: jnp.ndarray, T_G_C: jnp.ndarray, intr,
                  plan: mip_ops.MipPlan, cfg: FusionConfig, sample_mode: str):
-    """Dense per-voxel update contributions for K touched blocks.
+    """Dense per-voxel update contributions for K touched blocks (XLA
+    reference path — semantically identical to the fused TPU kernel).
 
     Returns dict of deltas keyed like the grid channels:
-      w (K, V3), wsdf (K, V3), cnt (K, V3), sem (K, L, V3),
-      wcolor (K, 3, V3) [zeros unless ColorMode.COLOR].
+      w (K, V3), wsdf (K, V3), cnt (K, V3), label (K, V3) int32,
+      sem (K, L, V3), wcolor (K, 3, V3) [zeros unless ColorMode.COLOR].
     """
     from ..core import transforms
 
     g, t = cfg.grid, cfg.tsdf
     vps, V3, L = g.voxels_per_side, g.vps3, g.num_labels
     K = block_coords.shape[0]
-    win = plan.window
 
     T_C_G = transforms.inverse(T_G_C)
-    lvl, u0l, v0l, u0a, v0a = block_patch_meta(
-        block_coords, T_C_G, intr, plan, g.block_size)
-    patches = extract_patches(atlas, u0a, v0a, win)
+    lvl, u0l, v0, u0a = block_patch_meta(block_coords, T_C_G, intr, plan,
+                                         g.block_size)
+    patches = extract_patches(atlas, u0a, v0, plan)
 
     # Voxel centers, SoA (K, V3) per component.
     lin = jnp.arange(V3, dtype=jnp.int32)
@@ -178,15 +198,50 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
     v = intr.fy * pY / zsafe + intr.cy
     ui = jnp.floor(u + 0.5).astype(jnp.int32)                   # nearest pixel
     vi = jnp.floor(v + 0.5).astype(jnp.int32)
-    in_img = zok & (ui >= 0) & (ui < plan.width) & (vi >= 0) & (vi < plan.height)
+    in_img = (zok & (ui >= 0) & (ui < plan.width) & (vi >= 0)
+              & (vi < plan.height))
     ui_c = jnp.clip(ui, 0, plan.width - 1)
     vi_c = jnp.clip(vi, 0, plan.height - 1)
-    row = (vi_c >> lvl[:, None]) - v0l[:, None]
-    col = (ui_c >> lvl[:, None]) - u0l[:, None]
+    ul, vl = ui_c >> lvl[:, None], vi_c >> lvl[:, None]
+    lvl_ok = ((ul < (plan.width >> lvl[:, None]))
+              & (vl < (plan.height >> lvl[:, None])))
+    row = vl - v0[:, None]
+    col = ul - u0l[:, None]
 
     s = sample_patches(patches, row, col, sample_mode)           # (K, V3, 4)
     depth = s[..., 0]
     label = jnp.round(s[..., 1]).astype(jnp.int32)
+
+    w, w_sdf, cnt, upd, color_gate = update_terms_from_sample(
+        depth, label, pX, pY, pZ, zsafe, in_img & lvl_ok,
+        real_block[:, None], cfg)
+
+    lk = _likelihood(cfg)
+    lab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+    inform = cnt > 0
+    sem = jnp.where((label[:, None, :] == lab_iota) & inform[:, None, :],
+                    jnp.float32(lk.delta), 0.0)                  # (K, L, V3)
+
+    if cfg.semantic.color_mode == ColorMode.COLOR:
+        rgb = mip_ops.unpack_color(s[..., 2], s[..., 3])         # (K, V3, 3)
+        wc = jnp.where(upd & color_gate, w, 0.0)
+        wcolor = (wc[:, :, None] * rgb).transpose(0, 2, 1)       # (K, 3, V3)
+    else:
+        wcolor = jnp.zeros((K, 3, V3), jnp.float32)
+    return {"w": w, "wsdf": w_sdf, "cnt": cnt, "label": label, "sem": sem,
+            "wcolor": wcolor}
+
+
+def update_terms_from_sample(depth, label, pX, pY, pZ, zsafe, sample_ok,
+                             real, cfg: FusionConfig):
+    """Shared per-voxel update math given the sampled (depth, label) and the
+    voxel's camera coordinates — used by both the XLA path above and traced
+    inside the fused Pallas kernel (identical semantics by construction).
+
+    Returns (w, w_sdf, cnt, upd, color_gate); w/w_sdf/cnt are masked to 0
+    outside `upd`.
+    """
+    t, g = cfg.tsdf, cfg.grid
     depth_ok = (depth > 0.0) & (depth < mip_ops.DEPTH_SENTINEL * 0.5)
 
     # Surface point along the voxel's own camera ray (P = p_C * depth/z_v):
@@ -197,16 +252,17 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
     sdf = ray_norm - t_v
 
     # voxblox isPointValid on the surface point (ops/tsdf.py point_validity).
-    finite = depth_ok & in_img
+    finite = depth_ok & sample_ok
     too_close = ray_norm < t.min_ray_length_m
     beyond = ray_norm > t.max_ray_length_m
     clearing = beyond & t.allow_clear
     pvalid = finite & ~too_close & (~beyond | t.allow_clear)
     pvalid &= sem_ops.dynamic_label_mask(label, cfg.semantic)
-    pvalid &= real_block[:, None]
+    pvalid &= real
 
     # Traversal-extent masks (ops/raycast.py setup_rays semantics).
     trunc = jnp.float32(t.truncation_distance)
+    vs = jnp.float32(g.voxel_size)
     if t.voxel_carving_enabled:
         normal_band = sdf >= -trunc
     else:
@@ -216,7 +272,8 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
         clear_band = t_v <= clear_len
     else:
         clear_band = jnp.abs(t_v - clear_len) <= 0.5 * vs
-    upd = pvalid & jnp.where(clearing, clear_band, normal_band)
+    # (logical ops, not where-on-bools: Mosaic lacks i1 select)
+    upd = pvalid & ((clearing & clear_band) | (~clearing & normal_band))
 
     # voxblox getVoxelWeight uses the point's camera z == sampled depth.
     if t.use_const_weight:
@@ -224,24 +281,12 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
     else:
         w_point = jnp.where(depth > 1e-6,
                             1.0 / jnp.maximum(depth * depth, 1e-12), 0.0)
-    w, w_sdf, color_gate = tsdf_ops.update_terms(sdf, w_point, t, g.voxel_size)
+    w, w_sdf, color_gate = tsdf_ops.update_terms(sdf, w_point, t,
+                                                 g.voxel_size)
     w = jnp.where(upd, w, 0.0)
     w_sdf = jnp.where(upd, w_sdf, 0.0)
-
-    inform = upd & sem_ops.informative(label)
-    cnt = jnp.where(inform, 1.0, 0.0)
-    lk = _likelihood(cfg)
-    lab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
-    sem = jnp.where((label[:, None, :] == lab_iota) & inform[:, None, :],
-                    jnp.float32(lk.delta), 0.0)                  # (K, L, V3)
-
-    if cfg.semantic.color_mode == ColorMode.COLOR:
-        rgb = mip_ops.unpack_color(s[..., 2], s[..., 3])         # (K, V3, 3)
-        wc = jnp.where(upd & color_gate, w, 0.0)
-        wcolor = (wc[:, :, None] * rgb).transpose(0, 2, 1)       # (K, 3, V3)
-    else:
-        wcolor = jnp.zeros((K, 3, V3), jnp.float32)
-    return {"w": w, "wsdf": w_sdf, "cnt": cnt, "sem": sem, "wcolor": wcolor}
+    cnt = jnp.where(upd & sem_ops.informative(label), 1.0, 0.0)
+    return w, w_sdf, cnt, upd, color_gate
 
 
 def _likelihood(cfg: FusionConfig):

@@ -33,18 +33,18 @@ def cfg_small(**kw):
                         block_capacity=768),
         tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
-        pipeline=PipelineConfig(block_budget=256, sample_window=64,
-                                alloc_stride=4),
+        pipeline=PipelineConfig(block_budget=256, alloc_stride=4),
         **kw,
     )
 
 
 class TestMip:
     def test_plan(self):
-        plan = mip_ops.make_plan(480, 640, 64)
-        assert plan.full_level == 4 and plan.num_levels == 5
-        assert plan.widths == (640, 320, 160, 80, 40)
+        plan = mip_ops.make_plan(480, 640)
+        assert plan.full_level == 3 and plan.num_levels == 4
+        assert plan.widths == (640, 320, 160, 80)
         assert plan.offsets[1] == 640 and plan.atlas_width % 128 == 0
+        assert plan.atlas_height % 8 == 0
 
     def test_min_pool_follows_argmin(self):
         rng = np.random.RandomState(0)
@@ -64,7 +64,7 @@ class TestMip:
         d = jnp.array([[0.0, np.nan], [2.0, -1.0]], dtype=jnp.float32)
         lab = jnp.zeros((2, 2), jnp.int32)
         col = jnp.zeros((2, 2, 3), jnp.float32)
-        plan = mip_ops.make_plan(2, 2, 64)
+        plan = mip_ops.make_plan(2, 2)
         atlas = np.asarray(mip_ops.build_atlas(d, lab, col, plan))
         assert atlas[0, 0, 0] == mip_ops.DEPTH_SENTINEL
         assert atlas[0, 1, 0] == 2.0
@@ -73,7 +73,7 @@ class TestMip:
     def test_color_pack_roundtrip(self):
         rng = np.random.RandomState(1)
         c = rng.randint(0, 256, (4, 4, 3)).astype(np.float32)
-        plan = mip_ops.make_plan(4, 4, 64)
+        plan = mip_ops.make_plan(4, 4)
         atlas = mip_ops.build_atlas(jnp.ones((4, 4)), jnp.zeros((4, 4)),
                                     jnp.asarray(c), plan)
         rgb = np.asarray(mip_ops.unpack_color(atlas[2, :4, :4],
@@ -86,16 +86,16 @@ class TestPatchMeta:
         """Every in-image voxel of every block must land inside its window."""
         cfg = cfg_small()
         plan = mip_ops.make_plan(INTR.height, INTR.width,
-                                 cfg.pipeline.sample_window)
+                                 cfg.pipeline.patch_rows,
+                                 cfg.pipeline.patch_cols)
         rng = np.random.RandomState(2)
         T_G_C = np.asarray(SyntheticDataset(num_frames=8, intr=INTR).pose(3))
         T_C_G = np.asarray(transforms.inverse(jnp.asarray(T_G_C)))
         bc = rng.randint(-6, 6, (64, 3)).astype(np.int32)
-        lvl, u0, v0, _, _ = jax.tree.map(np.asarray, proj_ops.block_patch_meta(
+        lvl, u0, v0, _ = jax.tree.map(np.asarray, proj_ops.block_patch_meta(
             jnp.asarray(bc), jnp.asarray(T_C_G), INTR, plan,
             cfg.grid.block_size))
         vps = cfg.grid.voxels_per_side
-        win = plan.window
         for k in range(64):
             corners = (bc[k][None] + np.array(
                 [[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)])
@@ -115,8 +115,9 @@ class TestPatchMeta:
             inimg = (u >= 0) & (u < 80) & (v >= 0) & (v < 60)
             col = (u[inimg] >> lvl[k]) - u0[k]
             row = (v[inimg] >> lvl[k]) - v0[k]
-            assert np.all((col >= 0) & (col < win)), f"block {k}"
-            assert np.all((row >= 0) & (row < win)), f"block {k}"
+            assert np.all((col >= 0) & (col < plan.col_window)), k
+            assert np.all((row >= 0) & (row < plan.row_window)), k
+            assert v0[k] % 8 == 0  # Mosaic slice alignment contract
 
 
 class TestSampler:
@@ -150,7 +151,7 @@ def numpy_projective_oracle(bc, real, depth, labels, colors, T_G_C, intr,
     g, t, sem = cfg.grid, cfg.tsdf, cfg.semantic
     vps, V3, L = g.voxels_per_side, g.vps3, g.num_labels
     plan = mip_ops.make_plan(intr.height, intr.width,
-                             cfg.pipeline.sample_window)
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     # numpy mip pyramid (min-depth argmin-payload)
     d0 = np.where(np.isfinite(depth) & (depth > 0), depth,
                   mip_ops.DEPTH_SENTINEL).astype(np.float32)
@@ -191,9 +192,9 @@ def numpy_projective_oracle(bc, real, depth, labels, colors, T_G_C, intr,
         if np.all(cam8[:, 2] > 1e-3):
             u8 = intr.fx * cam8[:, 0] / cam8[:, 2] + intr.cx
             v8 = intr.fy * cam8[:, 1] / cam8[:, 2] + intr.cy
-            ext = max(u8.max() - u8.min(), v8.max() - v8.min())
-            lvl = int(np.clip(math.ceil(math.log2(max(ext, 1.0)
-                                                  / (plan.window - 8))),
+            need = max((u8.max() - u8.min()) / plan.col_threshold,
+                       (v8.max() - v8.min()) / plan.row_threshold)
+            lvl = int(np.clip(math.ceil(math.log2(max(need, 1.0))),
                               0, plan.full_level))
         else:
             lvl = plan.full_level
@@ -266,7 +267,8 @@ class TestVoxelDeltasOracle:
                               label_map=LabelColorMap.random())
         fr = ds.frame(2)
         plan = mip_ops.make_plan(INTR.height, INTR.width,
-                                 cfg.pipeline.sample_window)
+                                 cfg.pipeline.patch_rows,
+                                 cfg.pipeline.patch_cols)
         atlas = mip_ops.build_atlas(fr.depth, fr.labels, fr.colors, plan)
         rng = np.random.RandomState(7)
         bc = rng.randint(-8, 8, (24, 3)).astype(np.int32)
@@ -312,12 +314,16 @@ class TestApplyPaths:
                                            INTR)
         nb = int(g_xla.n_blocks)
         assert nb == int(g_pallas.n_blocks) and nb > 0
+        # The fused kernel samples depth through the bf16 hi/lo split
+        # (|err| < depth * 2^-18); the XLA path gathers exactly. Values agree
+        # to that bound; band-edge voxels whose sdf sits within the split
+        # error of a mask boundary may flip entirely (rare).
         for name in ("wsum", "wsdf", "sem_count", "sem_delta", "wcolor"):
             a = np.asarray(getattr(g_pallas, name))
             b = np.asarray(getattr(g_xla, name))
             sl = (slice(None), slice(0, nb)) if a.ndim == 3 else slice(0, nb)
-            np.testing.assert_allclose(a[sl], b[sl], rtol=0, atol=1e-6,
-                                       err_msg=name)
+            bad = np.abs(a[sl] - b[sl]) > 1e-3 + 1e-3 * np.abs(b[sl])
+            assert bad.mean() < 5e-3, (name, bad.mean())
         del g0
 
 
