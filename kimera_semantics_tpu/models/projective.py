@@ -60,7 +60,7 @@ def _sample_mode(cfg: FusionConfig) -> str:
 
 
 def _allocate(grid: VoxelGrid, frame: common.Frame, cfg: FusionConfig,
-              intr: PinholeIntrinsics):
+              intr: PinholeIntrinsics, shard=None):
     """Block-granularity allocation: coarse DDA over subsampled pixel rays.
 
     Mirrors the reference's allocate-on-demand along every ray
@@ -68,17 +68,27 @@ def _allocate(grid: VoxelGrid, frame: common.Frame, cfg: FusionConfig,
     any block a ray corridor crosses (extended by the truncation band) is
     allocated. Pixel subsampling by `alloc_stride` is safe because a block at
     the maximum ray length still spans many strides of pixels.
+
+    `shard`: optional (my_index, num_shards) — keep only blocks this shard
+    owns by block-key hash (parallel/sharding.py ownership protocol).
     """
+    return allocate_from_depth(grid, frame.depth, frame.labels, frame.T_G_C,
+                               cfg, intr, shard)
+
+
+def allocate_from_depth(grid: VoxelGrid, depth, labels, T_G_C,
+                        cfg: FusionConfig, intr: PinholeIntrinsics,
+                        shard=None):
     g, t, stride = cfg.grid, cfg.tsdf, cfg.pipeline.alloc_stride
     sub = intr.scaled(intr.width // stride, intr.height // stride)
-    depth = frame.depth[::stride, ::stride]
-    labels = frame.labels[::stride, ::stride].reshape(-1)
+    depth = depth[::stride, ::stride]
+    labels = labels[::stride, ::stride].reshape(-1)
     from ..core import camera as cam
     pts_C, px_valid = cam.backproject(depth, sub)
     valid, is_clearing = tsdf_ops.point_validity(pts_C, t)
     valid = valid & px_valid & sem_ops.dynamic_label_mask(labels, cfg.semantic)
-    pts_G = transforms.apply(frame.T_G_C, pts_C)
-    origin = transforms.translation(frame.T_G_C)
+    pts_G = transforms.apply(T_G_C, pts_C)
+    origin = transforms.translation(T_G_C)
 
     start_s, end_s = raycast.setup_rays(
         jnp.broadcast_to(origin, pts_G.shape), pts_G, is_clearing,
@@ -95,6 +105,13 @@ def _allocate(grid: VoxelGrid, frame: common.Frame, cfg: FusionConfig,
     bvalid = bvalid & bhash.in_bounds_soa(bx, by, bz, g.world_extent_blocks)
     keys = bhash.pack_block_coords_soa(bx, by, bz, g.world_extent_blocks)
 
+    if shard is not None:
+        # Hash-ownership filter (same salt/mix as ops/integrate.py so the
+        # ray-centric and projective sharded paths agree on owners).
+        my, num = shard
+        owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num
+        bvalid = bvalid & (owner == my)
+
     tk, ts, bc, nb, ov, fcoords, fslots = bhash.insert_frame_list(
         grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
         keys.reshape(-1), bvalid.reshape(-1), g.table_size, g.block_capacity,
@@ -109,18 +126,26 @@ def _allocate(grid: VoxelGrid, frame: common.Frame, cfg: FusionConfig,
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     """One full projective frame update, jit-compiled end to end."""
-    g = cfg.grid
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
-
     grid, fcoords, fslots = _allocate(grid, frame, cfg, intr)
+    return apply_frame(grid, atlas, frame.T_G_C, fcoords, fslots, cfg, intr,
+                       plan)
+
+
+def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots,
+                cfg: FusionConfig, intr: PinholeIntrinsics,
+                plan) -> VoxelGrid:
+    """Sample + update the listed blocks from one frame's atlas (trace-level
+    building block shared by integrate_frame and the sharded step)."""
+    g = cfg.grid
     real = fslots < g.block_capacity
 
     if _use_pallas(cfg):
         from ..ops import pallas_kernels
         from ..ops.integrate import make_likelihood_cached
-        T_C_G = transforms.inverse(frame.T_G_C)
+        T_C_G = transforms.inverse(T_G_C)
         lvl, u0l, v0, u0a = proj_ops.block_patch_meta(
             fcoords, T_C_G, intr, plan, g.block_size)
         meta = jnp.stack(
@@ -139,7 +164,7 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
             lk_delta=make_likelihood_cached(cfg).delta,
             interpret=FORCE_PALLAS_INTERPRET)
     else:
-        d = proj_ops.voxel_deltas(fcoords, real, atlas, frame.T_G_C, intr,
+        d = proj_ops.voxel_deltas(fcoords, real, atlas, T_G_C, intr,
                                   plan, cfg, _sample_mode(cfg))
         safe = jnp.where(real, fslots, g.block_capacity)
         wsum = grid.wsum.at[safe].add(d["w"], mode="drop")
