@@ -79,17 +79,31 @@ def main():
     # (models/projective.py); "fast"/"merged" are the reference-parity
     # ray-centric integrators, selectable for comparison.
     method = os.environ.get("BENCH_METHOD", "projective")
-    batch = 1 if method in ("merged", "projective") else bench_batch
+    batch = 1 if method == "merged" else bench_batch
     if method == "merged":
         from kimera_semantics_tpu.models import merged as merged_mod
         step = lambda g, f: merged_mod.integrate_frame(g, f, cfg, intr)
         groups = list(frames[4:4 + n_frames])
         warm = list(frames[:4])
-    elif method == "projective":
+    elif method == "projective" and batch == 1:
         from kimera_semantics_tpu.models import projective as proj_mod
         step = lambda g, f: proj_mod.integrate_frame(g, f, cfg, intr)
         groups = list(frames[4:4 + n_frames])
         warm = list(frames[:4])
+    elif method == "projective":
+        from kimera_semantics_tpu.models import projective as proj_mod
+        from kimera_semantics_tpu.models.common import Frame as _F
+        assert n_frames % batch == 0
+
+        def stackp(fs):
+            return _F(depth=jnp.stack([f.depth for f in fs]),
+                      labels=jnp.stack([f.labels for f in fs]),
+                      colors=jnp.stack([f.colors for f in fs]),
+                      T_G_C=jnp.stack([f.T_G_C for f in fs]))
+        step = lambda g, fs: proj_mod.integrate_frames(g, stackp(fs), cfg,
+                                                       intr)
+        groups = [frames[i:i + batch] for i in range(4, 4 + n_frames, batch)]
+        warm = [frames[0:batch]]
     elif batch > 1:
         from kimera_semantics_tpu.models.common import Frame as _F
         assert n_frames % batch == 0, "BENCH_FRAMES must be divisible by BENCH_BATCH"

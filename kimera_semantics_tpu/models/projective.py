@@ -190,3 +190,24 @@ class ProjectiveSemanticTsdfIntegrator:
 
     def integrate(self, grid: VoxelGrid, frame: common.Frame) -> VoxelGrid:
         return integrate_frame(grid, frame, self.cfg, self.intr)
+
+
+@partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
+def integrate_frames(grid: VoxelGrid, frames: common.Frame,
+                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
+    """Batched multi-frame update: B frames in one jit dispatch.
+
+    frames: a Frame whose arrays carry a leading batch axis (B, ...). The
+    frames are integrated sequentially on-device (allocation state chains
+    through the hash table), amortizing host dispatch and letting XLA
+    pipeline the B x (atlas, alloc, sample, apply) stages."""
+    B = frames.depth.shape[0]
+    plan = mip_ops.make_plan(intr.height, intr.width,
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
+    for b in range(B):
+        f = jax.tree.map(lambda x: x[b], frames)
+        atlas = mip_ops.build_atlas(f.depth, f.labels, f.colors, plan)
+        grid, fcoords, fslots = _allocate(grid, f, cfg, intr)
+        grid = apply_frame(grid, atlas, f.T_G_C, fcoords, fslots, cfg, intr,
+                           plan)
+    return grid

@@ -346,3 +346,33 @@ class TestFrameBlockList:
         bcs = np.asarray(grid2.block_coords)
         np.testing.assert_array_equal(bcs[fs[real]],
                                       np.asarray(fcoords)[real])
+
+
+class TestBatchedProjective:
+    def test_matches_sequential(self):
+        # distinct cfg: integrate_frame's jit cache keys on cfg, and other
+        # tests compile the same-valued cfg with FORCE_PALLAS_INTERPRET
+        # (module flag, not part of the key) baked in
+        cfg = cfg_small()
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, alloc_stride=2))
+        ds = SyntheticDataset(num_frames=4, intr=INTR,
+                              label_map=LabelColorMap.random())
+        frames = [ds.frame(i) for i in range(3)]
+        g_seq = blocks.create(cfg)
+        for f in frames:
+            g_seq = proj_model.integrate_frame(g_seq, f, cfg, INTR)
+        import jax.numpy as jnp
+        from kimera_semantics_tpu.models.common import Frame
+        batched = Frame(depth=jnp.stack([f.depth for f in frames]),
+                        labels=jnp.stack([f.labels for f in frames]),
+                        colors=jnp.stack([f.colors for f in frames]),
+                        T_G_C=jnp.stack([f.T_G_C for f in frames]))
+        g_bat = proj_model.integrate_frames(blocks.create(cfg), batched, cfg,
+                                            INTR)
+        assert int(g_bat.n_blocks) == int(g_seq.n_blocks) > 0
+        for name in ("wsum", "wsdf", "sem_count", "sem_delta", "wcolor"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_bat, name)),
+                np.asarray(getattr(g_seq, name)), rtol=1e-6, atol=1e-6,
+                err_msg=name)
