@@ -125,3 +125,49 @@ class TestDatasets:
                  depth=np.zeros((4, 4), np.float32))
         with pytest.raises(ValueError):
             ds_io.DirectoryDataset(str(tmp_path / "bad"))
+
+
+import os as _os
+import pytest as _pytest
+
+
+REF_CFG = "/root/reference/kimera_semantics_ros/cfg"
+
+
+@_pytest.mark.skipif(not _os.path.isdir(REF_CFG),
+                     reason="reference checkout not present")
+class TestReferenceCsvCompat:
+    """The reference's actual label<->color CSVs load unmodified
+    (color.cpp:42-67 format: name,red,green,blue,alpha,id)."""
+
+    @_pytest.mark.parametrize("name,n_min", [
+        ("tesse_multiscene_office1_segmentation_mapping.csv", 20),
+        ("maskrcnn_mapping.csv", 50),  # the complete 80-class map
+        # (mask_rcnn_mapping.csv is an unfilled template: rows "name," only)
+        ("simulation.csv", 3),
+    ])
+    def test_loads(self, name, n_min):
+        import numpy as np
+        from kimera_semantics_tpu.core.color import LabelColorMap
+        path = _os.path.join(REF_CFG, name)
+        if not _os.path.exists(path):
+            _pytest.skip(f"{name} absent")
+        m = LabelColorMap.from_csv(path)
+        assert m.num_labels >= n_min
+        # White is forced to label 0 (color.cpp:62-66) and unknown colors
+        # fall back to label 0 (color.cpp:69-82).
+        import jax.numpy as jnp
+        white = jnp.asarray([[255, 255, 255]], dtype=jnp.uint8)
+        assert int(m.labels_from_colors(white)[0]) == 0
+        odd = jnp.asarray([[254, 253, 1]], dtype=jnp.uint8)
+        assert int(m.labels_from_colors(odd)[0]) == 0
+        # The label<->color mapping is many-to-one both ways in the
+        # reference CSVs (shared colors; White forced to 0) — exact
+        # round-trips don't exist, but one color->label->color->label pass
+        # must be idempotent.
+        labs = jnp.arange(m.num_labels, dtype=jnp.int32)
+        back = m.labels_from_colors(m.colors_from_labels(labs).astype(
+            jnp.uint8))
+        canon = m.colors_from_labels(back)
+        back2 = m.labels_from_colors(canon.astype(jnp.uint8))
+        assert np.array_equal(np.asarray(back), np.asarray(back2))
