@@ -142,8 +142,9 @@ class TestReferenceCsvCompat:
 
     @_pytest.mark.parametrize("name,n_min", [
         ("tesse_multiscene_office1_segmentation_mapping.csv", 20),
-        ("maskrcnn_mapping.csv", 50),  # the complete 80-class map
+        # maskrcnn: 81 class names collapsed onto 21 ids
         # (mask_rcnn_mapping.csv is an unfilled template: rows "name," only)
+        ("maskrcnn_mapping.csv", 21),
         ("simulation.csv", 3),
     ])
     def test_loads(self, name, n_min):
