@@ -159,6 +159,19 @@ def main():
                                          cfg.resolved_max_steps())
         return jnp.sum(step_valid & kept[:, None])
 
+    # Mesh quality (untimed): marching-cubes mesh of the reconstructed grid
+    # vs the analytic GT world — the north-star's "mesh L2 error" leg.
+    mesh_err = None
+    mesh_tris = 0
+    if os.environ.get("BENCH_MESH", "1") == "1":
+        from kimera_semantics_tpu.ops import mesh as mesh_ops
+        from kimera_semantics_tpu.sim import eval as sim_eval
+        mesh = mesh_ops.extract_mesh(grid, cfg, label_map=label_map)
+        mesh_tris = int(mesh.num_triangles)
+        if mesh_tris:
+            me = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
+            mesh_err = me
+
     upd = sum(int(count_updates(f)) for f in frames[4:4 + n_frames])
     updates_per_s = upd / elapsed
 
@@ -174,6 +187,10 @@ def main():
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
+    if mesh_err is not None:
+        result["mesh_error_mean_m"] = round(mesh_err["mean"], 5)
+        result["mesh_error_p95_m"] = round(mesh_err["p95"], 5)
+        result["mesh_triangles"] = mesh_tris
     print(json.dumps(result))
     return 0
 
