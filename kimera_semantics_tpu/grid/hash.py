@@ -202,12 +202,24 @@ def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
     """insert_compacted + this frame's touched-block list (projective path).
 
     Returns (table_keys, table_slots, block_coords, n_blocks, overflow,
-    frame_coords (budget, 3) int32, frame_slots (budget,) int32). Padding
-    entries sit consecutively at the tail with slot == capacity (the trash
-    row) — the layout the Pallas block_rmw_add kernel expects. Unique keys
-    beyond `budget` are dropped and counted in overflow (their blocks may
-    still be allocated on a later frame)."""
+    frame_coords (budget, 3) int32, frame_slots (budget,) int32,
+    frame_real (budget,) bool).
+
+    The list is GROUP-ALIGNED: it is partitioned into 8-row tiles, one per
+    distinct slot-tile group (slot // 8) touched this frame, groups in
+    ascending slot order; entry j covers slot group(j//8) * 8 + j % 8 —
+    exactly the row layout of the grid channels' (8, 128) sublane tiles, so
+    the Pallas apply kernel (ops/pallas_kernels.py block_rmw_add) does one
+    aligned read-modify-write per tile group with no row placement.
+    `frame_real[j]` marks rows whose slot is a block actually touched this
+    frame; the other rows of a touched group are in-group padding (callers
+    must emit zero deltas for them — the sample kernel's `real` gate).
+    Tiles beyond the touched groups are trash tiles (slots capacity + j%8,
+    the grid's trash rows). Touched blocks that do not fit `budget` rows are
+    dropped and counted in overflow (their blocks may still be allocated and
+    updated on a later frame)."""
     import numpy as np
+    assert budget % 8 == 0 and capacity % 8 == 0
     trash = np.int32(0x7FFFFFFF)
     k = jnp.where(active, keys, trash)
     sk = jnp.sort(k)
@@ -219,12 +231,31 @@ def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
     tk, ts, bc, nb, ov = insert(table_keys, table_slots, block_coords,
                                 n_blocks, uk, uk != trash, table_size,
                                 capacity, extent)
-    fslots = lookup(tk, ts, uk, table_size)
-    real = (uk != trash) & (fslots >= 0)
-    fslots = jnp.where(real, fslots, capacity)
-    fcoords = jnp.where(real[:, None], unpack_block_key(uk, extent), 0)
-    # Sort the list by slot (trash == capacity sorts last): the projective
-    # RMW kernel requires equal slot-tile groups to be consecutive
-    # (ops/pallas_kernels.py block_rmw_add).
-    order = jnp.argsort(fslots)
-    return tk, ts, bc, nb, ov + dropped, fcoords[order], fslots[order]
+    slots_u = lookup(tk, ts, uk, table_size)
+    real_u = (uk != trash) & (slots_u >= 0)
+    # Sort touched slots ascending (non-real last), rank their tile groups.
+    big = jnp.int32(1 << 30)
+    s_sort = jnp.where(real_u, slots_u, big)
+    order = jnp.argsort(s_sort)
+    s = s_sort[order]
+    coords_u = jnp.where(real_u[:, None],
+                         unpack_block_key(uk, extent), 0)[order]
+    isreal = s < big
+    grp = s // 8
+    newg = isreal & jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), grp[1:] != grp[:-1]])
+    grank = jnp.cumsum(newg.astype(jnp.int32)) - 1
+    pos = jnp.where(isreal, grank * 8 + s % 8, budget)
+    group_overflow = jnp.sum((pos >= budget) & isreal)
+    pos = jnp.minimum(pos, budget)  # >= budget -> dropped by mode="drop"
+    n_tiles = budget // 8
+    trash_group = capacity // 8
+    tile_groups = jnp.full((n_tiles,), trash_group, jnp.int32)
+    tile_groups = tile_groups.at[pos // 8].set(grp, mode="drop")
+    row = jnp.arange(budget, dtype=jnp.int32) % 8
+    fslots = jnp.repeat(tile_groups, 8) * 8 + row
+    freal = jnp.zeros((budget,), dtype=bool).at[pos].set(isreal, mode="drop")
+    fcoords = jnp.zeros((budget, 3), jnp.int32).at[pos].set(coords_u,
+                                                            mode="drop")
+    return (tk, ts, bc, nb, ov + dropped + group_overflow, fcoords, fslots,
+            freal)

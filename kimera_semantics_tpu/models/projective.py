@@ -112,14 +112,14 @@ def allocate_from_depth(grid: VoxelGrid, depth, labels, T_G_C,
         owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num
         bvalid = bvalid & (owner == my)
 
-    tk, ts, bc, nb, ov, fcoords, fslots = bhash.insert_frame_list(
+    tk, ts, bc, nb, ov, fcoords, fslots, freal = bhash.insert_frame_list(
         grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
         keys.reshape(-1), bvalid.reshape(-1), g.table_size, g.block_capacity,
         g.world_extent_blocks, cfg.pipeline.block_budget)
     grid = dataclasses.replace(
         grid, table_keys=tk, table_slots=ts, block_coords=bc, n_blocks=nb,
         overflow=grid.overflow + ov)
-    return grid, fcoords, fslots
+    return grid, fcoords, fslots, freal
 
 
 @partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
@@ -129,18 +129,22 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
-    grid, fcoords, fslots = _allocate(grid, frame, cfg, intr)
-    return apply_frame(grid, atlas, frame.T_G_C, fcoords, fslots, cfg, intr,
-                       plan)
+    grid, fcoords, fslots, freal = _allocate(grid, frame, cfg, intr)
+    return apply_frame(grid, atlas, frame.T_G_C, fcoords, fslots, freal, cfg,
+                       intr, plan)
 
 
-def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots,
+def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
                 cfg: FusionConfig, intr: PinholeIntrinsics,
                 plan) -> VoxelGrid:
     """Sample + update the listed blocks from one frame's atlas (trace-level
-    building block shared by integrate_frame and the sharded step)."""
+    building block shared by integrate_frame and the sharded step).
+
+    fcoords/fslots/freal are the group-aligned frame list of
+    grid/hash.py insert_frame_list; `freal` gates which rows sample (padding
+    rows emit zero deltas so the aligned tile add is a no-op for them)."""
     g = cfg.grid
-    real = fslots < g.block_capacity
+    real = freal
 
     if _use_pallas(cfg):
         from ..ops import pallas_kernels
@@ -175,7 +179,8 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots,
         wcolor = grid.wcolor.at[:, safe].add(
             d["wcolor"].transpose(1, 0, 2), mode="drop")
 
-    updated = grid.updated.at[fslots].set(True, mode="drop")
+    updated = grid.updated.at[jnp.where(real, fslots, g.padded_rows)].set(
+        True, mode="drop")
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
         sem_delta=sem_delta, updated=updated)
@@ -207,7 +212,7 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     for b in range(B):
         f = jax.tree.map(lambda x: x[b], frames)
         atlas = mip_ops.build_atlas(f.depth, f.labels, f.colors, plan)
-        grid, fcoords, fslots = _allocate(grid, f, cfg, intr)
-        grid = apply_frame(grid, atlas, f.T_G_C, fcoords, fslots, cfg, intr,
-                           plan)
+        grid, fcoords, fslots, freal = _allocate(grid, f, cfg, intr)
+        grid = apply_frame(grid, atlas, f.T_G_C, fcoords, fslots, freal, cfg,
+                           intr, plan)
     return grid

@@ -401,90 +401,39 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
 # Blockwise read-modify-write accumulation (projective integrator apply).
 # ---------------------------------------------------------------------------
 
-def _rmw_kernel(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
                 in_w, in_wsdf, in_cnt, in_sem, in_wc,
                 out_w, out_wsdf, out_cnt, out_sem, out_wc,
-                *, lk_delta, num_labels, capacity):
-    """One sorted touched-slot per grid step; channel blocks are the (8, V3)
-    sublane-tile GROUP containing the slot (index_map slots[i] // 8).
+                *, lk_delta, num_labels, trash_group):
+    """One touched tile GROUP per grid step.
 
-    Consecutive steps with equal group share one resident block (Pallas
-    coalesces equal indices): the first step of a run seeds from the aliased
-    input (pre-frame rows), later steps accumulate into the output buffer.
-    The delta row is placed at its in-group row via a one-hot row mask; the
-    delta arrays are fetched as the (8, V3) tile containing row i and the
-    live row selected with static-slice + scalar-mask sums (no dynamic
-    sublane slicing on TPU)."""
-    i = pl.program_id(0)
-    L = num_labels
-    slot = slots_ref[i]
-    first = jnp.logical_or(i == 0,
-                           slots_ref[jnp.maximum(i - 1, 0)] // 8 != slot // 8)
-    r_in = i % 8      # this step's delta row within its fetched tile
-    r_out = slot % 8  # target row within the channel group block
+    The frame list is group-aligned (grid/hash.py insert_frame_list): delta
+    tile i's 8 rows sit at exactly the in-group rows of channel group
+    groups[i], so the update is a straight aligned add — no row placement,
+    no cross-step accumulation. The semantic one-hot expansion
+    (ops/semantic.py decomposition: sem_delta[l] += lk_delta * cnt at the
+    measured label) runs once per *group*, not once per slot.
 
-    # Trash-padding steps (slot >= capacity) do no work: their group's
-    # output buffer is written back uninitialized, which only ever lands in
-    # the exclusive padding tile (garbage by contract). The frame list is
-    # compacted real-first, so this skips the whole padding tail.
-    @pl.when(slot < capacity)
+    Trash tiles (groups[i] == trash_group, consecutive at the tail) skip the
+    body; their uninitialized output buffers land only in the grid's
+    exclusive trash tile (garbage by contract)."""
+    @pl.when(groups_ref[pl.program_id(0)] != trash_group)
     def _body():
-        _rmw_step(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
-                  in_w, in_wsdf, in_cnt, in_sem, in_wc,
-                  out_w, out_wsdf, out_cnt, out_sem, out_wc,
-                  first, r_in, r_out, L, lk_delta)
-
-
-def _rmw_step(slots_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
-              in_w, in_wsdf, in_cnt, in_sem, in_wc,
-              out_w, out_wsdf, out_cnt, out_sem, out_wc,
-              first, r_in, r_out, L, lk_delta):
-    def pick_row(blk):
-        """blk (8, V3) -> (1, V3): row r_in via static slices + scalar masks
-        (r_in is traced; dynamic sublane slicing is not supported)."""
-        acc = None
-        for r in range(8):
-            m = (r_in == r).astype(blk.dtype)
-            term = blk[r:r + 1, :] * m
-            acc = term if acc is None else acc + term
-        return acc
-
-    rowiota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    place = (rowiota == r_out)                       # (8, 1)
-
-    def rmw(in_ref, out_ref, row):
-        base = jnp.where(first, in_ref[:], out_ref[:])
-        out_ref[:] = base + jnp.where(place, row, 0.0)
-
-    rmw(in_w, out_w, pick_row(d_w[:]))
-    rmw(in_wsdf, out_wsdf, pick_row(d_wsdf[:]))
-    cnt_row = pick_row(d_cnt[:])
-    rmw(in_cnt, out_cnt, cnt_row)
-
-    # Semantic one-hot built in place: sem_delta[l] += lk_delta * cnt at the
-    # measured label (ops/semantic.py decomposition). Blocks (L, 8, V3).
-    lab_row = pick_row(d_lab[:].astype(jnp.float32)).astype(jnp.int32)
-    labiota = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0)
-    sem_add = jnp.where((labiota == lab_row[None]) & place[None],
-                        cnt_row[None] * lk_delta, 0.0)
-    sem_base = jnp.where(first, in_sem[:], out_sem[:])
-    out_sem[:] = sem_base + sem_add
-
-    wc_rows = d_wc[:]                                # (3, 8, V3) tile
-    wc_row = None
-    for r in range(8):
-        m = (r_in == r).astype(jnp.float32)
-        term = wc_rows[:, r:r + 1, :] * m
-        wc_row = term if wc_row is None else wc_row + term
-    wc_base = jnp.where(first, in_wc[:], out_wc[:])
-    out_wc[:] = wc_base + jnp.where(place[None], wc_row, 0.0)
+        out_w[:] = in_w[:] + d_w[:]
+        out_wsdf[:] = in_wsdf[:] + d_wsdf[:]
+        cnt = d_cnt[:]
+        out_cnt[:] = in_cnt[:] + cnt
+        labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1), 0)
+        out_sem[:] = in_sem[:] + jnp.where(labiota == d_lab[:][None],
+                                           cnt[None] * lk_delta, 0.0)
+        out_wc[:] = in_wc[:] + d_wc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("lk_delta", "interpret"))
 def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
                   d_w, d_wsdf, d_cnt, d_lab, d_wc, lk_delta,
                   interpret=False):
-    """grid_channel[slots[k]] += delta[k] for K touched blocks, in place.
+    """grid_channel[slots[k]] += delta[k] for K touched-list rows, in place.
 
     Constraints this design routes around (measured / Mosaic rules):
       - XLA scatter walks indices serially (~3-14 us per row at these
@@ -493,41 +442,39 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
         layout *copy* on TPU (~12 ms/frame over the grid);
       - single rows of a (8, 128)-tiled array cannot be block-fetched or
         DMA-sliced.
-    So: channels keep their native (rows, V3) layout, `slots` arrives SORTED
-    ascending (padding/trash entries last — grid/hash.py insert_frame_list),
-    and each grid step fetches the 8-row tile group containing its slot.
-    Runs of slots in one group coalesce into a single fetch/writeback, so
-    traffic scales with *distinct groups touched* (slots are allocated
-    consecutively, so frames touch near-minimal group counts).
-
-    Trash entries (slot == capacity) target the exclusive padding tile
-    (GridConfig.padded_rows) and carry zero deltas by construction.
+    So: channels keep their native (rows, V3) layout and `slots` arrives
+    GROUP-ALIGNED (grid/hash.py insert_frame_list): every 8-row delta tile
+    covers exactly one (8, V3) channel tile group, rows pre-placed, distinct
+    groups per tile, trash tiles last. The kernel runs one grid step per
+    tile: fetch group, add the aligned delta tile, write back. Traffic and
+    compute scale with *distinct groups touched*; in-group padding rows
+    carry zero deltas by construction (the sample kernel's `real` gate).
 
     Layouts: wsum/wsdf/sem_count (rows, V3); sem_delta (L, rows, V3);
     wcolor (3, rows, V3); deltas (K, V3) f32 / d_lab (K, V3) int32 /
-    d_wc (K, 3, V3), all in frame-list order == sorted-slot order.
+    d_wc (K, 3, V3), all in frame-list (group-aligned) order.
     """
     K, V3 = d_w.shape
     L = sem_delta.shape[0]
+    assert K % 8 == 0
     # color delta to channel-major (XLA transpose — cheap at (K, 3, V3))
     d_wc = jnp.transpose(d_wc, (1, 0, 2))
+    # Per-tile group ids; row 0 of each tile carries the tile's slot.
+    groups = slots[::8] // 8
+    trash_group = (wsum.shape[0] - 8) // 8
 
-    def by_tile(i, slots):
-        return (i // 8, 0)
-
-    def by_group(i, slots):
-        return (slots[i] // 8, 0)
-
-    def by_group3(i, slots):
-        return (0, slots[i] // 8, 0)
+    by_tile = lambda i, g: (i, 0)
+    by_tile3 = lambda i, g: (0, i, 0)
+    by_group = lambda i, g: (g[i], 0)
+    by_group3 = lambda i, g: (0, g[i], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(K,),
+        grid=(K // 8,),
         in_specs=[
             pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
             pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
-            pl.BlockSpec((3, 8, V3), lambda i, s: (0, i // 8, 0)),
+            pl.BlockSpec((3, 8, V3), by_tile3),
             pl.BlockSpec((8, V3), by_group), pl.BlockSpec((8, V3), by_group),
             pl.BlockSpec((8, V3), by_group),
             pl.BlockSpec((L, 8, V3), by_group3),
@@ -543,14 +490,14 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)
                   for x in (wsum, wsdf, sem_count, sem_delta, wcolor)]
     # Aliases index the pallas_call operands (scalar-prefetch arg included):
-    # operands are (slots, 5 deltas, 5 grid channels) -> channels at 6..10.
+    # operands are (groups, 5 deltas, 5 grid channels) -> channels at 6..10.
     return pl.pallas_call(
         functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L,
-                          capacity=wsum.shape[0] - 8),
+                          trash_group=trash_group),
         grid_spec=grid_spec, out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(slots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+    )(groups, d_w, d_wsdf, d_cnt, d_lab, d_wc,
       wsum, wsdf, sem_count, sem_delta, wcolor)

@@ -167,10 +167,10 @@ def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
             depth_f = jnp.where(depth_f < mip_ops.DEPTH_SENTINEL * 0.5,
                                 depth_f, 0.0)
             labels_f = jnp.round(at[1, :H, :W]).astype(jnp.int32)
-            grid, fcoords, fslots = proj_model.allocate_from_depth(
+            grid, fcoords, fslots, freal = proj_model.allocate_from_depth(
                 grid, depth_f, labels_f, T, cfg, intr, shard=(my, d))
-            grid = proj_model.apply_frame(grid, at, T, fcoords, fslots, cfg,
-                                          intr, plan)
+            grid = proj_model.apply_frame(grid, at, T, fcoords, fslots,
+                                          freal, cfg, intr, plan)
         return jax.tree.map(lambda x: x[None], grid)
 
     return jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),

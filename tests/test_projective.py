@@ -328,20 +328,30 @@ class TestApplyPaths:
 
 
 class TestFrameBlockList:
-    def test_padding_consecutive_and_slots_valid(self):
+    def test_group_aligned_layout(self):
         cfg = cfg_small()
         ds = SyntheticDataset(num_frames=4, intr=INTR,
                               label_map=LabelColorMap.random())
         grid = blocks.create(cfg)
-        grid2, fcoords, fslots = proj_model._allocate(grid, ds.frame(0), cfg,
-                                                      INTR)
-        fs = np.asarray(fslots)
+        grid2, fcoords, fslots, freal = proj_model._allocate(
+            grid, ds.frame(0), cfg, INTR)
+        fs, real = np.asarray(fslots), np.asarray(freal)
         cap = cfg.grid.block_capacity
-        real = fs < cap
-        # all real entries precede all padding entries
-        assert not np.any(np.diff(real.astype(int)) > 0)
+        budget = cfg.pipeline.block_budget
+        # Group alignment: entry j covers slot group(j//8)*8 + j%8; each tile
+        # is one distinct group; real tiles (slot < cap) precede trash tiles
+        # (slots cap..cap+7, the grid's trash rows).
+        assert np.array_equal(fs % 8, np.arange(budget) % 8)
+        tile_groups = fs[::8] // 8
+        real_tiles = tile_groups < cap // 8
+        assert not np.any(np.diff(real_tiles.astype(int)) > 0)
+        rg = tile_groups[real_tiles]
+        assert np.all(np.diff(rg) > 0)            # distinct, ascending
+        assert np.all(tile_groups[~real_tiles] == cap // 8)
+        # real rows are exactly the touched allocated blocks
         assert real.sum() == int(grid2.n_blocks) > 0
         assert np.unique(fs[real]).size == real.sum()
+        assert np.all(fs[real] < cap)
         # coords round-trip through the grid's block table
         bcs = np.asarray(grid2.block_coords)
         np.testing.assert_array_equal(bcs[fs[real]],
