@@ -57,12 +57,16 @@ def main():
             segment_budget=(1 << 18) * max(1, bench_batch),
             alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
             block_budget=int(os.environ.get("BENCH_BLOCK_BUDGET", "512")),
+            patch_rows=int(os.environ.get("BENCH_PATCH_ROWS", "128")),
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
                              width=640, height=480)
     label_map = LabelColorMap.random(cfg.grid.num_labels)
-    n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
+    # 100 frames: the tunnel's fixed ~21 ms round-trip (measured,
+    # scripts/profile notes) amortizes below 3% of the measurement; frames
+    # are queued async so the loop measures steady-state device throughput.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
     ds = SyntheticDataset(num_frames=n_frames + 4, intr=intr,
                           label_map=label_map)
 
@@ -172,7 +176,8 @@ def main():
             me = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
             mesh_err = me
 
-    upd = sum(int(count_updates(f)) for f in frames[4:4 + n_frames])
+    # accumulate on device; one host fetch (each int() pays the tunnel RTT)
+    upd = int(sum(count_updates(f) for f in frames[4:4 + n_frames]))
     updates_per_s = upd / elapsed
 
     result = {

@@ -79,12 +79,48 @@ def _allocate(grid: VoxelGrid, frame: common.Frame, cfg: FusionConfig,
 def allocate_from_depth(grid: VoxelGrid, depth, labels, T_G_C,
                         cfg: FusionConfig, intr: PinholeIntrinsics,
                         shard=None):
+    """Raw-image entry: strided pixel subsampling (CPU/XLA reference path).
+
+    On the TPU hot path use allocate_from_atlas instead — a 2-D strided
+    slice lowers to a serial per-element gather (~12 ns/px measured)."""
     g, t, stride = cfg.grid, cfg.tsdf, cfg.pipeline.alloc_stride
     sub = intr.scaled(intr.width // stride, intr.height // stride)
     depth = depth[::stride, ::stride]
     labels = labels[::stride, ::stride].reshape(-1)
     from ..core import camera as cam
     pts_C, px_valid = cam.backproject(depth, sub)
+    return _allocate_rays(grid, pts_C, labels, px_valid, T_G_C, cfg, shard)
+
+
+def allocate_from_atlas(grid: VoxelGrid, atlas, T_G_C, cfg: FusionConfig,
+                        intr: PinholeIntrinsics, plan, shard=None):
+    """Block allocation pre-pass reading the already-built mip atlas at
+    level log2(alloc_stride): the subsampled depth/label images are static
+    aligned slices of the atlas (no strided-pixel gather), and the
+    min-pooled depth makes ray endpoints conservative (the nearest surface
+    in each tile wins — a missed far surface at a depth discontinuity is
+    the same contract as the reference's subsampled rays,
+    semantic_tsdf_integrator_fast.cpp:87-91)."""
+    import math
+    from ..ops import mip as mip_ops
+    stride = cfg.pipeline.alloc_stride
+    lvl = int(math.log2(stride)) if stride > 1 else 0
+    assert (1 << lvl) == stride, "alloc_stride must be a power of two"
+    lvl = min(lvl, plan.num_levels - 1)
+    H, W, off = plan.heights[lvl], plan.widths[lvl], plan.offsets[lvl]
+    depth = atlas[0, :H, off:off + W]
+    labels = jnp.round(atlas[1, :H, off:off + W]).astype(jnp.int32
+                                                         ).reshape(-1)
+    px_ok = depth < mip_ops.DEPTH_SENTINEL * 0.5
+    depth = jnp.where(px_ok, depth, 0.0)
+    from ..core import camera as cam
+    pts_C, px_valid = cam.backproject(depth, intr.scaled(W, H))
+    return _allocate_rays(grid, pts_C, labels, px_valid, T_G_C, cfg, shard)
+
+
+def _allocate_rays(grid: VoxelGrid, pts_C, labels, px_valid, T_G_C,
+                   cfg: FusionConfig, shard=None):
+    g, t = cfg.grid, cfg.tsdf
     valid, is_clearing = tsdf_ops.point_validity(pts_C, t)
     valid = valid & px_valid & sem_ops.dynamic_label_mask(labels, cfg.semantic)
     pts_G = transforms.apply(T_G_C, pts_C)
@@ -129,7 +165,9 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
-    grid, fcoords, fslots, freal = _allocate(grid, frame, cfg, intr)
+    grid, fcoords, fslots, freal = allocate_from_atlas(grid, atlas,
+                                                       frame.T_G_C, cfg, intr,
+                                                       plan)
     return apply_frame(grid, atlas, frame.T_G_C, fcoords, fslots, freal, cfg,
                        intr, plan)
 
@@ -212,7 +250,9 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     for b in range(B):
         f = jax.tree.map(lambda x: x[b], frames)
         atlas = mip_ops.build_atlas(f.depth, f.labels, f.colors, plan)
-        grid, fcoords, fslots, freal = _allocate(grid, f, cfg, intr)
+        grid, fcoords, fslots, freal = allocate_from_atlas(grid, atlas,
+                                                           f.T_G_C, cfg, intr,
+                                                           plan)
         grid = apply_frame(grid, atlas, f.T_G_C, fcoords, fslots, freal, cfg,
                            intr, plan)
     return grid

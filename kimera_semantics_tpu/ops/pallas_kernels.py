@@ -230,8 +230,29 @@ def _proj_kernel(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
 
     samp scratch rows: [0..BPS) depth, [BPS..2BPS) label (+ rg, b when
     with_color).
+
+    Tiles with no real rows (the frame list's trash tail and any in-group
+    padding-only tile) skip the whole body: their outputs stay garbage,
+    which is safe because the RMW apply kernel never reads delta tiles whose
+    group is trash, and the XLA fallback path does not use this kernel.
     """
     i = pl.program_id(0)
+    tile_real = meta_s[i * PROJ_BPS, 2]
+    for _b in range(1, PROJ_BPS):
+        tile_real = tile_real | meta_s[i * PROJ_BPS + _b, 2]
+
+    @pl.when(tile_real > 0)
+    def _tile_body():
+        _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
+                   atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
+                   samp, e_scratch, rc_scratch, i=i, cfg=cfg, intr=intr,
+                   plan=plan, with_color=with_color)
+
+
+def _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
+               atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
+               samp, e_scratch, rc_scratch, *, i, cfg, intr, plan,
+               with_color):
     g = cfg.grid
     vps, V3 = g.voxels_per_side, g.vps3
     ROWS, COLS = plan.row_window, plan.col_window

@@ -158,17 +158,10 @@ def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
         atlases = jax.lax.all_gather(atlas, AXIS)            # (D, 4, AH, AW)
         poses = jax.lax.all_gather(frame.T_G_C, AXIS)        # (D, 4, 4)
 
-        H, W = intr.height, intr.width
         for f in range(d):
             at, T = atlases[f], poses[f]
-            # Recover the inputs the allocator needs from the atlas's level-0
-            # region (sentinel depth -> invalid).
-            depth_f = at[0, :H, :W]
-            depth_f = jnp.where(depth_f < mip_ops.DEPTH_SENTINEL * 0.5,
-                                depth_f, 0.0)
-            labels_f = jnp.round(at[1, :H, :W]).astype(jnp.int32)
-            grid, fcoords, fslots, freal = proj_model.allocate_from_depth(
-                grid, depth_f, labels_f, T, cfg, intr, shard=(my, d))
+            grid, fcoords, fslots, freal = proj_model.allocate_from_atlas(
+                grid, at, T, cfg, intr, plan, shard=(my, d))
             grid = proj_model.apply_frame(grid, at, T, fcoords, fslots,
                                           freal, cfg, intr, plan)
         return jax.tree.map(lambda x: x[None], grid)

@@ -35,6 +35,7 @@ def main():
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
         pipeline=PipelineConfig(
+            alloc_stride=int(os.environ.get("STRIDE", "4")),
             block_budget=int(os.environ.get("BUDGET", "512"))))
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
                              width=640, height=480)
