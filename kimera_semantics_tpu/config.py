@@ -39,6 +39,9 @@ class IntegratorType(enum.Enum):
 
     MERGED = "merged"
     FAST = "fast"
+    # voxblox TsdfIntegratorFactory's third type (inherited substrate
+    # surface, SURVEY 2b); not exposed by the reference's semantic factory.
+    SIMPLE = "simple"
     # TPU-native voxel-centric integrator (no reference equivalent by name;
     # same capability surface — see models/projective.py).
     PROJECTIVE = "projective"

@@ -14,6 +14,7 @@ from ..core.camera import PinholeIntrinsics
 from .fast import FastSemanticTsdfIntegrator
 from .merged import MergedSemanticTsdfIntegrator
 from .projective import ProjectiveSemanticTsdfIntegrator
+from .simple import SimpleSemanticTsdfIntegrator
 
 
 def create(kind: Union[str, IntegratorType], cfg: FusionConfig,
@@ -24,6 +25,8 @@ def create(kind: Union[str, IntegratorType], cfg: FusionConfig,
         return FastSemanticTsdfIntegrator(cfg, intr)
     if kind == IntegratorType.MERGED:
         return MergedSemanticTsdfIntegrator(cfg, intr)
+    if kind == IntegratorType.SIMPLE:
+        return SimpleSemanticTsdfIntegrator(cfg, intr)
     if kind == IntegratorType.PROJECTIVE:
         return ProjectiveSemanticTsdfIntegrator(cfg, intr)
     raise ValueError(f"unknown integrator type: {kind}")

@@ -18,12 +18,19 @@ import sys
 
 
 def _add_common(p):
+    p.add_argument("--preset", default=None,
+                   help="named launch-file parameter set "
+                        "(server/presets.py); explicit flags override")
+    p.add_argument("--cfg-dir", default=None,
+                   help="directory holding the label CSVs named by presets "
+                        "(default: $KIMERA_CFG_DIR, then the reference cfg/)")
     p.add_argument("--voxel-size", type=float, default=0.05)
     p.add_argument("--voxels-per-side", type=int, default=16)
     p.add_argument("--block-capacity", type=int, default=4096)
     p.add_argument("--truncation", type=float, default=0.1)
     p.add_argument("--max-ray-length", type=float, default=5.0)
-    p.add_argument("--method", choices=["fast", "merged", "projective"],
+    p.add_argument("--method",
+                   choices=["fast", "merged", "simple", "projective"],
                    default="fast",
                    help="integrator type (ros_params.cpp:24)")
     p.add_argument("--semantic-csv", default=None,
@@ -68,8 +75,15 @@ def _build(args):
                                 block_budget=args.block_budget),
         integrator=IntegratorType(args.method),
     )
-    lmap = (LabelColorMap.from_csv(args.semantic_csv)
-            if args.semantic_csv else LabelColorMap.random())
+    csv = args.semantic_csv
+    if csv and not (csv.startswith("/") or csv.startswith(".")):
+        from . import presets
+        resolved = presets.resolve_csv(csv, args.cfg_dir)
+        if resolved is None:
+            print(f"warning: label CSV {csv!r} not found (see --cfg-dir); "
+                  "using a random colormap", file=sys.stderr)
+        csv = resolved
+    lmap = LabelColorMap.from_csv(csv) if csv else LabelColorMap.random()
     return cfg, lmap
 
 
@@ -130,7 +144,16 @@ def main(argv=None):
     p = sub.add_parser("sim-eval")
     p.add_argument("--num-viewpoints", type=int, default=50)
     _add_common(p)
-    args = ap.parse_args(argv)
+    args, _ = ap.parse_known_args(argv)
+    if getattr(args, "preset", None):
+        from . import presets
+        # argparse defaults updated per-subparser, then a full re-parse so
+        # explicit flags still win (roslaunch arg-override semantics).
+        for sp in sub.choices.values():
+            presets.apply_preset(sp, args.preset)
+        args = ap.parse_args(argv)
+    else:
+        args = ap.parse_args(argv)
     if args.cmd in ("stream", "batch"):
         cmd_batch(args, streaming=args.cmd == "stream")
     else:

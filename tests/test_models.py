@@ -62,7 +62,7 @@ def surface_error(cfg, grid, world):
     return resid.mean(), label_acc
 
 
-@pytest.mark.parametrize("kind", ["fast", "merged", "projective"])
+@pytest.mark.parametrize("kind", ["fast", "merged", "simple", "projective"])
 class TestEndToEnd:
     def test_reconstruction_accuracy(self, kind):
         cfg, ds, grid = reconstruct(kind)

@@ -118,3 +118,60 @@ class TestTiming:
         total, count, mean = timing.get("unit/test")
         assert count == 2 and total >= 0
         assert "unit/test" in timing.report()
+
+
+class TestPresets:
+    """--preset NAME mirrors the reference launch files' param trees
+    (server/presets.py; roslaunch override semantics)."""
+
+    def _parse(self, argv):
+        import argparse
+        from kimera_semantics_tpu.server import node as node_mod
+        from kimera_semantics_tpu.server import presets
+        ap = argparse.ArgumentParser()
+        sub = ap.add_subparsers(dest="cmd", required=True)
+        p = sub.add_parser("sim-eval")
+        p.add_argument("--num-viewpoints", type=int, default=50)
+        node_mod._add_common(p)
+        args, _ = ap.parse_known_args(argv)
+        if args.preset:
+            presets.apply_preset(p, args.preset)
+            args = ap.parse_args(argv)
+        return args
+
+    def test_eval_preset_values(self):
+        # kimera_semantics_eval.launch:19-46
+        a = self._parse(["sim-eval", "--preset", "eval"])
+        assert a.voxel_size == 0.1 and a.voxels_per_side == 16
+        assert a.truncation == 0.4 and a.max_ray_length == 15.0
+        assert a.num_viewpoints == 50 and a.method == "fast"
+
+    def test_explicit_flag_overrides_preset(self):
+        a = self._parse(["sim-eval", "--preset", "eval",
+                         "--voxel-size", "0.2", "--method", "projective"])
+        assert a.voxel_size == 0.2 and a.method == "projective"
+        assert a.max_ray_length == 15.0  # preset value kept
+
+    def test_all_presets_parse(self):
+        from kimera_semantics_tpu.server import presets
+        for name in presets.PRESETS:
+            a = self._parse(["sim-eval", "--preset", name])
+            assert a.voxel_size > 0
+
+    def test_metric_only_preset(self):
+        # kimera_semantics_euroc.launch:3,17 (metric_semantic=false)
+        a = self._parse(["sim-eval", "--preset", "euroc"])
+        assert a.color_mode == "color" and a.semantic_csv is None
+        assert a.dynamic_labels == []
+
+    def test_csv_resolution(self):
+        import os
+        from kimera_semantics_tpu.server import presets
+        ref = "/root/reference/kimera_semantics_ros/cfg"
+        if not os.path.isdir(ref):
+            import pytest
+            pytest.skip("reference cfg dir unavailable")
+        p = presets.resolve_csv("simulation.csv")
+        assert p and os.path.exists(p)
+        assert presets.resolve_csv("no_such_file.csv") is None
+        assert presets.resolve_csv(None) is None
