@@ -101,12 +101,16 @@ def cmd_batch(args, streaming: bool):
                      mesh_filename=args.mesh_out))
     n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
-    if args.map_out:
-        srv.save_map(args.map_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}
+    res = None
     if args.esdf:
         res = esdf_ops.compute_esdf(srv.grid, cfg)
         out["esdf_voxels"] = int(res.distance.size)
+    if args.map_out:
+        # kimera_semantics_rosbag.cpp:148-167 order: with --esdf and a
+        # .vxblx path this emits the reference's tsdf_esdf.vxblx layout
+        # (TSDF layer + appended ESDF layer).
+        srv.save_map(args.map_out, esdf=res)
     print(timing.report(), file=sys.stderr)
     print(json.dumps(out))
 

@@ -129,11 +129,24 @@ class SemanticTsdfServer:
 
     # -- checkpointing -----------------------------------------------------
 
-    def save_map(self, path: str):
-        serial_io.save_grid(path, self.grid)
+    def save_map(self, path: str, esdf=None):
+        """saveMap. A `.vxblx` extension selects the voxblox-compatible wire
+        format (kimera_semantics_rosbag.cpp:150 writes tsdf_esdf.vxblx;
+        the optional `esdf` result appends the second layer section).
+        Any other extension uses the native KSDV container, which — unlike
+        .vxblx — round-trips the semantic channels too."""
+        if path.endswith(".vxblx"):
+            from ..io import vxblx as vxblx_io
+            vxblx_io.save_vxblx(path, self.grid, self.cfg, esdf=esdf)
+        else:
+            serial_io.save_grid(path, self.grid)
 
     def load_map(self, path: str):
-        self.grid = serial_io.load_grid(path, self.cfg)
+        if path.endswith(".vxblx"):
+            from ..io import vxblx as vxblx_io
+            self.grid = vxblx_io.load_vxblx(path, self.cfg)
+        else:
+            self.grid = serial_io.load_grid(path, self.cfg)
 
     # -- stats -------------------------------------------------------------
 

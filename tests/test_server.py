@@ -80,6 +80,33 @@ class TestServer:
         np.testing.assert_array_equal(np.asarray(srv2.grid.wsum),
                                       np.asarray(srv.grid.wsum))
 
+    def test_vxblx_extension_dispatch(self, tmp_path):
+        """A .vxblx path routes save/load through the voxblox-compatible
+        writer (integrated-scene round-trip through the real pipeline)."""
+        from kimera_semantics_tpu.grid import blocks as gblocks
+        cfg = small_cfg()
+        srv = SemanticTsdfServer(cfg, INTR)
+        ds = SyntheticDataset(num_frames=2, intr=INTR, label_map=srv.label_map)
+        srv.run(ds)
+        res = esdf_ops.compute_esdf(srv.grid, cfg, max_dist=1.0)
+        path = str(tmp_path / "tsdf_esdf.vxblx")
+        srv.save_map(path, esdf=res)
+        srv2 = SemanticTsdfServer(cfg, INTR)
+        srv2.load_map(path)
+        assert int(srv2.grid.n_blocks) == int(srv.grid.n_blocks)
+        t = cfg.tsdf.truncation_distance
+        d0 = np.asarray(gblocks.tsdf_distance(srv.grid, t))
+        d1 = np.asarray(gblocks.tsdf_distance(srv2.grid, t))
+        # same block -> same slot order is not guaranteed; compare via sort
+        # of (weight, distance) multisets over allocated rows.
+        nb = int(srv.grid.n_blocks)
+        w0 = np.asarray(srv.grid.wsum)[:nb].ravel()
+        w1 = np.asarray(srv2.grid.wsum)[:nb].ravel()
+        np.testing.assert_allclose(np.sort(w1), np.sort(w0), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.sort(d1[:nb].ravel()),
+                                   np.sort(d0[:nb].ravel()), atol=1e-5)
+
 
 class TestEsdf:
     def test_sphere_esdf(self):
