@@ -484,28 +484,35 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     groups = slots[::8] // 8
     trash_group = (wsum.shape[0] - 8) // 8
 
-    by_tile = lambda i, g: (i, 0)
-    by_tile3 = lambda i, g: (0, i, 0)
-    by_group = lambda i, g: (g[i], 0)
-    by_group3 = lambda i, g: (0, g[i], 0)
+    # Lane tiling: the body is elementwise over lanes, and at the reference's
+    # vps=32 (V3=32768) a full-lane step needs ~61 MB of VMEM x2 buffers —
+    # over the ~100 MB scoped limit. Split lanes into <=8192-wide blocks
+    # (vps<=16 keeps one block — identical schedule to before).
+    Vt = V3 if V3 <= 8192 else 8192
+    assert V3 % Vt == 0
+
+    by_tile = lambda i, v, g: (i, v)
+    by_tile3 = lambda i, v, g: (0, i, v)
+    by_group = lambda i, v, g: (g[i], v)
+    by_group3 = lambda i, v, g: (0, g[i], v)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(K // 8,),
+        grid=(K // 8, V3 // Vt),
         in_specs=[
-            pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
-            pl.BlockSpec((8, V3), by_tile), pl.BlockSpec((8, V3), by_tile),
-            pl.BlockSpec((3, 8, V3), by_tile3),
-            pl.BlockSpec((8, V3), by_group), pl.BlockSpec((8, V3), by_group),
-            pl.BlockSpec((8, V3), by_group),
-            pl.BlockSpec((L, 8, V3), by_group3),
-            pl.BlockSpec((3, 8, V3), by_group3),
+            pl.BlockSpec((8, Vt), by_tile), pl.BlockSpec((8, Vt), by_tile),
+            pl.BlockSpec((8, Vt), by_tile), pl.BlockSpec((8, Vt), by_tile),
+            pl.BlockSpec((3, 8, Vt), by_tile3),
+            pl.BlockSpec((8, Vt), by_group), pl.BlockSpec((8, Vt), by_group),
+            pl.BlockSpec((8, Vt), by_group),
+            pl.BlockSpec((L, 8, Vt), by_group3),
+            pl.BlockSpec((3, 8, Vt), by_group3),
         ],
         out_specs=[
-            pl.BlockSpec((8, V3), by_group), pl.BlockSpec((8, V3), by_group),
-            pl.BlockSpec((8, V3), by_group),
-            pl.BlockSpec((L, 8, V3), by_group3),
-            pl.BlockSpec((3, 8, V3), by_group3),
+            pl.BlockSpec((8, Vt), by_group), pl.BlockSpec((8, Vt), by_group),
+            pl.BlockSpec((8, Vt), by_group),
+            pl.BlockSpec((L, 8, Vt), by_group3),
+            pl.BlockSpec((3, 8, Vt), by_group3),
         ],
     )
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)

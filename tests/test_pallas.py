@@ -135,3 +135,48 @@ def test_integrate_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(g_pal.sem_delta)[:, s_p],
                                np.asarray(g_xla.sem_delta)[:, s_x],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_block_rmw_add_lane_tiled_vps32():
+    """block_rmw_add at the reference's canonical vps=32 (V3=32768): the
+    lane axis is split into <=8192-wide grid blocks (scoped-VMEM fit on
+    TPU); interpret-mode result must equal the plain indexed add."""
+    from kimera_semantics_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(3)
+    V3, L, K, rows = 32768, 4, 32, 40  # K: 4 tiles of 8 rows; rows incl. trash tile
+    ch = lambda *s: rng.rand(*s).astype(np.float32)
+    wsum, wsdf, cnt = ch(rows, V3), ch(rows, V3), ch(rows, V3)
+    sem = ch(L, rows, V3)
+    wc = ch(3, rows, V3)
+    d_w, d_wsdf, d_cnt = ch(K, V3), ch(K, V3), ch(K, V3)
+    d_lab = rng.randint(0, L, (K, V3)).astype(np.int32)
+    d_wc = ch(K, 3, V3)
+    # group-aligned slots: tiles -> groups 0,2,3 and one trash tile
+    tile_groups = [0, 2, 3, (rows - 8) // 8]
+    slots = np.repeat(np.array(tile_groups) * 8, 8) + np.tile(np.arange(8), 4)
+    lk = 1.7
+
+    out = pk.block_rmw_add(*(jnp.asarray(a) for a in
+                             (wsum, wsdf, cnt, sem, wc, slots.astype(np.int32),
+                              d_w, d_wsdf, d_cnt, d_lab, d_wc)),
+                           lk_delta=lk, interpret=True)
+    o_w, o_wsdf, o_cnt, o_sem, o_wc = (np.asarray(o) for o in out)
+
+    e_w, e_wsdf, e_cnt = wsum.copy(), wsdf.copy(), cnt.copy()
+    e_sem, e_wc = sem.copy(), wc.copy()
+    for t, grp in enumerate(tile_groups[:3]):  # trash tile skipped
+        r = slice(grp * 8, grp * 8 + 8)
+        d = slice(t * 8, t * 8 + 8)
+        e_w[r] += d_w[d]
+        e_wsdf[r] += d_wsdf[d]
+        e_cnt[r] += d_cnt[d]
+        onehot = (np.arange(L)[:, None, None] == d_lab[d][None])
+        e_sem[:, r] += onehot * d_cnt[d][None] * lk
+        e_wc[:, r] += np.transpose(d_wc[d], (1, 0, 2))
+    live = slice(0, rows - 8)  # trash-tile rows are garbage by contract
+    np.testing.assert_allclose(o_w[live], e_w[live], rtol=1e-6)
+    np.testing.assert_allclose(o_wsdf[live], e_wsdf[live], rtol=1e-6)
+    np.testing.assert_allclose(o_cnt[live], e_cnt[live], rtol=1e-6)
+    np.testing.assert_allclose(o_sem[:, live], e_sem[:, live], rtol=1e-6)
+    np.testing.assert_allclose(o_wc[:, live], e_wc[:, live], rtol=1e-6)
