@@ -136,6 +136,15 @@ class SemanticConfig:
     semantic_measurement_probability: float = 0.9   # ros_params.cpp:43-49 (launch: 0.8)
     color_mode: ColorMode = ColorMode.SEMANTIC
     dynamic_labels: Tuple[int, ...] = (20,)          # launch:121-122 (humans)
+    # Reference parity (default False): the reference votes the measured
+    # label into EVERY voxel the ray traverses — carved free space included —
+    # and its own comment concedes the near-surface gate would be better but
+    # was left unimplemented (semantic_integrator_base.cpp:153-158). True
+    # restricts semantic votes to voxels inside the truncation band
+    # (|sdf| < truncation_distance), eliminating label bleed-through from
+    # rays that pass in front of other surfaces (measured: sim-eval
+    # label_accuracy 0.49 -> see tests/test_models.py gate test).
+    update_near_surface_only: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,11 +225,17 @@ def integrate_ray_batch(
                       wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
             wcolor = wcolor.at[c].set(ch)
 
+    # Near-surface gate (opt-in, SemanticConfig.update_near_surface_only):
+    # wc_gate > 0 is exactly "step in the truncation band with w > 0" in both
+    # the XLA and Pallas stream layouts (w_sdf clamps to +-w*trunc outside).
+    sem_step = (step_valid & (wc_gate > 0.0)
+                if cfg.semantic.update_near_surface_only else step_valid)
+
     if label_hist is None:
         # Fast integrator: one label per ray -> scalar adds at (label, key)
         # (one-hot frequency, semantic_tsdf_integrator_fast.cpp:132-140).
         inform = semantic.informative(labels) & ray_valid
-        cnt = jnp.where(step_valid & inform[None, :], 1.0, 0.0)
+        cnt = jnp.where(sem_step & inform[None, :], 1.0, 0.0)
         sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
             grid.sem_count.shape)
         # sem_delta layout (L, rows, V3): flat index label * row_flat + key.
@@ -255,12 +261,12 @@ def integrate_ray_batch(
         # voxel (_merged.cpp:254-328). Unknown column contributes nothing.
         hist = label_hist.at[:, semantic.UNKNOWN_LABEL].set(0.0)
         total = jnp.sum(hist, axis=-1)                         # (R,)
-        cnt = jnp.where(step_valid, total[None, :], 0.0)
+        cnt = jnp.where(sem_step, total[None, :], 0.0)
         sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
             grid.sem_count.shape)
         sem_delta = grid.sem_delta
         for lab in range(L):  # static L scatters of (S, R) scalars
-            add = jnp.where(step_valid, hist[:, lab][None, :], 0.0) * lk.delta
+            add = jnp.where(sem_step, hist[:, lab][None, :], 0.0) * lk.delta
             ch = scat(sem_delta[lab].reshape(-1), add).reshape(
                 grid.wsum.shape)
             sem_delta = sem_delta.at[lab].set(ch)
@@ -303,7 +309,9 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
 
     valid_upd = step_valid & (slots < cap)
     inform = semantic.informative(labels) & ray_valid
-    cnt = jnp.where(valid_upd & inform[None, :], 1.0, 0.0)
+    sem_upd = (valid_upd & (wc_gate > 0.0)
+               if cfg.semantic.update_near_surface_only else valid_upd)
+    cnt = jnp.where(sem_upd & inform[None, :], 1.0, 0.0)
     lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
     lab_b = jnp.clip(lab_b, 0, (1 << lab_shift) - 1)
     k2 = jnp.where(valid_upd, (key << lab_shift) | lab_b, TRASH_KEY)

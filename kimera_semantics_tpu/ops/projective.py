@@ -285,7 +285,12 @@ def update_terms_from_sample(depth, label, pX, pY, pZ, zsafe, sample_ok,
                                                  g.voxel_size)
     w = jnp.where(upd, w, 0.0)
     w_sdf = jnp.where(upd, w_sdf, 0.0)
-    cnt = jnp.where(upd & sem_ops.informative(label), 1.0, 0.0)
+    sem_upd = upd
+    if cfg.semantic.update_near_surface_only:
+        # Opt-in near-surface semantic gate (SemanticConfig docstring):
+        # votes only inside the truncation band (color_gate = |sdf| < trunc).
+        sem_upd = upd & color_gate
+    cnt = jnp.where(sem_upd & sem_ops.informative(label), 1.0, 0.0)
     return w, w_sdf, cnt, upd, color_gate
 
 

@@ -39,6 +39,11 @@ def _add_common(p):
     p.add_argument("--color-mode", default="semantic",
                    choices=["color", "semantic", "semantic_probability"])
     p.add_argument("--dynamic-labels", type=int, nargs="*", default=[20])
+    p.add_argument("--semantic-near-surface-only", action="store_true",
+                   help="restrict semantic votes to the truncation band "
+                        "(beyond-reference quality option; the reference "
+                        "votes along the whole ray, "
+                        "semantic_integrator_base.cpp:153-158)")
     p.add_argument("--max-rays", type=int, default=32768)
     p.add_argument("--alloc-stride", type=int, default=4,
                    help="projective: pixel subsampling for block allocation")
@@ -68,7 +73,8 @@ def _build(args):
         semantic=SemanticConfig(
             semantic_measurement_probability=args.measurement_probability,
             color_mode=ColorMode(args.color_mode),
-            dynamic_labels=tuple(args.dynamic_labels)),
+            dynamic_labels=tuple(args.dynamic_labels),
+            update_near_surface_only=args.semantic_near_surface_only),
         pipeline=PipelineConfig(max_rays=args.max_rays,
                                 scatter_mode=args.scatter_mode,
                                 alloc_stride=args.alloc_stride,

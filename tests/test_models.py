@@ -163,3 +163,37 @@ class TestBatchedFrames:
         a = np.asarray(g_seq.sem_delta)[:, np.asarray(s_seq)]
         b = np.asarray(g_bat.sem_delta)[:, np.asarray(s_bat)]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+class TestNearSurfaceSemanticGate:
+    """SemanticConfig.update_near_surface_only (opt-in, beyond-reference):
+    semantic votes restricted to the truncation band. TSDF/weights must be
+    bit-identical to the parity default; ray-centric label accuracy improves
+    (the reference votes along whole rays — label bleed,
+    semantic_integrator_base.cpp:153-158)."""
+
+    @pytest.mark.parametrize("kind", ["fast", "merged"])
+    def test_tsdf_unchanged_accuracy_up(self, kind):
+        lmap = LabelColorMap.random()
+        ds = SyntheticDataset(num_frames=6, intr=INTR, label_map=lmap)
+
+        def run(gate):
+            cfg = small_cfg(integrator=IntegratorType(kind))
+            cfg = dataclasses.replace(cfg, semantic=dataclasses.replace(
+                cfg.semantic, update_near_surface_only=gate))
+            integ = factory.create(kind, cfg, INTR)
+            grid = blocks.create(cfg)
+            for frame in ds:
+                grid = integ.integrate(grid, frame)
+            return cfg, grid
+
+        cfg0, g0 = run(False)
+        _, g1 = run(True)
+        np.testing.assert_array_equal(np.asarray(g0.wsum), np.asarray(g1.wsum))
+        np.testing.assert_array_equal(np.asarray(g0.wsdf), np.asarray(g1.wsdf))
+        _, acc0 = surface_error(cfg0, g0, ds.world)
+        _, acc1 = surface_error(cfg0, g1, ds.world)
+        assert acc1 > acc0, (acc0, acc1)
+        # gated: strictly fewer votes than whole-ray voting
+        assert (np.asarray(g1.sem_count).sum()
+                < np.asarray(g0.sem_count).sum())
