@@ -180,11 +180,15 @@ def main():
     upd = int(sum(count_updates(f) for f in frames[4:4 + n_frames]))
     updates_per_s = upd / elapsed
 
+    # Reference CPU baselines (README.md:11): fast ~0.1 s/scan -> 10 fps,
+    # merged ~1 s/scan -> 1 fps. The projective flagship covers the fast
+    # capability surface, so it compares against the fast baseline.
+    baseline_fps = 1.0 if method == "merged" else 10.0
     result = {
         "metric": (f"{method}_semantic_integration_frames_per_s_per_chip"),
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(fps / baseline_fps, 3),
         "voxel_updates_per_s": round(updates_per_s, 1),
         "ms_per_frame": round(1000.0 * elapsed / n_frames, 3),
         "blocks_allocated": int(grid.n_blocks),

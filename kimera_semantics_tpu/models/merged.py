@@ -83,13 +83,18 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
 
     valid = wsum[:max_bundles] > _EPS_WEIGHT
     denom = jnp.maximum(wsum[:max_bundles, None], 1e-12)
+    # Point -> bundle map in ORIGINAL point order (for per-point semantic
+    # votes riding the merged rays — ops/integrate.py sem_points).
+    seg_orig = jnp.full((n,), max_bundles, dtype=jnp.int32).at[perm].set(
+        jnp.where(act & contrib, seg, max_bundles))
     return (valid,
             wpoint[:max_bundles] / denom,
             wsum[:max_bundles],
             wcolor[:max_bundles] / denom,
             hist[:max_bundles],
             first_idx[:max_bundles],
-            dest[:max_bundles])
+            dest[:max_bundles],
+            seg_orig)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intr"))
@@ -103,21 +108,48 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     inv = 1.0 / cfg.grid.voxel_size
 
     # Pass 1: normal rays (voxel_map bins).
-    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest) = _bundle(
+    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest, bseg) = _bundle(
         pts_G, weights, colors, labels, valid & ~is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
     # Anti-grazing (_merged.cpp:306-313): dest set = the normal-pass bins;
     # a normal ray may still update its own bin.
     ag = cfg.tsdf.enable_anti_grazing
+    # Semantic votes in sparse-histogram form: hist[r][l] applied to every
+    # traversed voxel == each nonzero (bundle, label) pair votes its count
+    # along the merged ray (ops/integrate.py sem_points; the dense (R, L)
+    # histogram scatter path costs ~2.9 s/frame on v5e, measured). Raw
+    # points (P = all pixels) are pre-reduced to unique (bundle, label)
+    # pairs first — the vote stream then expands over ray *steps* at the
+    # bundle budget (R), not the pixel count (~10x fewer entries).
+    from ..ops import semantic
+    from ..ops.reduce import TRASH_KEY, segment_compact_reduce
+    n_pts = pts_G.shape[0]
+    p_ray = jnp.minimum(bseg, R - 1)
+    p_valid = ((bseg < R) & bvalid[p_ray]
+               & semantic.informative(labels))
+    lab_shift = max(1, (L - 1).bit_length())
+    lab_c = jnp.clip(labels, 0, (1 << lab_shift) - 1)
+    pair_key = jnp.where(p_valid, (p_ray << lab_shift) | lab_c, TRASH_KEY)
+    # 2R pair budget: bundles carry ~1-2 distinct labels each, and the
+    # bundle list itself is capped at R. Drops count as overflow (same
+    # static-capacity contract as the bundle cap).
+    pk, (pcounts,), pair_drop = segment_compact_reduce(
+        pair_key, (jnp.where(p_valid, 1.0, 0.0),), 2 * R, max_run=n_pts)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + pair_drop)
+    sp_valid = pk != TRASH_KEY
+    sp_ray = jnp.where(sp_valid, pk >> lab_shift, 0)
+    sp_lab = jnp.where(sp_valid, pk & ((1 << lab_shift) - 1), 0)
     grid = integrate_ray_batch(
         grid, cfg, origin, bpoint, bweight, bcolor,
         jnp.zeros((R,), dtype=jnp.int32),
-        jnp.zeros((R,), dtype=bool), bvalid, label_hist=bhist,
+        jnp.zeros((R,), dtype=bool), bvalid,
+        sem_points=(sp_ray, sp_lab, sp_valid, pcounts),
         ag_dest_voxels=bdest if ag else None, ag_own_bundle=True)
 
     # Pass 2: clearing rays (clear_map bins) — first point of each bin only
-    # (_merged.cpp:282-284), histogram is that single point's label.
-    (cvalid, _, _, _, _, cfirst, _) = _bundle(
+    # (_merged.cpp:282-284): exactly one label per merged ray, so this rides
+    # the native one-label-per-ray path (no histogram needed).
+    (cvalid, _, _, _, _, cfirst, _, _) = _bundle(
         pts_G, weights, colors, labels, valid & is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
     n = pts_G.shape[0]
@@ -126,12 +158,10 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     cweights = weights[safe_first]
     ccolors = colors[safe_first]
     clabels = labels[safe_first]
-    chist = jax.nn.one_hot(clabels, L, dtype=jnp.float32)
     cvalid = cvalid & (cfirst < n) & (cweights > _EPS_WEIGHT)
     grid = integrate_ray_batch(
-        grid, cfg, origin, cpts, cweights, ccolors,
-        jnp.zeros((R,), dtype=jnp.int32),
-        jnp.ones((R,), dtype=bool), cvalid, label_hist=chist,
+        grid, cfg, origin, cpts, cweights, ccolors, clabels,
+        jnp.ones((R,), dtype=bool), cvalid,
         ag_dest_voxels=bdest if ag else None, ag_own_bundle=False)
     return grid
 

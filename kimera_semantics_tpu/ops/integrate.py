@@ -55,6 +55,7 @@ def integrate_ray_batch(
     num_shards: int = 1,
     ag_dest_voxels: Optional[jnp.ndarray] = None,  # (M, 3) anti-grazing dest set
     ag_own_bundle: bool = False,  # entries may update their own bundle's voxel
+    sem_points: Optional[tuple] = None,  # (ray_idx (P,), labels (P,), valid (P,))
 ) -> VoxelGrid:
     """`shard_id`/`num_shards`: spatial sharding by block-hash ownership —
     entries whose block hashes to another shard are dropped here and applied by
@@ -63,7 +64,21 @@ def integrate_ray_batch(
     `ag_dest_voxels`: the merged integrator's anti-grazing rule
     (_merged.cpp:306-313): traversed voxels that are *destination* voxels of
     other ray bundles are skipped; with `ag_own_bundle` a ray may still update
-    its own destination voxel (normal pass; clearing rays never do)."""
+    its own destination voxel (normal pass; clearing rays never do).
+
+    `sem_points`: weighted per-(ray, label) semantic votes riding this batch's
+    ray geometry — the merged integrator's histogram-per-bundle semantics in
+    sparse form (_merged.cpp:254-285 builds hist[r][l] = #bundle points with
+    label l and votes the whole hist into every traversed voxel; equivalently
+    each nonzero (r, l) entry votes `count` along ray r). Arrays
+    (ray_idx, labels, valid, counts) of shape (P,) — callers pre-reduce raw
+    points to unique (ray, label) pairs (models/merged.py) so P stays at the
+    ray budget instead of the pixel count. In "segment" scatter mode this
+    rides a dedicated (voxel,label) segment reduction sharing the main
+    stream's DDA (the dense (R, L) histogram scatter alternative costs
+    ~2.9 s/frame on v5e — measured); other modes fold it back into a
+    histogram. When given, per-ray `labels` should be uninformative (zeros)
+    and `label_hist` None."""
     g = cfg.grid
     t = cfg.tsdf
     vps, v3, cap, L = g.voxels_per_side, g.vps3, g.block_capacity, g.num_labels
@@ -202,7 +217,15 @@ def integrate_ray_batch(
     if use_segment:
         return _segment_scatter_apply(
             grid, cfg, key, slots, local, w, w_sdf, wc_gate, step_valid,
-            labels, colors, ray_valid, touched_slots, lab_shift, lk)
+            labels, colors, ray_valid, touched_slots, lab_shift, lk,
+            sem_points=sem_points)
+
+    if sem_points is not None:
+        # Non-segment fallback: fold the sparse votes back into per-ray
+        # histograms (the hist path's semantics are identical, just slower).
+        pr, pl, pv, pc = sem_points
+        label_hist = jnp.zeros((key.shape[1], L), jnp.float32).at[
+            pr, pl].add(jnp.where(pv, pc, 0.0), mode="drop")
 
     sorted_mode = cfg.pipeline.scatter_mode == "sorted"
 
@@ -280,7 +303,7 @@ def integrate_ray_batch(
 
 def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
                            step_valid, labels, colors, ray_valid,
-                           touched_slots, lab_shift, lk):
+                           touched_slots, lab_shift, lk, sem_points=None):
     """"segment" scatter mode: reduce the (S, R) update stream to its unique
     (voxel, label) segments before touching the grid.
 
@@ -343,6 +366,39 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     sem_delta = grid.sem_delta.reshape(-1).at[sem_key].add(
         tcnt * lk.delta, mode="drop",
         unique_indices=True).reshape(grid.sem_delta.shape)
+
+    if sem_points is not None:
+        # Per-point semantic votes riding this batch's ray geometry (merged
+        # integrator, _merged.cpp:254-285 — see integrate_ray_batch doc).
+        # Row-gather the (R, S)-transposed stream by each point's bundle ray
+        # (row gathers carry their payload ~free; a lane-dim gather of the
+        # (S, R) layout would serialize), then run the same (voxel, label)
+        # segment reduction on the (P, S) point stream. With per-ray `labels`
+        # uninformative the main-stream cnt above is all zeros, so sem_count/
+        # sem_delta receive only the point votes.
+        pr, pl, pv, pc = sem_points
+        keyT = key.T                                         # (R, S) copy
+        updT = sem_upd.T          # = valid_upd (& band gate if enabled)
+        pkey = keyT[pr]                                      # (P, S)
+        pupd = updT[pr] & (pv & semantic.informative(pl))[:, None]
+        plab = jnp.clip(pl, 0, (1 << lab_shift) - 1)[:, None].astype(jnp.int32)
+        k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
+        pcnt = jnp.where(pupd, pc[:, None], 0.0)
+        n_pts = pkey.shape[0]
+        okp, (tpcnt,), n_drop_p = segment_compact_reduce(
+            k2p.reshape(-1), (pcnt.reshape(-1),), B, max_run=n_pts,
+            active_frac=frac)
+        n_drop = n_drop + n_drop_p
+        pvalid = okp != TRASH_KEY
+        pvox = jnp.where(pvalid, okp >> lab_shift, n_flat)
+        plab_seg = okp & ((1 << lab_shift) - 1)
+        sem_count = sem_count.reshape(-1).at[pvox].add(
+            tpcnt, mode="drop",
+            indices_are_sorted=True).reshape(grid.sem_count.shape)
+        psem_key = jnp.where(pvalid, plab_seg * row_flat + pvox, L * row_flat)
+        sem_delta = sem_delta.reshape(-1).at[psem_key].add(
+            tpcnt * lk.delta, mode="drop",
+            unique_indices=True).reshape(grid.sem_delta.shape)
 
     wcolor = grid.wcolor
     if cfg.semantic.color_mode == ColorMode.COLOR:
