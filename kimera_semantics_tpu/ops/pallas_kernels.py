@@ -491,8 +491,15 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     Vt = V3 if V3 <= 8192 else 8192
     assert V3 % Vt == 0
 
-    by_tile = lambda i, v, g: (i, v)
-    by_tile3 = lambda i, v, g: (0, i, v)
+    # Trash tiles (tail of the group-aligned frame list) skip the kernel body,
+    # but their delta-input DMAs would still be issued per grid step — ~60% of
+    # the list is trash at the default budget, a few hundred MB/frame. Mapping
+    # every trash tile's delta fetch to tile 0 makes consecutive steps see an
+    # unchanged block index, which Mosaic skips (same mechanism that already
+    # makes the trash *group* fetches free via g[i] == trash_group runs).
+    live = lambda i, g: jnp.where(g[i] == trash_group, 0, i)
+    by_tile = lambda i, v, g: (live(i, g), v)
+    by_tile3 = lambda i, v, g: (0, live(i, g), v)
     by_group = lambda i, v, g: (g[i], v)
     by_group3 = lambda i, v, g: (0, g[i], v)
 
