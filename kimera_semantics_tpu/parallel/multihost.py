@@ -65,7 +65,11 @@ class MultiHostPipeline:
 
     @property
     def frames_per_step(self) -> int:
-        return len(jax.local_devices())
+        """Frames this process contributes per step = this process's device
+        count *within the mesh* (a sub-mesh may use fewer than
+        jax.local_devices())."""
+        me = jax.process_index()
+        return sum(1 for d in self.mesh.devices.flat if d.process_index == me)
 
     def step(self, local_frames: Frame):
         """local_frames: leading axis = local device count."""
