@@ -56,12 +56,17 @@ class MultiHostPipeline:
     device globally, integrates into the sharded grid, optionally meshes."""
 
     def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics,
-                 mesh=None):
+                 mesh=None, method: str = "fast"):
+        if method not in ("fast", "projective"):
+            raise ValueError(f"unknown sharded method {method!r}")
         self.cfg = cfg
         self.intr = intr
         self.mesh = mesh if mesh is not None else sharding.make_mesh()
         self.sgrid = sharding.create_sharded(cfg, self.mesh)
         self.steps = 0
+        self._step_fn = (sharding.integrate_frames_sharded_projective
+                         if method == "projective"
+                         else sharding.integrate_frames_sharded)
 
     @property
     def frames_per_step(self) -> int:
@@ -74,7 +79,7 @@ class MultiHostPipeline:
     def step(self, local_frames: Frame):
         """local_frames: leading axis = local device count."""
         frames = local_batch_to_global(local_frames, self.mesh)
-        self.sgrid = sharding.integrate_frames_sharded(
+        self.sgrid = self._step_fn(
             self.sgrid, frames, self.cfg, self.intr, self.mesh)
         self.steps += 1
         return self.sgrid

@@ -40,6 +40,9 @@ class ServerConfig:
     enable_icp: bool = False          # scan-to-map pose refinement before
                                       # integration (voxblox enable_icp parity)
     icp_iters: int = 6
+    prefetch_depth: int = 2           # frames decoded ahead of the device by
+                                      # a producer thread (0 = synchronous);
+                                      # the ROS-queue analogue (io/prefetch.py)
 
 
 class SemanticTsdfServer:
@@ -80,11 +83,14 @@ class SemanticTsdfServer:
         return True
 
     def run(self, dataset, max_frames: Optional[int] = None) -> int:
-        """Batch mode — the kimera_semantics_rosbag main loop (CS2)."""
+        """Batch mode — the kimera_semantics_rosbag main loop (CS2). Frame
+        decode runs on a prefetch thread (io/prefetch.py) so host IO overlaps
+        device compute."""
+        import itertools
+        from ..io.prefetch import prefetch
         count = 0
-        for i, frame in enumerate(dataset):
-            if max_frames is not None and i >= max_frames:
-                break
+        stream = itertools.islice(iter(dataset), max_frames)
+        for frame in prefetch(stream, self.server_cfg.prefetch_depth):
             self.insert_frame(frame)
             count += 1
         return count

@@ -172,3 +172,44 @@ class TestReferenceCsvCompat:
         canon = m.colors_from_labels(back)
         back2 = m.labels_from_colors(canon.astype(jnp.uint8))
         assert np.array_equal(np.asarray(back), np.asarray(back2))
+
+
+class TestPrefetch:
+    def test_order_and_completeness(self):
+        from kimera_semantics_tpu.io.prefetch import prefetch
+        assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+        assert list(prefetch(iter([]), depth=2)) == []
+        assert list(prefetch(iter([1, 2]), depth=0)) == [1, 2]
+
+    def test_producer_exception_propagates(self):
+        from kimera_semantics_tpu.io.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+    def test_server_run_uses_prefetch(self):
+        """run() through the prefetch thread integrates every frame once."""
+        from kimera_semantics_tpu.config import FusionConfig, GridConfig, \
+            PipelineConfig
+        from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+        from kimera_semantics_tpu.server.pipeline import (SemanticTsdfServer,
+                                                          ServerConfig)
+        intr = PinholeIntrinsics(fx=40.0, fy=40.0, cx=19.5, cy=14.5,
+                                 width=40, height=30)
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.25, voxels_per_side=8,
+                            block_capacity=512),
+            pipeline=PipelineConfig(max_rays=1024,
+                                    dedup_table_size=1 << 12))
+        srv = SemanticTsdfServer(cfg, intr,
+                                 server_cfg=ServerConfig(prefetch_depth=2))
+        ds = ds_io.SyntheticDataset(num_frames=3, intr=intr,
+                                    label_map=srv.label_map)
+        assert srv.run(ds, max_frames=2) == 2
+        assert srv.stats()["frames"] == 2

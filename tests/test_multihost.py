@@ -167,3 +167,20 @@ class TestTwoProcessDistributed:
         b = [int(r.split()[3]) for r in results]
         assert abs(w[0] - w[1]) < 1e-3 * max(abs(w[0]), 1.0)
         assert b[0] == b[1] and b[0] > 0 and w[0] > 0
+
+
+class TestProjectivePipeline:
+    def test_projective_method(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 virtual devices")
+        cfg = small_cfg()
+        mesh = sharding.make_mesh(2)
+        lmap = LabelColorMap.random()
+        ds = SyntheticDataset(num_frames=2, intr=INTR, label_map=lmap)
+        pipe = multihost.MultiHostPipeline(cfg, INTR, mesh=mesh,
+                                           method="projective")
+        pipe.run(iter([ds.frame(0), ds.frame(1)]), max_steps=1)
+        merged, _ = sharding.merge_shards(pipe.sgrid, cfg)
+        assert int(merged.n_blocks) > 0
+        with pytest.raises(ValueError):
+            multihost.MultiHostPipeline(cfg, INTR, mesh=mesh, method="bogus")
