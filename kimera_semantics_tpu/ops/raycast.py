@@ -99,8 +99,14 @@ def traverse_soa(start3: jnp.ndarray, end3: jnp.ndarray, max_steps: int):
         t_next = t_next + jnp.where(onehot, t_step, 0.0)
         return (curr, t_next), (emit, s <= n_steps)
 
+    # Short traversals (the block-granularity allocation pre-pass, S ~ 15)
+    # are dispatch-overhead-bound on TPU — fully unroll them so XLA fuses the
+    # whole walk into a few kernels; long voxel-level walks keep the rolled
+    # scan (compile-time) with a modest unroll factor.
+    unroll = max_steps if max_steps <= 32 else 4
     (_, _), (voxels, valid) = jax.lax.scan(
-        body, (curr, t_next0), jnp.arange(max_steps), length=max_steps)
+        body, (curr, t_next0), jnp.arange(max_steps), length=max_steps,
+        unroll=unroll)
     return voxels, valid                                        # (S,3,R),(S,R)
 
 
