@@ -58,6 +58,10 @@ def _add_common(p):
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--validate", action="store_true",
+                   help="audit hash-table/voxel invariants after the run "
+                        "(utils/checks.py — the reference's CHECK contract "
+                        "surface)")
 
 
 def _build(args):
@@ -108,6 +112,9 @@ def cmd_batch(args, streaming: bool):
     n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}
+    if args.validate:
+        from ..utils import checks
+        out["invariants"] = checks.validate_grid(srv.grid, cfg)
     res = None
     if args.esdf:
         res = esdf_ops.compute_esdf(srv.grid, cfg)
@@ -138,10 +145,14 @@ def cmd_sim_eval(args):
                                      surface_band=cfg.tsdf.truncation_distance)
     mesh = srv.generate_mesh(args.mesh_out)
     mesh_err = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
-    print(json.dumps({
+    out = {
         "rmse_tsdf": errs.rmse_tsdf, "mae_tsdf": errs.mae_tsdf,
         "label_accuracy": errs.label_accuracy, "compared": errs.num_compared,
-        "mesh_error": mesh_err, **srv.stats()}))
+        "mesh_error": mesh_err, **srv.stats()}
+    if args.validate:
+        from ..utils import checks
+        out["invariants"] = checks.validate_grid(srv.grid, cfg)
+    print(json.dumps(out))
 
 
 def main(argv=None):
