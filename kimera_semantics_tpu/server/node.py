@@ -29,6 +29,10 @@ def _add_common(p):
     p.add_argument("--block-capacity", type=int, default=4096)
     p.add_argument("--truncation", type=float, default=0.1)
     p.add_argument("--max-ray-length", type=float, default=5.0)
+    p.add_argument("--enable-anti-grazing", action="store_true",
+                   help="merged integrator: skip traversed voxels owned by "
+                        "other bundles (voxblox enable_anti_grazing, "
+                        "_merged.cpp:306-313)")
     p.add_argument("--method",
                    choices=["fast", "merged", "simple", "projective"],
                    default="fast",
@@ -73,7 +77,8 @@ def _build(args):
                         voxels_per_side=args.voxels_per_side,
                         block_capacity=args.block_capacity),
         tsdf=TsdfConfig(truncation_distance=args.truncation,
-                        max_ray_length_m=args.max_ray_length),
+                        max_ray_length_m=args.max_ray_length,
+                        enable_anti_grazing=args.enable_anti_grazing),
         semantic=SemanticConfig(
             semantic_measurement_probability=args.measurement_probability,
             color_mode=ColorMode(args.color_mode),

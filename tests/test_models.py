@@ -197,3 +197,33 @@ class TestNearSurfaceSemanticGate:
         # gated: strictly fewer votes than whole-ray voting
         assert (np.asarray(g1.sem_count).sum()
                 < np.asarray(g0.sem_count).sum())
+
+
+class TestAntiGrazing:
+    """TsdfConfig.enable_anti_grazing (_merged.cpp:306-313): traversed voxels
+    that are destination voxels of OTHER bundles are skipped — strictly fewer
+    updates, surface voxels (own destinations) still updated."""
+
+    def test_fewer_updates_same_surface(self):
+        lmap = LabelColorMap.random()
+        ds = SyntheticDataset(num_frames=4, intr=INTR, label_map=lmap)
+
+        def run(ag):
+            cfg = small_cfg(integrator=IntegratorType("merged"))
+            cfg = dataclasses.replace(cfg, tsdf=dataclasses.replace(
+                cfg.tsdf, enable_anti_grazing=ag))
+            integ = factory.create("merged", cfg, INTR)
+            grid = blocks.create(cfg)
+            for frame in ds:
+                grid = integ.integrate(grid, frame)
+            return cfg, grid
+
+        cfg0, g0 = run(False)
+        _, g1 = run(True)
+        w0 = float(np.asarray(g0.wsum).sum())
+        w1 = float(np.asarray(g1.wsum).sum())
+        assert 0 < w1 < w0  # grazing updates removed
+        # surface reconstruction must survive the pruning
+        e0, _ = surface_error(cfg0, g0, ds.world)
+        e1, _ = surface_error(cfg0, g1, ds.world)
+        assert e1 < max(2.0 * e0, cfg0.grid.voxel_size)
