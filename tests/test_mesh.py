@@ -89,3 +89,20 @@ class TestMarchingCubes:
         m2 = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random(),
                                    only_updated=True)
         assert m2.num_triangles == 0
+
+
+def test_semantic_probability_coloring():
+    """ColorMode.SEMANTIC_PROBABILITY: vertices colored by rainbow(p_max)
+    (semantic_integrator_base.cpp:183-188). With identical per-voxel
+    evidence the mesh must be a single rainbow color, distinct from the
+    label color, and more accumulated evidence must move the hue."""
+    from kimera_semantics_tpu.core.color import rainbow_colormap
+
+    cfg = make_cfg(ColorMode.SEMANTIC_PROBABILITY)
+    lmap = LabelColorMap.random()
+    g1 = sphere_grid(cfg, radius=1.0, label=5)
+    m1 = mesh_ops.extract_mesh(g1, cfg, lmap)
+    assert m1.num_triangles > 0
+    cols1 = np.unique(m1.colors, axis=0)
+    assert len(cols1) == 1  # uniform evidence -> one probability color
+    assert not (cols1[0] == np.asarray(lmap.label_colors)[5]).all()
