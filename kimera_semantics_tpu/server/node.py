@@ -62,6 +62,21 @@ def _add_common(p):
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--depth-topic", default="/depth/image_raw",
+                   help=".bag datasets: depth image topic")
+    p.add_argument("--semantic-topic", default="/semantic/image_raw",
+                   help=".bag datasets: semantic image topic ('' = none)")
+    p.add_argument("--cam-info-topic", default="/depth/camera_info",
+                   help=".bag datasets: CameraInfo topic")
+    p.add_argument("--pointcloud-topic", default=None,
+                   help=".bag datasets: organized XYZRGB PointCloud2 topic "
+                        "(the live node's input surface; overrides "
+                        "--depth-topic)")
+    p.add_argument("--world-frame", default="world",
+                   help=".bag datasets: TF world/global frame")
+    p.add_argument("--sensor-frame", default=None,
+                   help=".bag datasets: camera TF frame "
+                        "(default: the image header's frame_id)")
     p.add_argument("--validate", action="store_true",
                    help="audit hash-table/voxel invariants after the run "
                         "(utils/checks.py — the reference's CHECK contract "
@@ -109,7 +124,25 @@ def cmd_batch(args, streaming: bool):
     from ..utils import timing
 
     cfg, lmap = _build(args)
-    ds = DirectoryDataset(args.dataset, label_map=lmap)
+    if args.dataset.endswith(".bag"):
+        # the reference's rosbag front door (kimera_semantics_rosbag.cpp)
+        from ..io.rosbag import RosbagDataset
+        if args.pointcloud_topic:
+            ds = RosbagDataset(args.dataset,
+                               pointcloud_topic=args.pointcloud_topic,
+                               cam_info_topic=args.cam_info_topic,
+                               world_frame=args.world_frame,
+                               sensor_frame=args.sensor_frame,
+                               label_map=lmap)
+        else:
+            ds = RosbagDataset(args.dataset, depth_topic=args.depth_topic,
+                               semantic_topic=args.semantic_topic or None,
+                               cam_info_topic=args.cam_info_topic,
+                               world_frame=args.world_frame,
+                               sensor_frame=args.sensor_frame,
+                               label_map=lmap)
+    else:
+        ds = DirectoryDataset(args.dataset, label_map=lmap)
     srv = SemanticTsdfServer(
         cfg, ds.intr, lmap,
         ServerConfig(mesh_every_n_frames=5 if streaming else 0,
