@@ -77,6 +77,11 @@ def _add_common(p):
     p.add_argument("--sensor-frame", default=None,
                    help=".bag datasets: camera TF frame "
                         "(default: the image header's frame_id)")
+    p.add_argument("--log-every", type=int, default=0,
+                   help="progress lines to stderr every N frames "
+                        "(the reference's per-frame glog progress)")
+    p.add_argument("--stats-jsonl", default="",
+                   help="write one JSON metrics line per frame to this path")
     p.add_argument("--validate", action="store_true",
                    help="audit hash-table/voxel invariants after the run "
                         "(utils/checks.py — the reference's CHECK contract "
@@ -146,7 +151,9 @@ def cmd_batch(args, streaming: bool):
     srv = SemanticTsdfServer(
         cfg, ds.intr, lmap,
         ServerConfig(mesh_every_n_frames=5 if streaming else 0,
-                     mesh_filename=args.mesh_out))
+                     mesh_filename=args.mesh_out,
+                     log_every_n_frames=args.log_every,
+                     stats_jsonl=args.stats_jsonl))
     n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}

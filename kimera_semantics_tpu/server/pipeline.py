@@ -43,6 +43,12 @@ class ServerConfig:
     prefetch_depth: int = 2           # frames decoded ahead of the device by
                                       # a producer thread (0 = synchronous);
                                       # the ROS-queue analogue (io/prefetch.py)
+    log_every_n_frames: int = 0       # glog-style per-frame progress lines to
+                                      # stderr (kimera_semantics_rosbag.cpp:79
+                                      # logs every frame; 0 = quiet)
+    stats_jsonl: str = ""             # per-frame metrics sink: one JSON line
+                                      # per integrated frame (observability
+                                      # parity, SURVEY 5.5)
 
 
 class SemanticTsdfServer:
@@ -87,12 +93,37 @@ class SemanticTsdfServer:
         decode runs on a prefetch thread (io/prefetch.py) so host IO overlaps
         device compute."""
         import itertools
+        import json
+        import sys
+        import time
         from ..io.prefetch import prefetch
         count = 0
-        stream = itertools.islice(iter(dataset), max_frames)
-        for frame in prefetch(stream, self.server_cfg.prefetch_depth):
-            self.insert_frame(frame)
-            count += 1
+        total = min(len(dataset), max_frames) if max_frames else len(dataset)
+        log_n = self.server_cfg.log_every_n_frames
+        sink = (open(self.server_cfg.stats_jsonl, "w")
+                if self.server_cfg.stats_jsonl else None)
+        t0 = time.perf_counter()
+        try:
+            stream = itertools.islice(iter(dataset), max_frames)
+            for frame in prefetch(stream, self.server_cfg.prefetch_depth):
+                self.insert_frame(frame)
+                count += 1
+                # progress/metrics read device state (a blocking fetch per
+                # line) — both sinks are opt-in and cost ~one tunnel RTT
+                if log_n and count % log_n == 0:
+                    print(f"Integrating frame {count}/{total} "
+                          f"(blocks={int(self.grid.n_blocks)}, "
+                          f"{count / (time.perf_counter() - t0):.1f} fps)",
+                          file=sys.stderr)
+                if sink is not None:
+                    sink.write(json.dumps({
+                        "frame": count,
+                        "t_wall_s": round(time.perf_counter() - t0, 4),
+                        "blocks": int(self.grid.n_blocks),
+                        "overflow": int(self.grid.overflow)}) + "\n")
+        finally:
+            if sink is not None:
+                sink.close()
         return count
 
     def _refine_pose(self, frame: Frame) -> Frame:

@@ -202,3 +202,22 @@ class TestPresets:
         assert p and os.path.exists(p)
         assert presets.resolve_csv("no_such_file.csv") is None
         assert presets.resolve_csv(None) is None
+
+
+class TestObservability:
+    def test_progress_log_and_stats_jsonl(self, tmp_path, capsys):
+        cfg = small_cfg()
+        path = str(tmp_path / "stats.jsonl")
+        srv = SemanticTsdfServer(
+            cfg, INTR, server_cfg=ServerConfig(log_every_n_frames=2,
+                                               stats_jsonl=path))
+        ds = SyntheticDataset(num_frames=4, intr=INTR)
+        n = srv.run(ds)
+        assert n == 4
+        err = capsys.readouterr().err
+        assert "Integrating frame 2/4" in err and "frame 4/4" in err
+        lines = [json.loads(l) for l in open(path)]
+        assert [l["frame"] for l in lines] == [1, 2, 3, 4]
+        assert lines[-1]["blocks"] > 10
+        assert lines[-1]["overflow"] == 0
+        assert lines[0]["t_wall_s"] <= lines[-1]["t_wall_s"]
