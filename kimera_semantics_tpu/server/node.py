@@ -61,6 +61,9 @@ def _add_common(p):
     p.add_argument("--map-out", default=None)
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
+    p.add_argument("--esdf-every", type=int, default=0,
+                   help="refresh the ESDF every N frames while streaming "
+                        "(voxblox EsdfServer update cycle)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--depth-topic", default="/depth/image_raw",
                    help=".bag datasets: depth image topic")
@@ -153,7 +156,8 @@ def cmd_batch(args, streaming: bool):
         ServerConfig(mesh_every_n_frames=5 if streaming else 0,
                      mesh_filename=args.mesh_out,
                      log_every_n_frames=args.log_every,
-                     stats_jsonl=args.stats_jsonl))
+                     stats_jsonl=args.stats_jsonl,
+                     esdf_every_n_frames=args.esdf_every))
     n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}

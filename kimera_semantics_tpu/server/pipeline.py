@@ -43,6 +43,10 @@ class ServerConfig:
     prefetch_depth: int = 2           # frames decoded ahead of the device by
                                       # a producer thread (0 = synchronous);
                                       # the ROS-queue analogue (io/prefetch.py)
+    esdf_every_n_frames: int = 0      # periodic ESDF refresh while streaming
+                                      # (voxblox EsdfServer update cycle; the
+                                      # result is kept on `server.esdf`).
+                                      # 0 = batch-only (CS2 tail via --esdf)
     log_every_n_frames: int = 0       # glog-style per-frame progress lines to
                                       # stderr (kimera_semantics_rosbag.cpp:79
                                       # logs every frame; 0 = quiet)
@@ -64,6 +68,7 @@ class SemanticTsdfServer:
         self._frames_integrated = 0
         self._last_stream_time = -np.inf
         self.mesh_callbacks: List[Callable[[mesh_ops.Mesh], None]] = []
+        self.esdf = None  # latest periodic EsdfResult (esdf_every_n_frames)
 
     # -- streaming ---------------------------------------------------------
 
@@ -86,6 +91,9 @@ class SemanticTsdfServer:
         n = self.server_cfg.mesh_every_n_frames
         if n and self._frames_integrated % n == 0:
             self.update_mesh()
+        ne = self.server_cfg.esdf_every_n_frames
+        if ne and self._frames_integrated % ne == 0:
+            self.update_esdf()
         return True
 
     def run(self, dataset, max_frames: Optional[int] = None) -> int:
@@ -152,6 +160,16 @@ class SemanticTsdfServer:
         for cb in self.mesh_callbacks:
             cb(m)
         return m
+
+    def update_esdf(self):
+        """Refresh the ESDF from the current TSDF state — the EsdfServer
+        update cycle (voxblox updates ESDF alongside streaming TSDF; here a
+        full jump-flooding pass over the allocated AABB, ops/esdf.py, which
+        on TPU is cheaper than maintaining an incremental wavefront)."""
+        from ..ops import esdf as esdf_ops
+        with timing.Timer("esdf/update"):
+            self.esdf = esdf_ops.compute_esdf(self.grid, self.cfg)
+        return self.esdf
 
     def generate_mesh(self, path: Optional[str] = None) -> mesh_ops.Mesh:
         """Full mesh over all allocated blocks (+ optional PLY save) —

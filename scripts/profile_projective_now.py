@@ -39,13 +39,19 @@ def timeit(name, fn, *args, reps=20):
 
 def main():
     print("dev:", jax.devices()[0], flush=True)
+    vps = int(os.environ.get("PROF_VPS", "16"))
     cfg = FusionConfig(
-        grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
-                        block_capacity=4096),
+        grid=GridConfig(voxel_size=0.05, voxels_per_side=vps,
+                        block_capacity=int(os.environ.get("PROF_CAP", "4096"))),
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                         voxel_carving_enabled=True, use_const_weight=False),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
-        pipeline=PipelineConfig())
+        pipeline=PipelineConfig(
+            block_budget=int(os.environ.get("PROF_BUDGET", "512")),
+            alloc_stride=int(os.environ.get("PROF_STRIDE", "8")),
+            patch_rows=int(os.environ.get("PROF_PATCH_ROWS", "128")),
+            patch_cols=int(os.environ.get("PROF_PATCH_COLS", "256"))))
+    print("vps:", vps, "budget:", cfg.pipeline.block_budget, flush=True)
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
                              width=640, height=480)
     label_map = LabelColorMap.random(cfg.grid.num_labels)

@@ -221,3 +221,14 @@ class TestObservability:
         assert lines[-1]["blocks"] > 10
         assert lines[-1]["overflow"] == 0
         assert lines[0]["t_wall_s"] <= lines[-1]["t_wall_s"]
+
+    def test_periodic_esdf_refresh(self):
+        cfg = small_cfg()
+        srv = SemanticTsdfServer(
+            cfg, INTR, server_cfg=ServerConfig(esdf_every_n_frames=2))
+        ds = SyntheticDataset(num_frames=2, intr=INTR)
+        assert srv.esdf is None
+        srv.run(ds)
+        assert srv.esdf is not None and srv.esdf.distance.size > 0
+        # distances are clipped to the batch default max_dist
+        assert float(np.abs(srv.esdf.distance).max()) <= 4.0 + 1e-6
