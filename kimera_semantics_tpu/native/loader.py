@@ -28,12 +28,18 @@ def get():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
+        # (Re)build when the .so is missing or older than any source.
+        srcs = [os.path.join(_DIR, "src", f)
+                for f in os.listdir(os.path.join(_DIR, "src"))]
+        stale = (not os.path.exists(_SO) or
+                 os.path.getmtime(_SO) < max(map(os.path.getmtime, srcs)))
+        if stale:
             try:
-                subprocess.run(["make", "-C", _DIR], check=True,
+                subprocess.run(["make", "-B", "-C", _DIR], check=True,
                                capture_output=True, timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -43,6 +49,13 @@ def get():
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.ksd_write_ply_normals.restype = ctypes.c_int
+        lib.ksd_write_ply_normals.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
         lib.ksd_serializer_open_write.restype = ctypes.c_int
@@ -59,14 +72,24 @@ def get():
 
 
 def write_ply(lib, path: str, vertices: np.ndarray, colors: np.ndarray,
-              triangles: np.ndarray) -> None:
-    rc = lib.ksd_write_ply(
-        path.encode(),
-        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        colors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        len(vertices),
-        triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(triangles))
+              triangles: np.ndarray, normals: np.ndarray = None) -> None:
+    if normals is not None:
+        rc = lib.ksd_write_ply_normals(
+            path.encode(),
+            vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            normals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(vertices),
+            triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(triangles))
+    else:
+        rc = lib.ksd_write_ply(
+            path.encode(),
+            vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(vertices),
+            triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(triangles))
     if rc != 0:
         raise IOError(f"native PLY write failed with code {rc} for {path}")
 

@@ -41,6 +41,8 @@ class Mesh:
     vertices: np.ndarray   # (N, 3) float32 world coords
     colors: np.ndarray     # (N, 3) uint8
     triangles: np.ndarray  # (N/3, 3) int32 indices (soup)
+    normals: Optional[np.ndarray] = None  # (N, 3) float32 unit outward
+                                          # (voxblox Mesh::normals)
 
     @property
     def num_triangles(self) -> int:
@@ -95,13 +97,14 @@ _NBR_OFFSETS = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0],
                          [1, 0, 1], [0, 1, 1], [1, 1, 1]], dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "with_normals"))
 def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
-                      slots: jnp.ndarray, cfg: FusionConfig):
+                      slots: jnp.ndarray, cfg: FusionConfig,
+                      with_normals: bool = False):
     """Marching cubes over a batch of K blocks.
 
     Returns (tri_verts (K, V3, 5, 3, 3), tri_cols (K, V3, 5, 3, 3),
-    tri_valid (K, V3, 5))."""
+    tri_valid (K, V3, 5)[, tri_nrms (K, V3, 5, 3, 3)])."""
     g = cfg.grid
     V, V3, cap = g.voxels_per_side, g.vps3, g.block_capacity
     K = slots.shape[0]
@@ -152,23 +155,50 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
     c1 = ccol[..., ec[:, 1], :]
     ecol = jnp.where((t < 0.5)[..., None], c0, c1)
 
+    enrm = None
+    if with_normals:
+        # Vertex normal = normalized trilinear TSDF gradient at the edge
+        # vertex (voxblox Mesh normals convention: grad points inside->out
+        # since TSDF is positive outside). Local cube coords in [0,1]^3:
+        # corner c sits at offs_c, vertex at p0 + t (p1 - p0) - 0.5.
+        local = (p0 - 0.5)[None, None, None, None] \
+            + t[..., None] * (p1 - p0)[None, None, None, None]  # (K,V,V,V,12,3)
+        o = offs.astype(jnp.float32)                             # (8, 3)
+        # per-corner axis factors: f_axis = o ? u : 1-u, df_axis = o ? 1 : -1
+        u = local[..., None, :]                                  # (...,12,1,3)
+        f = jnp.where(o[None] > 0.5, u, 1.0 - u)                 # (...,12,8,3)
+        df = jnp.where(o > 0.5, 1.0, -1.0)                       # (8, 3)
+        sb = csdf[..., None, :]                                  # (...,1,8)
+        gx = jnp.sum(sb * df[:, 0] * f[..., 1] * f[..., 2], axis=-1)
+        gy = jnp.sum(sb * df[:, 1] * f[..., 0] * f[..., 2], axis=-1)
+        gz = jnp.sum(sb * df[:, 2] * f[..., 0] * f[..., 1], axis=-1)
+        grad = jnp.stack([gx, gy, gz], axis=-1)                  # (...,12,3)
+        enrm = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1,
+                                                  keepdims=True), 1e-12)
+
     # Triangles: (K,V,V,V,5,3) edge ids.
     tt = jnp.asarray(mc_tables.TRI_TABLE[:, :15]).reshape(256, 5, 3)
     tri_edges = tt[case]
     tri_valid = tri_edges[..., 0] >= 0
     safe_edges = jnp.maximum(tri_edges, 0)
+    flat = lambda a: a.reshape((K, V3) + a.shape[4:])
+    if with_normals:
+        gather = jax.vmap(jax.vmap(jax.vmap(jax.vmap(
+            lambda ep, ecol_, en, te: (ep[te], ecol_[te], en[te])))))
+        tv, tc, tn = gather(epos, ecol, enrm, safe_edges)  # (K,V,V,V,5,3,3)
+        return flat(tv), flat(tc), flat(tri_valid), flat(tn)
     gather = jax.vmap(  # over K
         jax.vmap(jax.vmap(jax.vmap(                     # over V,V,V
             lambda ep, ecol_, te: (ep[te], ecol_[te]))))
     )
     tv, tc = gather(epos, ecol, safe_edges)             # (K,V,V,V,5,3,3)
-    flat = lambda a: a.reshape((K, V3) + a.shape[4:])
     return flat(tv), flat(tc), flat(tri_valid)
 
 
 def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
                  label_map: Optional[LabelColorMap] = None,
-                 only_updated: bool = False, batch: int = 32) -> Mesh:
+                 only_updated: bool = False, batch: int = 32,
+                 with_normals: bool = False) -> Mesh:
     """Extract the mesh for allocated (or updated) blocks; host-side compaction.
 
     Equivalent of TsdfServer::generateMesh / the periodic mesh update
@@ -180,21 +210,27 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
     sel = np.where(updated & allocated)[0] if only_updated else np.where(allocated)[0]
     render = render_colors(grid, cfg, label_map)
 
-    verts, cols = [], []
+    verts, cols, nrms = [], [], []
     for i in range(0, len(sel), batch):
         chunk = sel[i:i + batch]
         slots = np.full(batch, cap, dtype=np.int32)
         slots[:len(chunk)] = chunk
-        tv, tc, tm = _mesh_block_batch(grid, render, jnp.asarray(slots), cfg)
-        tv, tc, tm = np.asarray(tv), np.asarray(tc), np.asarray(tm)
+        out = _mesh_block_batch(grid, render, jnp.asarray(slots), cfg,
+                                with_normals=with_normals)
+        tv, tc, tm = (np.asarray(x) for x in out[:3])
         m = tm.reshape(-1)
         verts.append(tv.reshape(-1, 3, 3)[m])
         cols.append(tc.reshape(-1, 3, 3)[m])
+        if with_normals:
+            nrms.append(np.asarray(out[3]).reshape(-1, 3, 3)[m])
     if verts:
         v = np.concatenate(verts).reshape(-1, 3).astype(np.float32)
         c = np.clip(np.concatenate(cols).reshape(-1, 3), 0, 255).astype(np.uint8)
+        nr = (np.concatenate(nrms).reshape(-1, 3).astype(np.float32)
+              if with_normals else None)
     else:
         v = np.zeros((0, 3), np.float32)
         c = np.zeros((0, 3), np.uint8)
+        nr = np.zeros((0, 3), np.float32) if with_normals else None
     tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
-    return Mesh(vertices=v, colors=c, triangles=tris)
+    return Mesh(vertices=v, colors=c, triangles=tris, normals=nr)

@@ -58,6 +58,8 @@ def _add_common(p):
                    help="grid update strategy (PipelineConfig.scatter_mode); "
                         "'segment' is the TPU-fast sorted-compaction path")
     p.add_argument("--mesh-out", default="mesh.ply")
+    p.add_argument("--mesh-normals", action="store_true",
+                   help="write per-vertex TSDF-gradient normals into the PLY")
     p.add_argument("--map-out", default=None)
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
@@ -155,6 +157,7 @@ def cmd_batch(args, streaming: bool):
         cfg, ds.intr, lmap,
         ServerConfig(mesh_every_n_frames=5 if streaming else 0,
                      mesh_filename=args.mesh_out,
+                     mesh_normals=args.mesh_normals,
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every))

@@ -37,6 +37,9 @@ class ServerConfig:
     mesh_every_n_frames: int = 0      # 0 = no periodic meshing
     min_frame_interval: float = 0.0   # seconds of *stream time* between frames
     mesh_filename: str = ""
+    mesh_normals: bool = False        # per-vertex TSDF-gradient normals on
+                                      # extracted meshes (voxblox Mesh
+                                      # normals; written into the PLY)
     enable_icp: bool = False          # scan-to-map pose refinement before
                                       # integration (voxblox enable_icp parity)
     icp_iters: int = 6
@@ -154,7 +157,8 @@ class SemanticTsdfServer:
         import jax.numpy as jnp
         with timing.Timer("mesh/update"):
             m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
-                                      only_updated=True)
+                                      only_updated=True,
+                                      with_normals=self.server_cfg.mesh_normals)
         self.grid = dataclasses.replace(
             self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
         for cb in self.mesh_callbacks:
@@ -176,10 +180,12 @@ class SemanticTsdfServer:
         TsdfServer::generateMesh (kimera_semantics_rosbag.cpp:148)."""
         with timing.Timer("mesh/generate"):
             m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
-                                      only_updated=False)
+                                      only_updated=False,
+                                      with_normals=self.server_cfg.mesh_normals)
         path = path or self.server_cfg.mesh_filename
         if path:
-            ply_io.write_ply(path, m.vertices, m.colors, m.triangles)
+            ply_io.write_ply(path, m.vertices, m.colors, m.triangles,
+                             normals=m.normals)
         return m
 
     # -- checkpointing -----------------------------------------------------

@@ -106,3 +106,44 @@ def test_semantic_probability_coloring():
     cols1 = np.unique(m1.colors, axis=0)
     assert len(cols1) == 1  # uniform evidence -> one probability color
     assert not (cols1[0] == np.asarray(lmap.label_colors)[5]).all()
+
+
+class TestNormals:
+    def test_sphere_normals_point_outward(self):
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random(),
+                                  with_normals=True)
+        assert m.normals is not None and m.normals.shape == m.vertices.shape
+        # unit length
+        np.testing.assert_allclose(np.linalg.norm(m.normals, axis=1), 1.0,
+                                   atol=1e-4)
+        # radially outward on a sphere centered at the origin
+        radial = m.vertices / np.linalg.norm(m.vertices, axis=1, keepdims=True)
+        dots = np.sum(m.normals * radial, axis=1)
+        assert np.mean(dots > 0.9) > 0.98, float(np.mean(dots))
+
+    def test_normals_off_by_default(self):
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random())
+        assert m.normals is None
+
+    def test_ply_roundtrip_with_normals(self, tmp_path):
+        from kimera_semantics_tpu.io import ply as ply_io
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        m = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random(),
+                                  with_normals=True)
+        path = str(tmp_path / "n.ply")
+        ply_io.write_ply(path, m.vertices, m.colors, m.triangles,
+                         normals=m.normals)
+        rv, rc, rt, rn = ply_io.read_ply(path, with_normals=True)
+        np.testing.assert_array_equal(rv, m.vertices)
+        np.testing.assert_array_equal(rn, m.normals)
+        # plain meshes still round-trip, reporting no normals
+        path2 = str(tmp_path / "p.ply")
+        ply_io.write_ply(path2, m.vertices, m.colors, m.triangles)
+        rv2, _, _, rn2 = ply_io.read_ply(path2, with_normals=True)
+        np.testing.assert_array_equal(rv2, m.vertices)
+        assert rn2 is None
