@@ -313,12 +313,17 @@ class PointCloud2Msg:
     width: int
     fields: Dict[str, Tuple[int, np.dtype]]  # name -> (offset, dtype)
     point_step: int
+    row_step: int
     data: bytes
 
     def column(self, name: str) -> np.ndarray:
         off, dtype = self.fields[name]
-        n = self.height * self.width
-        raw = np.frombuffer(self.data, dtype=np.uint8).reshape(n, self.point_step)
+        # rows may carry padding (row_step > width * point_step)
+        rows = np.frombuffer(self.data, dtype=np.uint8,
+                             count=self.height * self.row_step)
+        rows = rows.reshape(self.height, self.row_step)
+        raw = rows[:, :self.width * self.point_step].reshape(
+            self.height * self.width, self.point_step)
         col = raw[:, off:off + np.dtype(dtype).itemsize].copy().view(dtype)[:, 0]
         return col.reshape(self.height, self.width)
 
@@ -351,11 +356,13 @@ def decode_pointcloud2(raw: bytes) -> PointCloud2Msg:
         fields[name] = (offset, np.dtype(_PF_DTYPES[datatype]).newbyteorder("<"))
     c.u8()  # is_bigendian
     point_step = c.u32()
-    c.u32()  # row_step
+    row_step = c.u32()
     data = c.bytes_array()
+    if row_step == 0:  # permissive: some writers leave it 0 for dense rows
+        row_step = width * point_step
     return PointCloud2Msg(stamp=stamp, frame_id=frame_id, height=height,
                           width=width, fields=fields, point_step=point_step,
-                          data=data)
+                          row_step=row_step, data=data)
 
 
 _MSG_TYPES = {
@@ -690,12 +697,15 @@ class RosbagDataset:
             raise ValueError("need exactly one of depth_topic / pointcloud_topic")
         self.label_map = label_map or LabelColorMap.random()
         reader = BagReader(path)
-        self.tf = TfBuffer.from_bag(reader)
+        self.tf = TfBuffer()
         self.world_frame = world_frame
         self._semantic_is_label_image = semantic_is_label_image
 
+        # Single pass over the bag (it is fully read + decompressed per
+        # messages() call): TF and the selected data topics together.
+        tf_topics = ("/tf", "/tf_static")
         topics = [t for t in (depth_topic, semantic_topic, cam_info_topic,
-                              pointcloud_topic) if t]
+                              pointcloud_topic) if t] + list(tf_topics)
         depth_msgs: List[ImageMsg] = []
         sem_msgs: List[ImageMsg] = []
         clouds: List[PointCloud2Msg] = []
@@ -706,6 +716,9 @@ class RosbagDataset:
                 sem_msgs.append(msg.decode())
             elif msg.topic == pointcloud_topic:
                 clouds.append(msg.decode())
+            elif msg.topic in tf_topics:
+                for tf in msg.decode():
+                    self.tf.add(tf)
             elif msg.topic == cam_info_topic and intr is None:
                 intr = msg.decode().intrinsics()
 
@@ -736,6 +749,11 @@ class RosbagDataset:
     def _pair_streams(depth_msgs, sem_msgs, semantic_topic, tol):
         if not semantic_topic:
             return [(d, None) for d in depth_msgs]
+        if not sem_msgs:
+            raise ValueError(
+                f"no messages on semantic topic {semantic_topic!r} — is the "
+                "topic name right? (pass --semantic-topic '' for "
+                "geometric-only integration)")
         # lockstep pairing with the reference's stream-consistency contract
         if len(sem_msgs) != len(depth_msgs):
             raise ValueError(

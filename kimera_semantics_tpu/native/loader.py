@@ -28,11 +28,17 @@ def get():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        # (Re)build when the .so is missing or older than any source.
-        srcs = [os.path.join(_DIR, "src", f)
-                for f in os.listdir(os.path.join(_DIR, "src"))]
-        stale = (not os.path.exists(_SO) or
-                 os.path.getmtime(_SO) < max(map(os.path.getmtime, srcs)))
+        # (Re)build when the .so is missing or older than any source. A
+        # missing/empty src tree with a prebuilt .so is fine (ships built).
+        try:
+            src_dir = os.path.join(_DIR, "src")
+            srcs = [os.path.join(src_dir, f) for f in os.listdir(src_dir)] \
+                if os.path.isdir(src_dir) else []
+            stale = (not os.path.exists(_SO) or
+                     (srcs and os.path.getmtime(_SO) <
+                      max(map(os.path.getmtime, srcs))))
+        except OSError:
+            stale = not os.path.exists(_SO)
         if stale:
             try:
                 subprocess.run(["make", "-B", "-C", _DIR], check=True,
@@ -44,31 +50,42 @@ def get():
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        lib.ksd_write_ply.restype = ctypes.c_int
-        lib.ksd_write_ply.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ]
-        lib.ksd_write_ply_normals.restype = ctypes.c_int
-        lib.ksd_write_ply_normals.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ]
-        lib.ksd_serializer_open_write.restype = ctypes.c_int
-        lib.ksd_serializer_open_write.argtypes = [
-            ctypes.c_char_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_void_p)]
-        lib.ksd_serializer_write_array.restype = ctypes.c_int
-        lib.ksd_serializer_write_array.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p, ctypes.c_int64]
-        lib.ksd_serializer_close.restype = ctypes.c_int
-        lib.ksd_serializer_close.argtypes = [ctypes.c_void_p]
+        # A stale prebuilt .so that survived a failed rebuild may lack newer
+        # symbols — treat that as "no native lib" (numpy fallback), not a
+        # crash at first use.
+        try:
+            _bind(lib)
+        except AttributeError:
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib):
+    """Declare ctypes signatures; raises AttributeError on missing symbols."""
+    lib.ksd_write_ply.restype = ctypes.c_int
+    lib.ksd_write_ply.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.ksd_write_ply_normals.restype = ctypes.c_int
+    lib.ksd_write_ply_normals.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.ksd_serializer_open_write.restype = ctypes.c_int
+    lib.ksd_serializer_open_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_void_p)]
+    lib.ksd_serializer_write_array.restype = ctypes.c_int
+    lib.ksd_serializer_write_array.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p, ctypes.c_int64]
+    lib.ksd_serializer_close.restype = ctypes.c_int
+    lib.ksd_serializer_close.argtypes = [ctypes.c_void_p]
 
 
 def write_ply(lib, path: str, vertices: np.ndarray, colors: np.ndarray,

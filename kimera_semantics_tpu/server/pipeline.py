@@ -109,7 +109,11 @@ class SemanticTsdfServer:
         import time
         from ..io.prefetch import prefetch
         count = 0
-        total = min(len(dataset), max_frames) if max_frames else len(dataset)
+        # plain iterables/generators are fine as datasets — sized ones just
+        # get a nicer "i/N" progress denominator
+        n = len(dataset) if hasattr(dataset, "__len__") else None
+        total = (min(n, max_frames) if (n is not None and max_frames)
+                 else (n if n is not None else (max_frames or "?")))
         log_n = self.server_cfg.log_every_n_frames
         sink = (open(self.server_cfg.stats_jsonl, "w")
                 if self.server_cfg.stats_jsonl else None)

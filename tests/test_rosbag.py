@@ -219,3 +219,46 @@ def test_cli_batch_from_bag(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["frames"] == 4
     assert out["triangles"] > 50
+
+
+def test_pointcloud2_row_padding():
+    # spec-conformant clouds may pad rows: row_step > width * point_step
+    rng = np.random.default_rng(7)
+    xyz = rng.random((3, 5, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, size=(3, 5, 3)).astype(np.uint32)
+    raw = _encode_pointcloud2(1.0, "cam", xyz, rgb)
+    msg = rb.decode_pointcloud2(raw)
+    pad = 16
+    padded_rows = b"".join(
+        msg.data[r * msg.row_step:(r + 1) * msg.row_step] + b"\x00" * pad
+        for r in range(msg.height))
+    import dataclasses as dc
+    padded = dc.replace(msg, row_step=msg.row_step + pad, data=padded_rows)
+    np.testing.assert_allclose(padded.column("z"), xyz[..., 2])
+
+
+def test_missing_semantic_topic_error(tmp_path):
+    path = str(tmp_path / "d.bag")
+    img = np.zeros((4, 5), np.uint16)
+    intr = PinholeIntrinsics(fx=4, fy=4, cx=2, cy=2, width=5, height=4)
+    with rb.BagWriter(path) as w:
+        w.write("/d", "sensor_msgs/Image",
+                rb.encode_image(img, "16UC1", 1.0, "cam"), 1.0)
+    with pytest.raises(ValueError, match="no messages on semantic topic"):
+        rb.RosbagDataset(path, depth_topic="/d", semantic_topic="/nope",
+                         intr=intr)
+
+
+def test_server_run_accepts_plain_generator():
+    from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                             PipelineConfig, TsdfConfig)
+    from kimera_semantics_tpu.server.pipeline import SemanticTsdfServer
+    cfg = FusionConfig(
+        grid=GridConfig(voxel_size=0.25, voxels_per_side=8,
+                        block_capacity=768),
+        tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
+        pipeline=PipelineConfig(max_rays=4096, dedup_table_size=1 << 14))
+    ds = small_dataset(2)
+    srv = SemanticTsdfServer(cfg, ds.intr, ds.label_map)
+    n = srv.run(f for f in ds)  # generator: no __len__
+    assert n == 2
