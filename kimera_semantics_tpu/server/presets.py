@@ -24,6 +24,9 @@ PRESETS = {
     # kimera_semantics.launch:3-4,96-132 — the canonical demo operating
     # point (TESSE office scene, 5 Hz frames, 1 s incremental meshing).
     "demo": {
+        "depth_topic": "/tesse/depth_cam/mono/image_raw",
+        "semantic_topic": "/tesse/seg_cam/rgb/image_raw",
+        "cam_info_topic": "/tesse/depth_cam/camera_info",
         "voxel_size": 0.05, "voxels_per_side": 32, "max_ray_length": 5.0,
         "method": "fast", "color_mode": "semantic",
         "measurement_probability": 0.8, "dynamic_labels": [20],
@@ -32,6 +35,9 @@ PRESETS = {
     # kimera_semantics_rosbag.launch:3-19,45-70 — offline uHumans2 batch
     # reconstruction (apartment scene CSV, GT poses, dynamic masking).
     "rosbag": {
+        "depth_topic": "/tesse/depth_cam/mono/image_raw",
+        "semantic_topic": "/tesse/seg_cam/rgb/image_raw",
+        "cam_info_topic": "/tesse/depth_cam/camera_info",
         "voxel_size": 0.05, "voxels_per_side": 32, "max_ray_length": 5.0,
         "method": "fast", "color_mode": "semantic",
         "measurement_probability": 0.8, "dynamic_labels": [20],
@@ -40,6 +46,9 @@ PRESETS = {
     # kimera_semantics_uHumans2.launch:3-4,20 — live uHumans2 (longer rays,
     # office2 scene CSV); includes kimera_semantics.launch for the rest.
     "uhumans2": {
+        "depth_topic": "/tesse/depth_cam/mono/image_raw",
+        "semantic_topic": "/tesse/seg_cam/rgb/image_raw",
+        "cam_info_topic": "/tesse/depth_cam/camera_info",
         "voxel_size": 0.05, "voxels_per_side": 32, "max_ray_length": 10.0,
         "method": "fast", "color_mode": "semantic",
         "measurement_probability": 0.8, "dynamic_labels": [20],
@@ -65,6 +74,9 @@ PRESETS = {
     # kimera_metric_realsense.launch:5-9 — RealSense D435i close-range
     # mapping with Mask-RCNN labels (includes kimera_semantics.launch).
     "realsense": {
+        "depth_topic": "/depth_camera/aligned_depth_to_color/image_raw",
+        "semantic_topic": "/depth_camera/color/semantic_image",
+        "cam_info_topic": "/depth_camera/aligned_depth_to_color/camera_info",
         "voxel_size": 0.05, "voxels_per_side": 32, "max_ray_length": 2.5,
         "method": "fast", "color_mode": "semantic",
         "measurement_probability": 0.8, "dynamic_labels": [20],

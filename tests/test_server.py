@@ -232,3 +232,12 @@ class TestObservability:
         assert srv.esdf is not None and srv.esdf.distance.size > 0
         # distances are clipped to the batch default max_dist
         assert float(np.abs(srv.esdf.distance).max()) <= 4.0 + 1e-6
+
+    def test_presets_carry_bag_topics(self):
+        from kimera_semantics_tpu.server.presets import PRESETS
+        for name in ("demo", "rosbag", "uhumans2"):
+            assert PRESETS[name]["depth_topic"] == \
+                "/tesse/depth_cam/mono/image_raw"
+            assert PRESETS[name]["semantic_topic"] == \
+                "/tesse/seg_cam/rgb/image_raw"
+        assert PRESETS["realsense"]["depth_topic"].startswith("/depth_camera/")
