@@ -87,6 +87,9 @@ def _add_common(p):
                         "(the reference's per-frame glog progress)")
     p.add_argument("--stats-jsonl", default="",
                    help="write one JSON metrics line per frame to this path")
+    p.add_argument("--trace-dir", default="",
+                   help="capture a JAX/XLA profiler trace of the run into "
+                        "this directory (open with TensorBoard/Perfetto)")
     p.add_argument("--validate", action="store_true",
                    help="audit hash-table/voxel invariants after the run "
                         "(utils/checks.py — the reference's CHECK contract "
@@ -161,7 +164,12 @@ def cmd_batch(args, streaming: bool):
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every))
-    n = srv.run(ds, max_frames=args.max_frames)
+    if args.trace_dir:
+        import jax
+        with jax.profiler.trace(args.trace_dir):
+            n = srv.run(ds, max_frames=args.max_frames)
+    else:
+        n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}
     if args.validate:
