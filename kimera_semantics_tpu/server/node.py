@@ -87,6 +87,12 @@ def _add_common(p):
                         "(the reference's per-frame glog progress)")
     p.add_argument("--stats-jsonl", default="",
                    help="write one JSON metrics line per frame to this path")
+    p.add_argument("--surface-pc", default="",
+                   help="write the near-surface voxel pointcloud (colored "
+                        "PLY) — the surface_pointcloud topic")
+    p.add_argument("--freespace-pc", default="",
+                   help="write the free-space voxel pointcloud (PLY) — the "
+                        "freespace_pointcloud topic Kimera uses for planning")
     p.add_argument("--trace-dir", default="",
                    help="capture a JAX/XLA profiler trace of the run into "
                         "this directory (open with TensorBoard/Perfetto)")
@@ -172,6 +178,21 @@ def cmd_batch(args, streaming: bool):
         n = srv.run(ds, max_frames=args.max_frames)
     mesh = srv.generate_mesh(args.mesh_out)
     out = {"frames": n, "triangles": mesh.num_triangles, **srv.stats()}
+    if args.surface_pc:
+        import numpy as np
+        from ..io import ply as ply_io
+        pts, cols = srv.surface_pointcloud()
+        ply_io.write_ply(args.surface_pc, pts, cols,
+                         np.zeros((0, 3), np.int32))
+        out["surface_points"] = len(pts)
+    if args.freespace_pc:
+        import numpy as np
+        from ..io import ply as ply_io
+        pts = srv.freespace_pointcloud()
+        ply_io.write_ply(args.freespace_pc, pts,
+                         np.full((len(pts), 3), 255, np.uint8),
+                         np.zeros((0, 3), np.int32))
+        out["freespace_points"] = len(pts)
     if args.validate:
         from ..utils import checks
         out["invariants"] = checks.validate_grid(srv.grid, cfg)

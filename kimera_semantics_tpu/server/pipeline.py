@@ -192,6 +192,60 @@ class SemanticTsdfServer:
                              normals=m.normals)
         return m
 
+    # -- pointcloud outputs (TsdfServer publishPointclouds parity) ----------
+
+    def _voxel_centers(self, slot_idx: np.ndarray, lin_idx: np.ndarray
+                       ) -> np.ndarray:
+        """World-space centers for (slot, linear-voxel) index pairs."""
+        g = self.cfg.grid
+        V = g.voxels_per_side
+        bc = np.asarray(self.grid.block_coords)[slot_idx]         # (N, 3)
+        local = np.stack([lin_idx // (V * V), (lin_idx // V) % V,
+                          lin_idx % V], axis=-1)
+        return ((bc * V + local) + 0.5).astype(np.float32) * g.voxel_size
+
+    def _observed(self):
+        cap = self.cfg.grid.block_capacity
+        nb = int(self.grid.n_blocks)
+        w = np.array(self.grid.wsum[:cap])  # copy: unallocated slots zeroed
+        w[nb:] = 0.0
+        d = np.asarray(gblocks.tsdf_distance(
+            self.grid, self.cfg.tsdf.truncation_distance)[:cap])
+        return w, d
+
+    def surface_pointcloud(self, thresh: Optional[float] = None):
+        """(points (N,3), colors (N,3) u8) of near-surface observed voxels —
+        the reference's `surface_pointcloud` topic (voxblox TsdfServer
+        publishes voxels within ~half a voxel of the zero crossing, colored
+        like the mesh)."""
+        from ..ops import mesh as mesh_ops
+        g = self.cfg.grid
+        thresh = g.voxel_size * 0.75 if thresh is None else thresh
+        w, d = self._observed()
+        slot, lin = np.nonzero((w > 1e-6) & (np.abs(d) < thresh))
+        cols = np.asarray(mesh_ops.render_colors(
+            self.grid, self.cfg, self.label_map))[:, slot, lin].T
+        return (self._voxel_centers(slot, lin),
+                np.clip(cols, 0, 255).astype(np.uint8))
+
+    def tsdf_pointcloud(self):
+        """(points (N,3), distances (N,)) for every observed voxel — the
+        `tsdf_pointcloud` debug topic."""
+        w, d = self._observed()
+        slot, lin = np.nonzero(w > 1e-6)
+        return self._voxel_centers(slot, lin), d[slot, lin]
+
+    def freespace_pointcloud(self, min_distance: Optional[float] = None):
+        """(points (N,3),) of confidently-free observed voxels — the
+        `freespace_pointcloud` topic Kimera remaps for planning
+        (launch/kimera_semantics_rosbag.launch:53). Default threshold: the
+        truncation distance (distance saturated = definitely free)."""
+        t = self.cfg.tsdf.truncation_distance
+        min_distance = t * 0.95 if min_distance is None else min_distance
+        w, d = self._observed()
+        slot, lin = np.nonzero((w > 1e-6) & (d >= min_distance))
+        return self._voxel_centers(slot, lin)
+
     # -- checkpointing -----------------------------------------------------
 
     def save_map(self, path: str, esdf=None):

@@ -241,3 +241,26 @@ class TestObservability:
             assert PRESETS[name]["semantic_topic"] == \
                 "/tesse/seg_cam/rgb/image_raw"
         assert PRESETS["realsense"]["depth_topic"].startswith("/depth_camera/")
+
+    def test_pointcloud_outputs(self):
+        cfg = small_cfg()
+        lmap = LabelColorMap.random()
+        srv = SemanticTsdfServer(cfg, INTR, lmap)
+        ds = SyntheticDataset(num_frames=3, intr=INTR, label_map=lmap)
+        srv.run(ds)
+        pts, cols = srv.surface_pointcloud()
+        assert len(pts) > 100 and cols.shape == (len(pts), 3)
+        assert cols.dtype == np.uint8
+        # surface points sit within one truncation of the analytic world
+        from kimera_semantics_tpu.sim import eval as sim_eval
+        err = sim_eval.mesh_surface_error(pts, ds.world)
+        assert err["mean"] < cfg.tsdf.truncation_distance
+
+        allpts, dists = srv.tsdf_pointcloud()
+        assert len(allpts) >= len(pts) and len(dists) == len(allpts)
+
+        free = srv.freespace_pointcloud()
+        assert len(free) > 0
+        # free voxels are far from the surface: re-sample their distances
+        ferr = sim_eval.mesh_surface_error(free, ds.world)
+        assert ferr["mean"] > cfg.tsdf.truncation_distance * 0.5
