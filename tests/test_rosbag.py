@@ -262,3 +262,27 @@ def test_server_run_accepts_plain_generator():
     srv = SemanticTsdfServer(cfg, ds.intr, ds.label_map)
     n = srv.run(f for f in ds)  # generator: no __len__
     assert n == 2
+
+
+def test_convert_roundtrip(tmp_path, capsys):
+    from kimera_semantics_tpu.io import convert
+    ds = small_dataset(2)
+    bag1 = str(tmp_path / "a.bag")
+    rb.write_dataset_bag(bag1, ds)
+    out_dir = str(tmp_path / "dir")
+    convert.main(["bag-to-dir", bag1, out_dir,
+                  "--depth-topic", "/depth/image_raw",
+                  "--semantic-topic", "/semantic/image_raw",
+                  "--cam-info-topic", "/depth/camera_info"])
+    bag2 = str(tmp_path / "b.bag")
+    convert.main(["dir-to-bag", out_dir, bag2, "--compression", "bz2"])
+    # final bag still matches the original frames
+    ds2 = rb.RosbagDataset(bag2, depth_topic="/depth/image_raw",
+                           semantic_topic="/semantic/image_raw",
+                           cam_info_topic="/depth/camera_info",
+                           label_map=ds.label_map)
+    assert len(ds2) == 2
+    np.testing.assert_allclose(np.asarray(ds2.frame(1).depth),
+                               np.asarray(ds.frame(1).depth), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ds2.frame(1).T_G_C),
+                               np.asarray(ds.frame(1).T_G_C), atol=1e-5)
