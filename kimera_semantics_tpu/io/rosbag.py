@@ -77,16 +77,22 @@ def _build_header(fields: Dict[bytes, bytes]) -> bytes:
 
 
 def _read_records(buf: bytes) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
-    """Iterate (header, data) records packed back-to-back in `buf`."""
+    """Iterate (header, data) records packed back-to-back in `buf`.
+
+    A truncated final record (bag from a crashed recorder) is dropped rather
+    than raising — the same recovery contract as `rosbag reindex`."""
     off = 0
     n = len(buf)
     while off + 8 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
-        off += 4
-        hdr = _parse_header(buf[off:off + hlen])
-        off += hlen
+        if off + 4 + hlen + 4 > n:
+            return  # truncated header
+        hdr = _parse_header(buf[off + 4:off + 4 + hlen])
+        off += 4 + hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + dlen > n:
+            return  # truncated data
         data = buf[off:off + dlen]
         off += dlen
         yield hdr, data

