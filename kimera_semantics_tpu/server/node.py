@@ -61,6 +61,11 @@ def _add_common(p):
     p.add_argument("--mesh-normals", action="store_true",
                    help="write per-vertex TSDF-gradient normals into the PLY")
     p.add_argument("--map-out", default=None)
+    p.add_argument("--map-in", default=None,
+                   help="load a saved map (.vxblx or .ksdv) before "
+                        "integrating — checkpoint/resume, the reference's "
+                        "LoadBlocksFromFile kReplace path "
+                        "(semantic_simulation_server.cpp:57-89)")
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
     p.add_argument("--esdf-every", type=int, default=0,
@@ -170,6 +175,8 @@ def cmd_batch(args, streaming: bool):
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every))
+    if args.map_in:
+        srv.load_map(args.map_in)
     if args.trace_dir:
         import jax
         with jax.profiler.trace(args.trace_dir):

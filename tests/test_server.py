@@ -264,3 +264,26 @@ class TestObservability:
         # free voxels are far from the surface: re-sample their distances
         ferr = sim_eval.mesh_surface_error(free, ds.world)
         assert ferr["mean"] > cfg.tsdf.truncation_distance * 0.5
+
+    def test_cli_map_in_resume(self, tmp_path, capsys):
+        import json as _json
+        from kimera_semantics_tpu.io import rosbag as rb
+        from kimera_semantics_tpu.server import node
+        intr = PinholeIntrinsics(fx=40.0, fy=40.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        lmap = LabelColorMap.random(21)
+        ds = SyntheticDataset(num_frames=4, intr=intr, label_map=lmap)
+        bag = rb.write_dataset_bag(str(tmp_path / "r.bag"), ds)
+        common = ["--voxel-size", "0.25", "--voxels-per-side", "8",
+                  "--block-capacity", "768", "--truncation", "0.5",
+                  "--max-ray-length", "8.0", "--max-rays", "4096",
+                  "--mesh-out", str(tmp_path / "m.ply")]
+        mp = str(tmp_path / "ckpt.ksdv")
+        node.main(["batch", bag, "--max-frames", "2", "--map-out", mp]
+                  + common)
+        first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        node.main(["batch", bag, "--map-in", mp] + common)
+        resumed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # resumed run starts from the checkpoint: at least as many blocks
+        assert resumed["blocks"] >= first["blocks"]
+        assert resumed["observed_voxels"] > first["observed_voxels"]
