@@ -670,6 +670,26 @@ class TfBuffer:
                 buf.add(tf)
         return buf
 
+    def load_static_csv(self, path: str, parent: str = "base_link"):
+        """Load a reference static-TF CSV (`child,x,y,z,qx,qy,qz,qw` rows —
+        cfg/*_static_tfs*.csv; the extrinsics the reference's data provider
+        routes separately from the dynamic tree,
+        rosbag_data_provider.cpp:152-159)."""
+        import csv as _csv
+        with open(path, newline="") as f:
+            for row in _csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                if len(row) != 8:
+                    raise ValueError(
+                        f"{path}: expected child,x,y,z,qx,qy,qz,qw rows, "
+                        f"got {len(row)} fields: {row!r}")
+                child = row[0].strip()
+                vals = [float(v) for v in row[1:]]
+                self.add_static(parent, child, np.array(vals[3:7]),
+                                np.array(vals[0:3]))
+        return self
+
 
 # ---------------------------------------------------------------------------
 # Dataset
@@ -698,12 +718,16 @@ class RosbagDataset:
                  label_map: Optional[LabelColorMap] = None,
                  intr: Optional[PinholeIntrinsics] = None,
                  stamp_tolerance: float = 0.01,
-                 semantic_is_label_image: bool = False):
+                 semantic_is_label_image: bool = False,
+                 static_tf_csv: Optional[str] = None,
+                 static_tf_parent: str = "base_link"):
         if (depth_topic is None) == (pointcloud_topic is None):
             raise ValueError("need exactly one of depth_topic / pointcloud_topic")
         self.label_map = label_map or LabelColorMap.random()
         reader = BagReader(path)
         self.tf = TfBuffer()
+        if static_tf_csv:
+            self.tf.load_static_csv(static_tf_csv, parent=static_tf_parent)
         self.world_frame = world_frame
         self._semantic_is_label_image = semantic_is_label_image
 

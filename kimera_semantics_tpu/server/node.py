@@ -87,6 +87,12 @@ def _add_common(p):
     p.add_argument("--sensor-frame", default=None,
                    help=".bag datasets: camera TF frame "
                         "(default: the image header's frame_id)")
+    p.add_argument("--static-tf-csv", default=None,
+                   help=".bag datasets: static extrinsics CSV "
+                        "(child,x,y,z,qx,qy,qz,qw rows — the reference's "
+                        "cfg/*_static_tfs*.csv; resolved like label CSVs)")
+    p.add_argument("--static-tf-parent", default="base_link",
+                   help="parent frame the static-TF CSV rows hang off")
     p.add_argument("--log-every", type=int, default=0,
                    help="progress lines to stderr every N frames "
                         "(the reference's per-frame glog progress)")
@@ -151,20 +157,26 @@ def cmd_batch(args, streaming: bool):
     if args.dataset.endswith(".bag"):
         # the reference's rosbag front door (kimera_semantics_rosbag.cpp)
         from ..io.rosbag import RosbagDataset
+        tf_csv = args.static_tf_csv
+        if tf_csv and not (tf_csv.startswith("/") or tf_csv.startswith(".")):
+            from . import presets
+            tf_csv = presets.resolve_csv(tf_csv, args.cfg_dir) or tf_csv
         if args.pointcloud_topic:
             ds = RosbagDataset(args.dataset,
                                pointcloud_topic=args.pointcloud_topic,
                                cam_info_topic=args.cam_info_topic,
                                world_frame=args.world_frame,
                                sensor_frame=args.sensor_frame,
-                               label_map=lmap)
+                               label_map=lmap, static_tf_csv=tf_csv,
+                               static_tf_parent=args.static_tf_parent)
         else:
             ds = RosbagDataset(args.dataset, depth_topic=args.depth_topic,
                                semantic_topic=args.semantic_topic or None,
                                cam_info_topic=args.cam_info_topic,
                                world_frame=args.world_frame,
                                sensor_frame=args.sensor_frame,
-                               label_map=lmap)
+                               label_map=lmap, static_tf_csv=tf_csv,
+                               static_tf_parent=args.static_tf_parent)
     else:
         ds = DirectoryDataset(args.dataset, label_map=lmap)
     srv = SemanticTsdfServer(

@@ -303,3 +303,34 @@ def test_truncated_bag_drops_tail(tmp_path):
     # chop only the trailing connection record instead to keep the chunk
     msgs = list(rb.BagReader(path).messages(["/d"]))
     assert len(msgs) in (0, 1, 2)  # no exception; intact prefix only
+
+
+def test_static_tf_csv(tmp_path):
+    # reference cfg/*_static_tfs*.csv rows: child,x,y,z,qx,qy,qz,qw
+    csv_path = tmp_path / "static.csv"
+    csv_path.write_text(
+        "cam,0.05,0.0,-0.25,0.0,0.0,0.7071067811865475,0.7071067811865475\n")
+    buf = rb.TfBuffer().load_static_csv(str(csv_path), parent="base_link")
+    T = buf.lookup("base_link", "cam", 0.0)
+    np.testing.assert_allclose(T[:3, 3], [0.05, 0.0, -0.25], atol=1e-7)
+    # 90 deg yaw
+    np.testing.assert_allclose(T[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+    # end-to-end: bag carries only world->base_link, CSV supplies base->cam
+    ds = small_dataset(1)
+    bag = str(tmp_path / "s.bag")
+    with rb.BagWriter(bag) as w:
+        f = ds.frame(0)
+        stamp = 9.0
+        depth_mm = (np.asarray(f.depth) * 1000).astype(np.uint16)
+        w.write("/d", "sensor_msgs/Image",
+                rb.encode_image(depth_mm, "16UC1", stamp, "cam"), stamp)
+        w.write("/tf", "tf2_msgs/TFMessage", rb.encode_tf_message([
+            rb.TransformStampedMsg(stamp=stamp, parent="world",
+                                   child="base_link",
+                                   qxyzw=np.array([0, 0, 0, 1.0]),
+                                   trans=np.array([1.0, 2.0, 3.0]))]), stamp)
+    bds = rb.RosbagDataset(bag, depth_topic="/d", intr=ds.intr,
+                           static_tf_csv=str(csv_path))
+    T_G_C = np.asarray(bds.frame(0).T_G_C)
+    np.testing.assert_allclose(T_G_C[:3, 3], [1.05, 2.0, 2.75], atol=1e-5)
