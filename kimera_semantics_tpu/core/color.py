@@ -16,7 +16,7 @@ import csv
 import dataclasses
 import io
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -75,10 +75,16 @@ class LabelColorMap:
         )
 
     @staticmethod
-    def from_csv(path_or_text: str, num_labels: int = 21) -> "LabelColorMap":
+    def from_csv(path_or_text: str,
+                 num_labels: Optional[int] = None) -> "LabelColorMap":
         """Load a `name,red,green,blue,alpha,id` CSV (reference color.cpp:47-56;
         see kimera_semantics_ros/cfg/*.csv). Later rows win on duplicate colors,
-        matching std::unordered_map::operator[] overwrite semantics."""
+        matching std::unordered_map::operator[] overwrite semantics.
+
+        num_labels defaults to max(21, max id + 1): CSVs with ids past the
+        reference's compile-time 21 (e.g. goseek_scene1, max id 255) get a
+        correspondingly larger runtime label space (common.h:24-26 fix).
+        NB grid memory scales linearly in num_labels (sem_delta channel)."""
         if os.path.exists(path_or_text):
             with open(path_or_text, "r") as f:
                 text = f.read()
@@ -95,6 +101,8 @@ class LabelColorMap:
             r, g, b, _a, lab = (int(x) for x in row[1:6])
             label_to_rgb[lab] = (r, g, b)
             rgb_to_label[(r, g, b)] = lab
+        if num_labels is None:
+            num_labels = max(21, max(label_to_rgb, default=0) + 1)
         return LabelColorMap.from_pairs(label_to_rgb, rgb_to_label, num_labels)
 
     @staticmethod

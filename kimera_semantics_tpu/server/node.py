@@ -39,6 +39,10 @@ def _add_common(p):
                    help="integrator type (ros_params.cpp:24)")
     p.add_argument("--semantic-csv", default=None,
                    help="label,color CSV (semantic_label_2_color_csv_filepath)")
+    p.add_argument("--num-labels", type=int, default=None,
+                   help="label-space size (default: from the CSV, min 21; "
+                        "the reference hard-codes 21 at compile time — "
+                        "common.h:24-26). Grid memory scales linearly in it")
     p.add_argument("--measurement-probability", type=float, default=0.9)
     p.add_argument("--color-mode", default="semantic",
                    choices=["color", "semantic", "semantic_probability"])
@@ -117,10 +121,23 @@ def _build(args):
     from ..config import (ColorMode, FusionConfig, GridConfig, IntegratorType,
                           PipelineConfig, SemanticConfig, TsdfConfig)
     from ..core.color import LabelColorMap
+    csv = args.semantic_csv
+    if csv and not (csv.startswith("/") or csv.startswith(".")):
+        from . import presets
+        resolved = presets.resolve_csv(csv, args.cfg_dir)
+        if resolved is None:
+            print(f"warning: label CSV {csv!r} not found (see --cfg-dir); "
+                  "using a random colormap", file=sys.stderr)
+        csv = resolved
+    if csv:
+        lmap = LabelColorMap.from_csv(csv, num_labels=args.num_labels)
+    else:
+        lmap = LabelColorMap.random(args.num_labels or 21)
     cfg = FusionConfig(
         grid=GridConfig(voxel_size=args.voxel_size,
                         voxels_per_side=args.voxels_per_side,
-                        block_capacity=args.block_capacity),
+                        block_capacity=args.block_capacity,
+                        num_labels=lmap.num_labels),
         tsdf=TsdfConfig(truncation_distance=args.truncation,
                         max_ray_length_m=args.max_ray_length,
                         enable_anti_grazing=args.enable_anti_grazing),
@@ -135,15 +152,6 @@ def _build(args):
                                 block_budget=args.block_budget),
         integrator=IntegratorType(args.method),
     )
-    csv = args.semantic_csv
-    if csv and not (csv.startswith("/") or csv.startswith(".")):
-        from . import presets
-        resolved = presets.resolve_csv(csv, args.cfg_dir)
-        if resolved is None:
-            print(f"warning: label CSV {csv!r} not found (see --cfg-dir); "
-                  "using a random colormap", file=sys.stderr)
-        csv = resolved
-    lmap = LabelColorMap.from_csv(csv) if csv else LabelColorMap.random()
     return cfg, lmap
 
 

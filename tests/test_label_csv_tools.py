@@ -42,3 +42,20 @@ def test_write_label_csv_loads_back(tmp_path):
     assert labs.tolist() == [[3]]
     with open(path) as f:
         assert "Chair" in f.read()
+
+
+def test_from_csv_expands_label_space_past_21():
+    from kimera_semantics_tpu.core.color import LabelColorMap
+    # goseek_scene1 uses ids up to 255 — past the reference's compile-time 21
+    rows = "name,red,green,blue,alpha,id\n" + "\n".join(
+        f"c{i},{i},{255 - i},7,255,{i}" for i in (1, 20, 100, 255))
+    lmap = LabelColorMap.from_csv(rows)
+    assert lmap.num_labels == 256
+    import numpy as np
+    lab = lmap.labels_from_colors(np.array([[[100, 155, 7]]], np.uint8))
+    assert int(np.asarray(lab)[0, 0]) == 100
+    # explicit override still wins
+    assert LabelColorMap.from_csv(rows, num_labels=300).num_labels == 300
+    # small CSVs keep the reference's 21 floor
+    small = "name,red,green,blue,alpha,id\nx,1,2,3,255,3\n"
+    assert LabelColorMap.from_csv(small).num_labels == 21
