@@ -102,7 +102,14 @@ class LabelColorMap:
             label_to_rgb[lab] = (r, g, b)
             rgb_to_label[(r, g, b)] = lab
         if num_labels is None:
-            num_labels = max(21, max(label_to_rgb, default=0) + 1)
+            # ids whose color is White are force-remapped to label 0 by
+            # from_pairs (color.cpp:62-66) — they are unreachable in
+            # color-decode mode, so don't let them inflate the label space
+            # (goseek's 'Missing,255,255,255,255,255' row would otherwise
+            # force a 256-wide — 12x memory — sem_delta channel).
+            reachable = [lab for lab, rgb in label_to_rgb.items()
+                         if rgb != WHITE]
+            num_labels = max(21, max(reachable, default=0) + 1)
         return LabelColorMap.from_pairs(label_to_rgb, rgb_to_label, num_labels)
 
     @staticmethod

@@ -57,17 +57,19 @@ def main(argv=None):
                            world_frame=args.world_frame,
                            sensor_frame=args.sensor_frame,
                            label_map=lmap)
-        save_directory_dataset(args.out_dir, ds, num_frames=args.max_frames)
-        n = args.max_frames if args.max_frames is not None else len(ds)
-        print(f"wrote {min(n, len(ds))} frames to {args.out_dir}")
+        n = (min(args.max_frames, len(ds)) if args.max_frames is not None
+             else len(ds))
+        save_directory_dataset(args.out_dir, ds, num_frames=n)
+        print(f"wrote {n} frames to {args.out_dir}")
     else:
         from .dataset import DirectoryDataset
         from .rosbag import write_dataset_bag
         ds = DirectoryDataset(args.in_dir, label_map=lmap)
-        write_dataset_bag(args.bag, ds, num_frames=args.max_frames,
+        n = (min(args.max_frames, len(ds)) if args.max_frames is not None
+             else len(ds))
+        write_dataset_bag(args.bag, ds, num_frames=n,
                           compression=args.compression, rate_hz=args.rate_hz)
-        n = args.max_frames if args.max_frames is not None else len(ds)
-        print(f"wrote {min(n, len(ds))} frames to {args.bag}")
+        print(f"wrote {n} frames to {args.bag}")
     return 0
 
 

@@ -679,13 +679,15 @@ class TfBuffer:
         with open(path, newline="") as f:
             for row in _csv.reader(f):
                 if not row or row[0].startswith("#"):
-                    continue
-                if len(row) != 8:
+                    continue  # '#name,...' header (tesse_* variant)
+                if len(row) < 8:
                     raise ValueError(
-                        f"{path}: expected child,x,y,z,qx,qy,qz,qw rows, "
-                        f"got {len(row)} fields: {row!r}")
+                        f"{path}: expected child,x,y,z,qx,qy,qz,qw[,comment] "
+                        f"rows, got {len(row)} fields: {row!r}")
+                # trailing fields (the tesse files carry a comment column)
+                # are ignored
                 child = row[0].strip()
-                vals = [float(v) for v in row[1:]]
+                vals = [float(v) for v in row[1:8]]
                 self.add_static(parent, child, np.array(vals[3:7]),
                                 np.array(vals[0:3]))
         return self

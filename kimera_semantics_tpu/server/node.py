@@ -117,22 +117,36 @@ def _add_common(p):
                         "surface)")
 
 
+def _resolve_cfg_file(name, cfg_dir):
+    """Resolve a bare cfg filename against --cfg-dir/$KIMERA_CFG_DIR (the
+    launch files' cfg/ convention); explicit paths pass through. Returns the
+    path or None (callers decide whether that's a warning or an error)."""
+    if not name:
+        return None
+    if name.startswith("/") or name.startswith("."):
+        return name
+    from . import presets
+    return presets.resolve_csv(name, cfg_dir)
+
+
 def _build(args):
     from ..config import (ColorMode, FusionConfig, GridConfig, IntegratorType,
                           PipelineConfig, SemanticConfig, TsdfConfig)
     from ..core.color import LabelColorMap
-    csv = args.semantic_csv
-    if csv and not (csv.startswith("/") or csv.startswith(".")):
-        from . import presets
-        resolved = presets.resolve_csv(csv, args.cfg_dir)
-        if resolved is None:
-            print(f"warning: label CSV {csv!r} not found (see --cfg-dir); "
-                  "using a random colormap", file=sys.stderr)
-        csv = resolved
+    csv = _resolve_cfg_file(args.semantic_csv, args.cfg_dir)
+    if args.semantic_csv and csv is None:
+        print(f"warning: label CSV {args.semantic_csv!r} not found (see "
+              "--cfg-dir); using a random colormap", file=sys.stderr)
     if csv:
         lmap = LabelColorMap.from_csv(csv, num_labels=args.num_labels)
     else:
         lmap = LabelColorMap.random(args.num_labels or 21)
+    sem_gb = (lmap.num_labels * (args.block_capacity + 8)
+              * args.voxels_per_side ** 3 * 4 / 2 ** 30)
+    if sem_gb > 8.0:
+        print(f"warning: num_labels={lmap.num_labels} at this grid size "
+              f"needs ~{sem_gb:.0f} GB for the semantic channel — consider "
+              "--num-labels or a smaller --block-capacity", file=sys.stderr)
     cfg = FusionConfig(
         grid=GridConfig(voxel_size=args.voxel_size,
                         voxels_per_side=args.voxels_per_side,
@@ -165,10 +179,13 @@ def cmd_batch(args, streaming: bool):
     if args.dataset.endswith(".bag"):
         # the reference's rosbag front door (kimera_semantics_rosbag.cpp)
         from ..io.rosbag import RosbagDataset
-        tf_csv = args.static_tf_csv
-        if tf_csv and not (tf_csv.startswith("/") or tf_csv.startswith(".")):
-            from . import presets
-            tf_csv = presets.resolve_csv(tf_csv, args.cfg_dir) or tf_csv
+        tf_csv = _resolve_cfg_file(args.static_tf_csv, args.cfg_dir)
+        if args.static_tf_csv and tf_csv is None:
+            # silently dropping extrinsics would corrupt every pose — hard
+            # error, unlike the label-CSV fallback (colors are cosmetic)
+            raise SystemExit(
+                f"static-TF CSV {args.static_tf_csv!r} not found "
+                "(see --cfg-dir / $KIMERA_CFG_DIR)")
         if args.pointcloud_topic:
             ds = RosbagDataset(args.dataset,
                                pointcloud_topic=args.pointcloud_topic,

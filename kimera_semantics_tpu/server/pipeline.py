@@ -223,8 +223,17 @@ class SemanticTsdfServer:
         thresh = g.voxel_size * 0.75 if thresh is None else thresh
         w, d = self._observed()
         slot, lin = np.nonzero((w > 1e-6) & (np.abs(d) < thresh))
+        # gather the N selected colors on device (materializing the full
+        # (3, rows, V3) color volume on the host would be a ~GB fetch);
+        # indices are padded to the next power of two so the eager gather
+        # compiles O(log N) distinct shapes, not one per call
+        n = len(slot)
+        pad = max(1, 1 << (n - 1).bit_length()) if n else 1
+        sp = np.zeros(pad, np.int64)
+        lp = np.zeros(pad, np.int64)
+        sp[:n], lp[:n] = slot, lin
         cols = np.asarray(mesh_ops.render_colors(
-            self.grid, self.cfg, self.label_map))[:, slot, lin].T
+            self.grid, self.cfg, self.label_map)[:, sp, lp]).T[:n]
         return (self._voxel_centers(slot, lin),
                 np.clip(cols, 0, 255).astype(np.uint8))
 

@@ -59,3 +59,18 @@ def test_from_csv_expands_label_space_past_21():
     # small CSVs keep the reference's 21 floor
     small = "name,red,green,blue,alpha,id\nx,1,2,3,255,3\n"
     assert LabelColorMap.from_csv(small).num_labels == 21
+
+
+def test_white_rows_do_not_inflate_label_space():
+    from kimera_semantics_tpu.core.color import LabelColorMap
+    # goseek: 'Missing,255,255,255,255,255' — White is force-mapped to label
+    # 0, so id 255 must not size a 256-wide semantic channel
+    rows = ("name,red,green,blue,alpha,id\n"
+            "a,10,20,30,255,5\n"
+            "Missing,255,255,255,255,255\n")
+    assert LabelColorMap.from_csv(rows).num_labels == 21
+    path = ("/root/reference/kimera_semantics_ros/cfg/"
+            "goseek_scene1_segmentation_mapping.csv")
+    import os
+    if os.path.exists(path):
+        assert LabelColorMap.from_csv(path).num_labels <= 64

@@ -334,3 +334,27 @@ def test_static_tf_csv(tmp_path):
                            static_tf_csv=str(csv_path))
     T_G_C = np.asarray(bds.frame(0).T_G_C)
     np.testing.assert_allclose(T_G_C[:3, 3], [1.05, 2.0, 2.75], atol=1e-5)
+
+
+def test_static_tf_csv_tesse_variant(tmp_path):
+    # the tesse_* family: '#name,...' header + 9th comment column
+    csv_path = tmp_path / "tesse.csv"
+    csv_path.write_text(
+        "#name,x,y,z,qx,qy,qz,qw,comment\n"
+        "left_cam,0.1,0.0,0.0,0.0,0.0,0.0,1.0,transform_position\n"
+        "seg_cam,0.1,0.0,0.0,0.0,0.0,0.0,1.0,\n")
+    buf = rb.TfBuffer().load_static_csv(str(csv_path))
+    T = buf.lookup("base_link", "seg_cam", 0.0)
+    np.testing.assert_allclose(T[:3, 3], [0.1, 0, 0], atol=1e-7)
+
+
+def test_reference_static_tf_csvs_all_load():
+    import glob
+    import os
+    files = glob.glob(
+        "/root/reference/kimera_semantics_ros/cfg/*static_tfs*.csv")
+    if not files:
+        pytest.skip("reference cfg not mounted")
+    for f in files:
+        buf = rb.TfBuffer().load_static_csv(f)
+        assert len(buf.frames()) > 2, os.path.basename(f)
