@@ -64,7 +64,8 @@ def main():
     frames = [ds.frame(i) for i in range(n)]
     jax.block_until_ready(frames[-1].depth)
 
-    variants = [
+    import json
+    variants = json.loads(os.environ.get("SWEEP_VARIANTS", "null")) or [
         (8, 512, 128, 256),    # bench defaults
         (8, 256, 128, 256),    # tighter block list (fewer trash tiles)
         (16, 256, 128, 256),   # coarser alloc rays
