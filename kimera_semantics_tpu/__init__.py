@@ -25,3 +25,22 @@ from .grid.blocks import VoxelGrid, create
 from .models.common import Frame, frame_from_images
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Heavy / IO-facing surfaces load lazily so `import kimera_semantics_tpu`
+    # stays light: SemanticTsdfServer, ServerConfig, datasets, mesh/esdf ops.
+    lazy = {
+        "SemanticTsdfServer": ("server.pipeline", "SemanticTsdfServer"),
+        "ServerConfig": ("server.pipeline", "ServerConfig"),
+        "RosbagDataset": ("io.rosbag", "RosbagDataset"),
+        "DirectoryDataset": ("io.dataset", "DirectoryDataset"),
+        "SyntheticDataset": ("io.dataset", "SyntheticDataset"),
+        "extract_mesh": ("ops.mesh", "extract_mesh"),
+        "compute_esdf": ("ops.esdf", "compute_esdf"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
