@@ -42,9 +42,12 @@ def main():
     from kimera_semantics_tpu.models import fast
 
     bench_batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # BENCH_VPS=32 selects the reference's literal block size (same voxel
+    # resolution either way; 16 packs TPU tile groups better — README).
+    vps = int(os.environ.get("BENCH_VPS", "16"))
     cfg = FusionConfig(
-        grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
-                        block_capacity=4096),
+        grid=GridConfig(voxel_size=0.05, voxels_per_side=vps,
+                        block_capacity=4096 if vps <= 16 else 768),
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                         voxel_carving_enabled=True, use_const_weight=False),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
@@ -56,7 +59,8 @@ def main():
             # frames fused per dispatch
             segment_budget=(1 << 18) * max(1, bench_batch),
             alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
-            block_budget=int(os.environ.get("BENCH_BLOCK_BUDGET", "512")),
+            block_budget=int(os.environ.get(
+                "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),
             patch_rows=int(os.environ.get("BENCH_PATCH_ROWS", "128")),
             use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
     )
