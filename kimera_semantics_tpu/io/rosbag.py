@@ -423,6 +423,28 @@ class BagReader:
         if magic != MAGIC:
             raise ValueError(f"{path}: not a ROS1 v2.0 bag (magic {magic!r})")
 
+    def _file_records(self) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+        """Stream top-level records from the file — only one record (or one
+        decompressed chunk) is resident at a time, so multi-GB bags don't
+        need multi-GB RAM. Truncated tails are dropped (_read_records
+        contract)."""
+        with open(self.path, "rb") as f:
+            f.seek(len(MAGIC))
+            while True:
+                lenbuf = f.read(4)
+                if len(lenbuf) < 4:
+                    return
+                (hlen,) = struct.unpack("<I", lenbuf)
+                hdr_raw = f.read(hlen)
+                lenbuf = f.read(4)
+                if len(hdr_raw) < hlen or len(lenbuf) < 4:
+                    return  # truncated header
+                (dlen,) = struct.unpack("<I", lenbuf)
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    return  # truncated data
+                yield _parse_header(hdr_raw), data
+
     def messages(self, topics: Optional[List[str]] = None
                  ) -> Iterator[BagMessage]:
         want = set(topics) if topics is not None else None
@@ -444,10 +466,7 @@ class BagReader:
                                       raw=data)
             return None
 
-        with open(self.path, "rb") as f:
-            f.seek(len(MAGIC))
-            buf = f.read()
-        for hdr, data in _read_records(buf):
+        for hdr, data in self._file_records():
             op = hdr[b"op"][0]
             if op == _OP_CHUNK:
                 comp = hdr.get(b"compression", b"none").decode()
