@@ -72,6 +72,9 @@ def _add_common(p):
                         "(semantic_simulation_server.cpp:57-89)")
     p.add_argument("--esdf", action="store_true",
                    help="batch ESDF after reconstruction (CS2 tail)")
+    p.add_argument("--esdf-max-dist", type=float, default=4.0,
+                   help="ESDF saturation distance in meters (voxblox "
+                        "esdf_max_distance_m)")
     p.add_argument("--esdf-every", type=int, default=0,
                    help="refresh the ESDF every N frames while streaming "
                         "(voxblox EsdfServer update cycle)")
@@ -242,7 +245,8 @@ def cmd_batch(args, streaming: bool):
         out["invariants"] = checks.validate_grid(srv.grid, cfg)
     res = None
     if args.esdf:
-        res = esdf_ops.compute_esdf(srv.grid, cfg)
+        res = esdf_ops.compute_esdf(srv.grid, cfg,
+                                    max_dist=args.esdf_max_dist)
         out["esdf_voxels"] = int(res.distance.size)
     if args.map_out:
         # kimera_semantics_rosbag.cpp:148-167 order: with --esdf and a
