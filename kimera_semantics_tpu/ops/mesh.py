@@ -204,6 +204,10 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
     Equivalent of TsdfServer::generateMesh / the periodic mesh update
     (kimera_semantics_rosbag.cpp:148; launch `update_mesh_every_n_sec`).
     """
+    # The MC temporaries scale with batch x V^3 (edge/triangle buffers are
+    # ~40 floats per voxel): scale the block batch down for big blocks so
+    # peak memory stays flat (32 blocks at vps=16 = 4 blocks at vps=32).
+    batch = max(1, min(batch, (32 * 4096) // cfg.grid.vps3))
     cap = cfg.grid.block_capacity
     updated = np.asarray(grid.updated[:cap])
     allocated = np.arange(cap) < int(grid.n_blocks)
