@@ -29,6 +29,15 @@ def _add_common(p):
     p.add_argument("--block-capacity", type=int, default=4096)
     p.add_argument("--truncation", type=float, default=0.1)
     p.add_argument("--max-ray-length", type=float, default=5.0)
+    p.add_argument("--no-carving", dest="carving", action="store_false",
+                   help="disable voxel carving (update only the truncation "
+                        "band; launch:102 enables carving)")
+    p.add_argument("--const-weight", action="store_true",
+                   help="constant ray weight instead of 1/z^2 "
+                        "(use_const_weight, launch:104 GT runs)")
+    p.add_argument("--max-weight", type=float, default=10000.0,
+                   help="voxel weight saturation (voxblox max_weight)")
+    p.add_argument("--min-ray-length", type=float, default=0.1)
     p.add_argument("--enable-anti-grazing", action="store_true",
                    help="merged integrator: skip traversed voxels owned by "
                         "other bundles (voxblox enable_anti_grazing, "
@@ -157,6 +166,10 @@ def _build(args):
                         num_labels=lmap.num_labels),
         tsdf=TsdfConfig(truncation_distance=args.truncation,
                         max_ray_length_m=args.max_ray_length,
+                        min_ray_length_m=args.min_ray_length,
+                        max_weight=args.max_weight,
+                        use_const_weight=args.const_weight,
+                        voxel_carving_enabled=args.carving,
                         enable_anti_grazing=args.enable_anti_grazing),
         semantic=SemanticConfig(
             semantic_measurement_probability=args.measurement_probability,

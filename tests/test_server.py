@@ -287,3 +287,27 @@ class TestObservability:
         # resumed run starts from the checkpoint: at least as many blocks
         assert resumed["blocks"] >= first["blocks"]
         assert resumed["observed_voxels"] > first["observed_voxels"]
+
+    def test_cli_tsdf_flags(self, tmp_path, capsys):
+        import json as _json
+        from kimera_semantics_tpu.io import rosbag as rb
+        from kimera_semantics_tpu.server import node
+        intr = PinholeIntrinsics(fx=40.0, fy=40.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        lmap = LabelColorMap.random(21)
+        ds = SyntheticDataset(num_frames=2, intr=intr, label_map=lmap)
+        bag = rb.write_dataset_bag(str(tmp_path / "t.bag"), ds)
+        common = ["batch", bag, "--voxel-size", "0.25",
+                  "--voxels-per-side", "8", "--block-capacity", "768",
+                  "--truncation", "0.5", "--max-ray-length", "8.0",
+                  "--max-rays", "4096",
+                  "--mesh-out", str(tmp_path / "m.ply")]
+        node.main(common + ["--no-carving", "--const-weight",
+                            "--max-weight", "100"])
+        carved_off = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        node.main(common)
+        carved_on = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        # carving observes free-space voxels along rays -> strictly more
+        assert carved_on["observed_voxels"] > carved_off["observed_voxels"]
