@@ -197,7 +197,7 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
 
 def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
                  label_map: Optional[LabelColorMap] = None,
-                 only_updated: bool = False, batch: int = 32,
+                 only_updated: bool = False, batch: Optional[int] = None,
                  with_normals: bool = False) -> Mesh:
     """Extract the mesh for allocated (or updated) blocks; host-side compaction.
 
@@ -205,9 +205,11 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
     (kimera_semantics_rosbag.cpp:148; launch `update_mesh_every_n_sec`).
     """
     # The MC temporaries scale with batch x V^3 (edge/triangle buffers are
-    # ~40 floats per voxel): scale the block batch down for big blocks so
-    # peak memory stays flat (32 blocks at vps=16 = 4 blocks at vps=32).
-    batch = max(1, min(batch, (32 * 4096) // cfg.grid.vps3))
+    # ~40 floats per voxel). Default: keep batch x vps3 constant so peak
+    # memory stays flat (32 blocks at vps=16 = 4 blocks at vps=32); an
+    # explicit batch is respected as given.
+    if batch is None:
+        batch = max(1, (32 * 4096) // cfg.grid.vps3)
     cap = cfg.grid.block_capacity
     updated = np.asarray(grid.updated[:cap])
     allocated = np.arange(cap) < int(grid.n_blocks)

@@ -227,7 +227,8 @@ def cmd_batch(args, streaming: bool):
                      mesh_normals=args.mesh_normals,
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
-                     esdf_every_n_frames=args.esdf_every))
+                     esdf_every_n_frames=args.esdf_every,
+                     esdf_max_dist=args.esdf_max_dist))
     if args.map_in:
         srv.load_map(args.map_in)
     if args.trace_dir:

@@ -46,6 +46,8 @@ class ServerConfig:
     prefetch_depth: int = 2           # frames decoded ahead of the device by
                                       # a producer thread (0 = synchronous);
                                       # the ROS-queue analogue (io/prefetch.py)
+    esdf_max_dist: float = 4.0        # ESDF saturation distance in meters
+                                      # (voxblox esdf_max_distance_m)
     esdf_every_n_frames: int = 0      # periodic ESDF refresh while streaming
                                       # (voxblox EsdfServer update cycle; the
                                       # result is kept on `server.esdf`).
@@ -176,7 +178,8 @@ class SemanticTsdfServer:
         on TPU is cheaper than maintaining an incremental wavefront)."""
         from ..ops import esdf as esdf_ops
         with timing.Timer("esdf/update"):
-            self.esdf = esdf_ops.compute_esdf(self.grid, self.cfg)
+            self.esdf = esdf_ops.compute_esdf(
+                self.grid, self.cfg, max_dist=self.server_cfg.esdf_max_dist)
         return self.esdf
 
     def generate_mesh(self, path: Optional[str] = None) -> mesh_ops.Mesh:

@@ -65,7 +65,8 @@ def main():
     jax.block_until_ready(frames[-1].depth)
 
     import json
-    variants = json.loads(os.environ.get("SWEEP_VARIANTS", "null")) or [
+    env = os.environ.get("SWEEP_VARIANTS")
+    variants = json.loads(env) if env is not None else [
         (8, 512, 128, 256),    # bench defaults
         (8, 256, 128, 256),    # tighter block list (fewer trash tiles)
         (16, 256, 128, 256),   # coarser alloc rays
