@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 
 EMPTY_KEY = jnp.int32(-1)
+# A claim rolled back by capacity overflow becomes a TOMBSTONE, not EMPTY:
+# probe chains that wrapped past it must stay walkable (lookup keeps probing
+# through tombstones, insert may re-claim them). Rolling back to EMPTY would
+# punch a hole that makes later same-chain keys unreachable.
+TOMBSTONE_KEY = jnp.int32(-2)
 MAX_PROBES = 64
 
 
@@ -131,7 +136,7 @@ def insert(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
         k = table_keys[idx]
         placed = (k == keys) & pending
         pending = pending & ~placed
-        is_empty = (k == EMPTY_KEY) & pending
+        is_empty = ((k == EMPTY_KEY) | (k == TOMBSTONE_KEY)) & pending
         # Racing claim: of colliding writers XLA keeps an arbitrary one.
         claim_idx = jnp.where(is_empty, idx, sentinel)
         table_keys = table_keys.at[claim_idx].set(keys, mode="drop")
@@ -145,13 +150,15 @@ def insert(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
         cond, probe_round, (table_keys, idx, pending, jnp.int32(0)))
 
     # Phase 2: slot assignment for newly-claimed table positions.
-    is_new = (table_keys != EMPTY_KEY) & (table_slots < 0)
+    is_new = ((table_keys != EMPTY_KEY) & (table_keys != TOMBSTONE_KEY)
+              & (table_slots < 0))
     order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_slots = n_blocks + order
     fits = is_new & (new_slots < capacity)
     table_slots = jnp.where(fits, new_slots, table_slots)
-    # Roll back claims whose slots didn't fit so lookups don't find key->-1.
-    table_keys = jnp.where(is_new & ~fits, EMPTY_KEY, table_keys)
+    # Roll back claims whose slots didn't fit so lookups don't find key->-1;
+    # TOMBSTONE (not EMPTY) keeps wrapped probe chains walkable.
+    table_keys = jnp.where(is_new & ~fits, TOMBSTONE_KEY, table_keys)
     # Record slot -> block coords.
     coords = unpack_block_key(table_keys, extent)
     scatter_slot = jnp.where(fits, table_slots, capacity)

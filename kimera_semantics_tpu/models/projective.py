@@ -45,8 +45,15 @@ FORCE_PALLAS_INTERPRET = False
 
 
 def _use_pallas(cfg: FusionConfig) -> bool:
+    v3 = cfg.grid.vps3
     return (cfg.pipeline.use_pallas
-            and cfg.grid.vps3 % 128 == 0  # Mosaic (8,128) tiling rule
+            and v3 % 128 == 0             # Mosaic (8,128) tiling rule
+            # block_rmw_add lane-splits V3 > 8192 into 8192-wide tiles
+            and (v3 <= 8192 or v3 % 8192 == 0)
+            # the fused sampler's label channel rides a single bf16 dot —
+            # exact only for ids <= 256 (8 mantissa bits); larger label
+            # spaces take the XLA hi/lo-split path
+            and cfg.grid.num_labels <= 256
             and (jax.default_backend() in ("tpu", "axon")
                  or FORCE_PALLAS_INTERPRET))
 
@@ -83,10 +90,18 @@ def allocate_from_depth(grid: VoxelGrid, depth, labels, T_G_C,
 
     On the TPU hot path use allocate_from_atlas instead — a 2-D strided
     slice lowers to a serial per-element gather (~12 ns/px measured)."""
+    import math
     g, t, stride = cfg.grid, cfg.tsdf, cfg.pipeline.alloc_stride
-    sub = intr.scaled(intr.width // stride, intr.height // stride)
     depth = depth[::stride, ::stride]
     labels = labels[::stride, ::stride].reshape(-1)
+    # Exact 1/stride intrinsics sized to the actual strided-slice shape —
+    # floor-divided dims would skew fx/cx when W or H isn't a multiple of
+    # the stride (ceil(481/2)=241 rows scaled by 240/481 != 1/2).
+    sub = PinholeIntrinsics(
+        fx=intr.fx / stride, fy=intr.fy / stride,
+        cx=intr.cx / stride, cy=intr.cy / stride,
+        width=int(math.ceil(intr.width / stride)),
+        height=int(math.ceil(intr.height / stride)))
     from ..core import camera as cam
     pts_C, px_valid = cam.backproject(depth, sub)
     return _allocate_rays(grid, pts_C, labels, px_valid, T_G_C, cfg, shard)

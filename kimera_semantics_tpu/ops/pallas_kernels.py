@@ -103,6 +103,10 @@ def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
         num += ((vz.astype(f32) + 0.5) * voxel_size - origin[2]) * vec[2]
         sdf = dist_g - num / jnp.maximum(dist_g, 1e-12)
 
+        # NB: mirrors ops/tsdf.py update_terms (weight dropoff, sdf clamp,
+        # color gate) with the division pre-hoisted to a reciprocal — keep
+        # the two in sync (tests/test_pallas.py enforces bit-parity with
+        # the XLA path built on update_terms).
         if use_dropoff:
             scale = (trunc + sdf) * dropoff_scale
             w = jnp.where(sdf < -dropoff_eps,
@@ -157,8 +161,12 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
     Args:
       origin3 / points3: (3, R) float32 world-frame.
       weights: (R,) float32; is_clearing / ray_valid: (R,) bool.
-    Returns (key, local, w, wsdf, wc_gate, valid) each (S, R); key == -1 where
-    invalid.
+    Returns (key, local, w, wsdf, wc_gate, run_key, run_idx, valid):
+    key/local/w/wsdf/wc_gate/valid are (S, R) step-level planes (key == -1
+    where invalid); run_key/run_idx are (MAXR, R) block-run compaction
+    streams (run_key == -1 for unused run rows; run_idx maps each run to
+    its first step) consumed by the run-compacted hash ops in
+    ops/integrate.py.
     """
     g, t = cfg.grid, cfg.tsdf
     S = cfg.resolved_max_steps()
@@ -361,7 +369,10 @@ def _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
         rgb3 = mip_ops.unpack_color(rg, bb)              # (BPS, V3, 3)
         wc = jnp.where(upd & color_gate, w, 0.0)
         for c in range(3):
-            wc_ref[:, c, :] = wc * rgb3[..., c]
+            # rgb3 reads samp scratch rows that padding blocks never wrote
+            # (their pl.when body is skipped): select, don't multiply —
+            # 0 * garbage-NaN would poison the whole RMW'd tile group.
+            wc_ref[:, c, :] = jnp.where(wc > 0.0, wc * rgb3[..., c], 0.0)
     else:
         wc_ref[:] = jnp.zeros_like(wc_ref)
 

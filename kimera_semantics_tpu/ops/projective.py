@@ -91,13 +91,20 @@ def block_patch_meta(block_coords: jnp.ndarray, T_C_G: jnp.ndarray,
                        (vmax - vmin) / plan.row_threshold)
     lvl = jnp.ceil(jnp.log2(jnp.maximum(need, 1.0)))
     lvl = jnp.clip(lvl, 0, plan.full_level).astype(jnp.int32)
-    lvl = jnp.where(all_front, lvl, plan.full_level)
+    # bbox-origin placement is only containment-safe when the bbox truly
+    # fits the window at the chosen level; an all-front block hugging the
+    # camera plane can need more than the full level provides — it takes
+    # the whole-image fallback (origin 0 at full_level, where the entire
+    # image fits the window by make_plan's construction), same as blocks
+    # with corners behind the camera.
+    bbox_ok = all_front & (need <= jnp.float32(1 << plan.full_level))
+    lvl = jnp.where(bbox_ok, lvl, plan.full_level)
 
     _, _, offsets = mip_ops.level_tables(plan)
     off_l = offsets[lvl]
-    vmin_l = jnp.where(all_front,
+    vmin_l = jnp.where(bbox_ok,
                        (jnp.floor(vmin).astype(jnp.int32) >> lvl) - 1, 0)
-    umin_l = jnp.where(all_front,
+    umin_l = jnp.where(bbox_ok,
                        (jnp.floor(umin).astype(jnp.int32) >> lvl) - 1, 0)
     v0 = jnp.clip(jnp.floor_divide(vmin_l, 8) * 8, 0,
                   plan.atlas_height - plan.row_window)

@@ -62,9 +62,10 @@ def validate_grid(grid: VoxelGrid, cfg: FusionConfig) -> dict:
     tk = np.asarray(grid.table_keys)
     ts = np.asarray(grid.table_slots)
     has_slot = ts >= 0
-    _check(bool(np.all(tk[has_slot] != bhash.EMPTY_KEY)),
-           "H2: slot assigned to an empty table key")
-    _check(bool(np.all(has_slot[tk != bhash.EMPTY_KEY])),
+    vacant = (tk == bhash.EMPTY_KEY) | (tk == bhash.TOMBSTONE_KEY)
+    _check(bool(np.all(~vacant[has_slot])),
+           "H2: slot assigned to an empty/tombstone table key")
+    _check(bool(np.all(has_slot[~vacant])),
            "H2: claimed key without a slot (post-rollback residue)")
     slots = ts[has_slot]
     _check(len(np.unique(slots)) == len(slots), "H3: duplicate slot ids")

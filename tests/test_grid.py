@@ -109,3 +109,43 @@ class TestHashTable:
                 grid, jnp.array(list(seen.keys()), dtype=jnp.int32), cfg.grid))
             assert (slots < cfg.grid.block_capacity).all()
             assert len(np.unique(slots)) == len(seen)
+
+
+class TestRollbackTombstones:
+    def test_overflow_rollback_keeps_wrapped_chain_walkable(self):
+        # Regression (deterministic wrap-around): two keys hash to the LAST
+        # table cell; the race loser wraps to cell 0. Capacity admits only
+        # one new block, and phase-2 assigns slots in table-index order, so
+        # cell 0 (the wrapped key) fits and the home cell (last index) is
+        # rolled back. Rolling back to EMPTY used to leave lookup(wrapped
+        # key) hitting EMPTY at its home position -> -1: a placed, counted
+        # block becomes unreachable. TOMBSTONE keeps the chain walkable.
+        table_size = 8
+        capacity = 1
+        extent = 512
+        # coords (x, 0, 0) for x in {-499, -498}: mix(packed) & 7 == 7
+        coords = jnp.array([[-499, 0, 0], [-498, 0, 0]], jnp.int32)
+        keys = bhash.pack_block_coords(coords, extent)
+        assert all(int(bhash.mix(k)) & 7 == 7 for k in np.asarray(keys))
+        tk = jnp.full((table_size,), bhash.EMPTY_KEY)
+        ts = jnp.full((table_size,), -1, jnp.int32)
+        bc = jnp.zeros((capacity, 3), jnp.int32)
+        tk, ts, bc, nb, ov = bhash.insert(tk, ts, bc, jnp.int32(0), keys,
+                                          jnp.ones(2, bool), table_size,
+                                          capacity, extent)
+        assert int(nb) == 1 and int(ov) == 1
+        slots = np.asarray(bhash.lookup(tk, ts, keys, table_size))
+        # exactly one key is allocated AND reachable
+        assert sorted(slots) == [-1, 0], f"leaked slot: lookup={slots}"
+        # the allocated block's recorded coords match the reachable key
+        placed = coords[slots == 0][0]
+        np.testing.assert_array_equal(np.asarray(bc[0]), np.asarray(placed))
+        # a later batch can reclaim the tombstoned home cell
+        k3 = bhash.pack_block_coords(jnp.array([[5, 5, 5]], jnp.int32),
+                                     extent)
+        tk, ts, bc, nb, ov = bhash.insert(tk, ts, bc, nb, k3,
+                                          jnp.ones(1, bool), table_size,
+                                          capacity, extent)
+        assert int(nb) == 1  # full; overflows but table state stays sane
+        slots = np.asarray(bhash.lookup(tk, ts, keys, table_size))
+        assert sorted(slots) == [-1, 0]
