@@ -42,16 +42,27 @@ def frame_from_images(depth, intr, label_map: Optional[LabelColorMap] = None,
     """Build a Frame, deriving labels from colors (CSV map lookup — the
     reference's per-point color->label pass, _fast.cpp:150-158) or colors from
     labels (semantic recoloring) as needed."""
+    import numpy as np
     del intr  # reserved for rescale handling
     if labels is None:
         if colors is None or label_map is None:
             raise ValueError("need labels, or colors + label_map")
-        labels = label_map.labels_from_colors(jnp.asarray(colors).astype(jnp.uint8))
-    labels = jnp.asarray(labels).astype(jnp.int32)
+        # Host arrays stay on the host LUT fast path (core/color.py) — the
+        # ingestion thread must not dispatch per-frame device ops.
+        if isinstance(colors, np.ndarray):
+            labels = label_map.labels_from_colors(colors.astype(np.uint8))
+        else:
+            labels = label_map.labels_from_colors(
+                jnp.asarray(colors).astype(jnp.uint8))
     if colors is None:
         if label_map is None:
             raise ValueError("need colors or label_map")
-        colors = label_map.colors_from_labels(labels)
+        if isinstance(labels, np.ndarray):
+            colors = label_map.colors_from_labels(labels.astype(np.int32))
+        else:
+            colors = label_map.colors_from_labels(
+                jnp.asarray(labels).astype(jnp.int32))
+    labels = jnp.asarray(labels).astype(jnp.int32)
     colors = jnp.asarray(colors).astype(jnp.float32)
     if T_G_C is None:
         T_G_C = jnp.eye(4, dtype=jnp.float32)

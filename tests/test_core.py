@@ -86,6 +86,28 @@ class TestColor:
         labs = m.labels_from_colors(jnp.array([[250, 50, 50]], dtype=jnp.uint8))
         assert int(labs[0]) == 2  # Books/Bookshelf row
 
+    def test_numpy_fast_path_matches_jnp(self):
+        # Host-LUT decode (ingestion path) must agree with the jit-safe
+        # searchsorted path on every input class: mapped colors, White,
+        # unmapped colors, random bytes.
+        m = color.LabelColorMap.random(21, seed=3)
+        rng = np.random.RandomState(0)
+        rgb = rng.randint(0, 256, size=(64, 48, 3)).astype(np.uint8)
+        rgb[0, 0] = (255, 255, 255)
+        rgb[0, 1] = m.label_colors[7]
+        host = m.labels_from_colors(rgb)
+        assert isinstance(host, np.ndarray)
+        dev = m.labels_from_colors(jnp.asarray(rgb))
+        np.testing.assert_array_equal(host, np.asarray(dev))
+        labs = host.astype(np.int32)
+        np.testing.assert_array_equal(
+            m.colors_from_labels(labs),
+            np.asarray(m.colors_from_labels(jnp.asarray(labs))))
+        # out-of-range ids clamp like the jnp gather
+        np.testing.assert_array_equal(
+            m.colors_from_labels(np.array([300, -2])),
+            np.asarray(m.colors_from_labels(jnp.array([300, -2]))))
+
     def test_rainbow_range(self):
         vals = color.rainbow_colormap(jnp.linspace(0, 1, 16))
         assert vals.shape == (16, 3) and vals.dtype == jnp.uint8
