@@ -29,6 +29,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def main():
     import jax
+
+    # Honor an explicit JAX_PLATFORMS (the axon sitecustomize overrides the
+    # env var at import) — lets the CPU smoke test force the cpu backend.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -42,35 +47,58 @@ def main():
     from kimera_semantics_tpu.models import fast
 
     bench_batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # BENCH_SMOKE=1: tiny geometry so the whole driver (arg plumbing, warmup,
+    # timing loop, update counter, mesh tail, JSON output) runs in seconds on
+    # CPU — exercised by tests/test_bench_smoke.py. Numbers are meaningless.
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
     # BENCH_VPS=32 selects the reference's literal block size (same voxel
     # resolution either way; 16 packs TPU tile groups better — README).
-    vps = int(os.environ.get("BENCH_VPS", "16"))
-    cfg = FusionConfig(
-        grid=GridConfig(voxel_size=0.05, voxels_per_side=vps,
-                        block_capacity=4096 if vps <= 16 else 768),
-        tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
-                        voxel_carving_enabled=True, use_const_weight=False),
-        semantic=SemanticConfig(semantic_measurement_probability=0.8),
-        pipeline=PipelineConfig(
-            max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
-            dedup_table_size=1 << 20,
-            scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
-            # the (voxel,label) segment budget scales with the number of
-            # frames fused per dispatch
-            segment_budget=(1 << 18) * max(1, bench_batch),
-            alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
-            block_budget=int(os.environ.get(
-                "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),
-            patch_rows=int(os.environ.get("BENCH_PATCH_ROWS", "128")),
-            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
-    )
-    intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
-                             width=640, height=480)
+    vps = int(os.environ.get("BENCH_VPS", "16" if not smoke else "8"))
+    if smoke:
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.2, voxels_per_side=vps,
+                            block_capacity=512),
+            tsdf=TsdfConfig(truncation_distance=0.4, max_ray_length_m=4.0,
+                            voxel_carving_enabled=True,
+                            use_const_weight=False),
+            semantic=SemanticConfig(semantic_measurement_probability=0.8),
+            pipeline=PipelineConfig(
+                max_rays=1024, dedup_table_size=1 << 14,
+                scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
+                segment_budget=(1 << 14) * max(1, bench_batch),
+                block_budget=128,
+                use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
+        )
+        intr = PinholeIntrinsics(fx=32.0, fy=32.0, cx=31.5, cy=23.5,
+                                 width=64, height=48)
+    else:
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.05, voxels_per_side=vps,
+                            block_capacity=4096 if vps <= 16 else 768),
+            tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
+                            voxel_carving_enabled=True,
+                            use_const_weight=False),
+            semantic=SemanticConfig(semantic_measurement_probability=0.8),
+            pipeline=PipelineConfig(
+                max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
+                dedup_table_size=1 << 20,
+                scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
+                # the (voxel,label) segment budget scales with the number of
+                # frames fused per dispatch
+                segment_budget=(1 << 18) * max(1, bench_batch),
+                alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
+                block_budget=int(os.environ.get(
+                    "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),
+                patch_rows=int(os.environ.get("BENCH_PATCH_ROWS", "128")),
+                use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1"),
+        )
+        intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
+                                 width=640, height=480)
     label_map = LabelColorMap.random(cfg.grid.num_labels)
     # 100 frames: the tunnel's fixed ~21 ms round-trip (measured,
     # scripts/profile notes) amortizes below 3% of the measurement; frames
     # are queued async so the loop measures steady-state device throughput.
-    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100" if not smoke else "2"))
     ds = SyntheticDataset(num_frames=n_frames + 4, intr=intr,
                           label_map=label_map)
 
