@@ -127,6 +127,15 @@ class TsdfConfig:
     clear_checks_every_n_frames: int = 1
     # Merged-integrator specifics:
     enable_anti_grazing: bool = False
+    # Free-space carving strategy for the ray-centric integrators:
+    #   "decimated" (default): full-res rays traverse only the truncation
+    #     band; free space is carved by octave-decimated ray jobs
+    #     (ops/carve.py) — the TPU-native analogue of the reference's early
+    #     ray termination (_fast.cpp:110-121), which likewise bounds
+    #     redundant free-space updates. ~10x smaller update streams.
+    #   "full": every ray traverses its whole extent (round-1 semantics;
+    #     oracle-exact — tests pin this for sequential-reference comparisons).
+    carve_mode: str = "decimated"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +192,22 @@ class PipelineConfig:
                                  # exact, CPU) | "auto"
     alloc_stride: int = 4        # pixel subsampling for the block-level
                                  # allocation DDA
+    # Decimated-carving statics (ops/carve.py; carve_mode == "decimated"):
+    carve_budget: int = 49152    # carve jobs per frame after compaction
+                                 # (multiple of 512; spills -> grid.overflow)
+    carve_steps: int = 32        # DDA step budget per carve chunk job
+    carve_gamma: float = 1.0     # ray density: level k carves distances
+                                 # <= carve_gamma * voxel * f / k (~gamma
+                                 # rays per voxel per image axis)
+    carve_k_max: int = 32        # coarsest decimation factor
+    band_steps: Optional[int] = None  # step budget for truncation-band jobs;
+                                 # None = derived from trunc/voxel
+
+    def resolved_band_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
+        if self.band_steps is not None:
+            return self.band_steps
+        return int(math.ceil(
+            1.7321 * 2.0 * tsdf.truncation_distance / grid.voxel_size)) + 3
 
     def resolved_max_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.max_steps is not None:

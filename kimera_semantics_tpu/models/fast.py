@@ -5,9 +5,12 @@ Capability equivalent of `kimera::FastSemanticTsdfIntegrator`
 with start-voxel subsampling. The reference's thread pool + work-stealing index
 (_fast.cpp:172-191) becomes pure data parallelism over a fixed ray budget; its
 approximate concurrent sets become deterministic first-wins scatters
-(ops/dedup.py); its per-voxel early ray termination is subsumed by the
-commutative scatter-add design (redundant updates are merged, not skipped —
-tolerance-based parity, see grid/blocks.py).
+(ops/dedup.py); its per-voxel early ray termination (_fast.cpp:110-121, the
+mechanism that bounds redundant free-space work) becomes octave-decimated
+carving (ops/carve.py, carve_mode == "decimated"): full-resolution rays march
+only the truncation band, free space is carved at ~voxel-matched ray density.
+carve_mode == "full" recovers the merge-all-redundant-updates semantics
+(oracle-exact; see ops/carve.py for the deviation contract).
 """
 
 from __future__ import annotations
@@ -21,40 +24,76 @@ import jax.numpy as jnp
 from ..config import FusionConfig
 from ..core.camera import PinholeIntrinsics
 from ..grid.blocks import VoxelGrid
+from ..ops import carve as carve_ops
 from ..ops import dedup as dedup_ops
-from ..ops.integrate import integrate_ray_batch
+from ..ops.integrate import integrate_jobs
 from . import common
+
+
+def _dedup_and_compact(grid, cfg, pts_G, colors, labels, weights, valid,
+                       is_clearing):
+    """Periodic approx-set reset + start-voxel subsampling + ray compaction
+    (reference _fast.cpp:87-91, 165-170; voxblox default clears every frame).
+    Returns (grid, kept, pts_G, colors, labels, weights, is_clearing)."""
+    counter = grid.frame_counter + 1
+    do_reset = counter >= cfg.tsdf.clear_checks_every_n_frames
+    start_set = jnp.where(do_reset, jnp.full_like(grid.start_set, -1),
+                          grid.start_set)
+    counter = jnp.where(do_reset, 0, counter)
+    keep, start_set = dedup_ops.start_voxel_dedup(
+        start_set, pts_G, valid,
+        voxel_size_inv=1.0 / cfg.grid.voxel_size,
+        subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor,
+    )
+    kept, pts_G, colors, labels, weights, is_clearing = common.compact(
+        keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
+        is_clearing)
+    grid = dataclasses.replace(grid, start_set=start_set,
+                               frame_counter=counter)
+    return grid, kept, pts_G, colors, labels, weights, is_clearing
+
+
+def _frame_batches(grid, frame, cfg, intr):
+    """Build this frame's job batches (and thread the dedup set state)."""
+    (pts_C, pts_G, origin, colors, labels, weights, valid,
+     is_clearing) = common.prepare_points(frame, intr, cfg)
+
+    decimate = (cfg.tsdf.carve_mode == "decimated"
+                and cfg.tsdf.voxel_carving_enabled)
+    if not decimate:
+        (grid, kept, pts_G, colors, labels, weights,
+         is_clearing) = _dedup_and_compact(grid, cfg, pts_G, colors, labels,
+                                           weights, valid, is_clearing)
+        origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
+        jobs = carve_ops.full_jobs(origin_b, pts_G, weights, labels, colors,
+                                   is_clearing, kept, cfg)
+        return grid, [(jobs, cfg.resolved_max_steps())], origin
+
+    # Octave band selection (deterministic dedup equivalent — ops/carve.py
+    # band_octave_keep); clearing rays carry no surface band (their free
+    # space is covered by the carve jobs).
+    keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
+    kept, pts_G, colors, labels, weights, is_clearing = common.compact(
+        keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
+        is_clearing)
+    origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
+    band = carve_ops.band_jobs(origin_b, pts_G, weights, labels, colors,
+                               is_clearing, kept, cfg)
+    plan = carve_ops.plan_carve(cfg, intr)
+    cjobs = carve_ops.carve_jobs(frame.depth, frame.labels, frame.T_G_C,
+                                 intr, cfg, plan)
+    cjobs, dropped = carve_ops.compact_jobs(cjobs, cfg.pipeline.carve_budget)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + dropped)
+    s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+    return grid, [(band, s_band), (cjobs, cfg.pipeline.carve_steps)], origin
 
 
 @partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     """One full frame update, jit-compiled end to end."""
-    (_, pts_G, origin, colors, labels, weights, valid,
-     is_clearing) = common.prepare_points(frame, intr, cfg)
-
-    # Periodic approx-set reset (reference _fast.cpp:165-170; voxblox default
-    # clears every frame).
-    counter = grid.frame_counter + 1
-    do_reset = counter >= cfg.tsdf.clear_checks_every_n_frames
-    start_set = jnp.where(do_reset, jnp.full_like(grid.start_set, -1),
-                          grid.start_set)
-    counter = jnp.where(do_reset, 0, counter)
-
-    # Start-voxel subsampling (reference _fast.cpp:87-91).
-    keep, start_set = dedup_ops.start_voxel_dedup(
-        start_set, pts_G, valid,
-        voxel_size_inv=1.0 / cfg.grid.voxel_size,
-        subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor,
-    )
-
-    # Compact surviving rays into the static ray budget.
-    kept, pts_G, colors, labels, weights, is_clearing = common.compact(
-        keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights, is_clearing)
-
-    grid = dataclasses.replace(grid, start_set=start_set, frame_counter=counter)
-    return integrate_ray_batch(
-        grid, cfg, origin, pts_G, weights, colors, labels, is_clearing, kept)
+    grid, batches, origin = _frame_batches(grid, frame, cfg, intr)
+    return integrate_jobs(grid, cfg, batches, cube_origin=origin)
 
 
 class FastSemanticTsdfIntegrator:
@@ -74,10 +113,10 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     """Batched multi-frame update: B frames in one fused stream.
 
     frames: a Frame whose arrays carry a leading batch axis (B, ...). The B
-    frames' compacted rays (each with its own per-ray origin) are concatenated
-    into one (B*max_rays,) ray batch and integrated in a single
-    integrate_ray_batch call — one sort/scan/scatter pass instead of B,
-    amortizing the fixed per-op costs of the segment scatter path.
+    frames' job batches (each with per-job origins) are concatenated per kind
+    (band/carve, or full) and integrated in a single integrate_jobs call —
+    one sort/scan/scatter pass instead of B, amortizing the fixed per-op
+    costs of the segment scatter path.
 
     Start-voxel dedup runs per frame in order, threading the approx set
     exactly as B sequential integrate_frame calls would (reference resets the
@@ -86,38 +125,20 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     clear_every > 1 the set drift matches sequential semantics too).
     """
     B = frames.depth.shape[0]
-    R = cfg.pipeline.max_rays
-    parts = {k: [] for k in ("origin", "pts", "colors", "labels", "weights",
-                             "clearing", "kept")}
+    per_kind = None
     for b in range(B):
         f = jax.tree.map(lambda x: x[b], frames)
-        (_, pts_G, origin, colors, labels, weights, valid,
-         is_clearing) = common.prepare_points(f, intr, cfg)
+        grid, batches, _ = _frame_batches(grid, f, cfg, intr)
+        if per_kind is None:
+            per_kind = [[(jobs, S)] for jobs, S in batches]
+        else:
+            for i, (jobs, S) in enumerate(batches):
+                per_kind[i].append((jobs, S))
 
-        counter = grid.frame_counter + 1
-        do_reset = counter >= cfg.tsdf.clear_checks_every_n_frames
-        start_set = jnp.where(do_reset, jnp.full_like(grid.start_set, -1),
-                              grid.start_set)
-        counter = jnp.where(do_reset, 0, counter)
-        keep, start_set = dedup_ops.start_voxel_dedup(
-            start_set, pts_G, valid,
-            voxel_size_inv=1.0 / cfg.grid.voxel_size,
-            subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor)
-        grid = dataclasses.replace(grid, start_set=start_set,
-                                   frame_counter=counter)
+    def cat(entries):
+        S = entries[0][1]
+        jobs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                            *[j for j, _ in entries])
+        return jobs, S
 
-        kept, pts_G, colors, labels, weights, is_clearing = common.compact(
-            keep, R, pts_G, colors, labels, weights, is_clearing)
-        parts["origin"].append(jnp.broadcast_to(origin[None, :],
-                                                pts_G.shape))
-        parts["pts"].append(pts_G)
-        parts["colors"].append(colors)
-        parts["labels"].append(labels)
-        parts["weights"].append(weights)
-        parts["clearing"].append(is_clearing)
-        parts["kept"].append(kept)
-
-    cat = {k: jnp.concatenate(v, axis=0) for k, v in parts.items()}
-    return integrate_ray_batch(
-        grid, cfg, cat["origin"], cat["pts"], cat["weights"], cat["colors"],
-        cat["labels"], cat["clearing"], cat["kept"])
+    return integrate_jobs(grid, cfg, [cat(entries) for entries in per_kind])

@@ -97,7 +97,7 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
             seg_orig)
 
 
-@partial(jax.jit, static_argnames=("cfg", "intr"))
+@partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     (_, pts_G, origin, colors, labels, weights, valid,
@@ -139,11 +139,40 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     sp_valid = pk != TRASH_KEY
     sp_ray = jnp.where(sp_valid, pk >> lab_shift, 0)
     sp_lab = jnp.where(sp_valid, pk & ((1 << lab_shift) - 1), 0)
+    sem_pts = (sp_ray, sp_lab, sp_valid, pcounts)
+    zlab = jnp.zeros((R,), dtype=jnp.int32)
+
+    decimate = (cfg.tsdf.carve_mode == "decimated"
+                and cfg.tsdf.voxel_carving_enabled)
+    if decimate:
+        # Octave-decimated form (ops/carve.py): bundles march only their
+        # truncation band (carrying the histogram votes); free space —
+        # including the clearing bins' whole extent (_merged.cpp:282-284) —
+        # is carved at voxel-matched ray density straight from the image's
+        # min-reach mip. One fused integrate_jobs call covers both passes.
+        from ..ops import carve as carve_ops
+        from ..ops.integrate import integrate_jobs
+        origin_b = jnp.broadcast_to(origin[None, :], bpoint.shape)
+        band = carve_ops.band_jobs(origin_b, bpoint, bweight, zlab, bcolor,
+                                   jnp.zeros((R,), dtype=bool), bvalid, cfg)
+        plan = carve_ops.plan_carve(cfg, intr)
+        cjobs = carve_ops.carve_jobs(frame.depth, frame.labels, frame.T_G_C,
+                                     intr, cfg, plan)
+        cjobs, dropped = carve_ops.compact_jobs(cjobs,
+                                                cfg.pipeline.carve_budget)
+        grid = dataclasses.replace(grid, overflow=grid.overflow + dropped)
+        s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+        return integrate_jobs(
+            grid, cfg,
+            [(band, s_band), (cjobs, cfg.pipeline.carve_steps)],
+            sem_points=sem_pts, cube_origin=origin,
+            ag_dest_voxels=bdest if ag else None, ag_own_bundle=True)
+
     grid = integrate_ray_batch(
         grid, cfg, origin, bpoint, bweight, bcolor,
-        jnp.zeros((R,), dtype=jnp.int32),
+        zlab,
         jnp.zeros((R,), dtype=bool), bvalid,
-        sem_points=(sp_ray, sp_lab, sp_valid, pcounts),
+        sem_points=sem_pts,
         ag_dest_voxels=bdest if ag else None, ag_own_bundle=True)
 
     # Pass 2: clearing rays (clear_map bins) — first point of each bin only

@@ -1,0 +1,316 @@
+"""Octave-decimated free-space carving — the TPU-native analogue of voxblox's
+early ray termination.
+
+The reference's fast integrator bounds redundant near-camera work *adaptively*:
+a ray walking surface->camera stops after `max_consecutive_ray_collisions`
+voxels already visited this scan (semantic_tsdf_integrator_fast.cpp:110-121,
+via the ApproxHashSet at _fast.h:114-130). The effect is that free-space voxels
+receive O(1) updates regardless of how many rays traverse them. A data-parallel
+scatter design cannot "stop early", so round 1 merged all redundant updates
+instead — correct, but the update stream carried ~170x duplication (rays from
+one camera converge near the origin), and every sort/scan/scatter paid for it.
+
+This module removes the duplication *at the source* with the same bounded-
+redundancy contract:
+
+  - Full-resolution rays traverse ONLY the truncation band around their
+    endpoint ([dist - trunc, dist + trunc]) — the region where per-pixel
+    measurements are distinct signal (TSDF surface, color, labels).
+  - Free space ([0, dist - trunc)) is carved by DECIMATED ray jobs: the image
+    is min-pooled into a mip pyramid of ray reach, and distance octave
+    (T/2^(j+1), T/2^j] is carved by rays from mip level j, where
+    T = carve_gamma * voxel_size * min(fx, fy) is the distance at which one
+    voxel spans one pixel. At every distance the carving ray density is ~1-4
+    rays per voxel — exactly the voxblox invariant, deterministically.
+  - Each level's octave is chopped into chunks of <= carve_steps DDA steps so
+    every job has the same static step budget (one kernel shape).
+
+Conservativeness: a decimated job carves only to min(reach over its pixel
+group) - trunc, so it never carves past ANY surface seen by the pixels it
+represents (occlusion boundaries are safe; the cost is slight under-carving
+there, like the reference's terminated rays). Free-space voxels receive fewer
+weight contributions than the merge-everything design — the same deviation
+class as the reference's own early termination, bounded by the tolerance
+contract (grid/blocks.py).
+
+Enabled by TsdfConfig.carve_mode == "decimated" (the default);
+carve_mode == "full" keeps the round-1 full-traversal semantics for
+oracle-exact comparisons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FusionConfig
+from ..core.camera import PinholeIntrinsics
+from . import semantic as sem_ops
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["origin", "point", "start", "end", "weight", "label",
+                 "color", "valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class JobBatch:
+    """A batch of DDA traversal jobs (the generalized 'ray').
+
+    A job walks voxels from `start` to `end` (world meters) and scores each
+    voxel's projective sdf against the surface sample at `point` as seen from
+    `origin` (voxblox computeDistance, tsdf.py). `weight`/`label`/`color` are
+    the per-job measurement payload. Full-traversal rays, truncation-band
+    segments, and decimated carve chunks are all JobBatches — they differ only
+    in their start/end extents and step budget.
+    """
+
+    origin: jnp.ndarray    # (J, 3) f32
+    point: jnp.ndarray     # (J, 3) f32 surface sample (sdf anchor)
+    start: jnp.ndarray     # (J, 3) f32 traversal start
+    end: jnp.ndarray       # (J, 3) f32 traversal end
+    weight: jnp.ndarray    # (J,)  f32
+    label: jnp.ndarray     # (J,)  int32
+    color: jnp.ndarray     # (J, 3) f32
+    valid: jnp.ndarray     # (J,)  bool
+
+
+def full_jobs(origin, points_G, weights, labels, colors, is_clearing,
+              valid, cfg: FusionConfig) -> JobBatch:
+    """Voxblox-exact ray extents (raycast.py setup_rays, world units):
+    the round-1 full-traversal semantics as a JobBatch."""
+    t = cfg.tsdf
+    origin = jnp.broadcast_to(origin, points_G.shape)
+    vec = points_G - origin
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    unit = vec / jnp.maximum(norm, 1e-12)
+    clear_len = jnp.clip(norm - t.truncation_distance, 0.0, t.max_ray_length_m)
+    clear_end = origin + unit * clear_len
+    norm_end = points_G + unit * t.truncation_distance
+    end = jnp.where(is_clearing[:, None], clear_end, norm_end)
+    if t.voxel_carving_enabled:
+        start = origin
+    else:
+        band_start = points_G - unit * t.truncation_distance
+        start = jnp.where(is_clearing[:, None], clear_end, band_start)
+    return JobBatch(origin=origin, point=points_G, start=start, end=end,
+                    weight=weights, label=labels, color=colors, valid=valid)
+
+
+def band_jobs(origin, points_G, weights, labels, colors, is_clearing,
+              valid, cfg: FusionConfig) -> JobBatch:
+    """Truncation-band-only jobs for full-resolution rays (decimated mode).
+
+    Normal rays walk [dist - trunc, dist + trunc] along their own ray;
+    clearing rays have no surface band (their free-space contribution is
+    covered by the carve jobs)."""
+    t = cfg.tsdf
+    origin = jnp.broadcast_to(origin, points_G.shape)
+    vec = points_G - origin
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    unit = vec / jnp.maximum(norm, 1e-12)
+    band = jnp.minimum(jnp.float32(t.truncation_distance), norm)
+    start = points_G - unit * band
+    end = points_G + unit * t.truncation_distance
+    return JobBatch(origin=origin, point=points_G, start=start, end=end,
+                    weight=weights, label=labels, color=colors,
+                    valid=valid & ~is_clearing)
+
+
+@dataclasses.dataclass(frozen=True)
+class CarvePlan:
+    """Static (trace-time) decimation plan derived from config + intrinsics.
+
+    levels: tuple of (k, lo, hi) — mip factor k carves ray distances
+    (lo, hi]; chunks: per level, tuple of (t0, t1) chunk boundaries."""
+    levels: Tuple[Tuple[int, float, float], ...]
+    chunks: Tuple[Tuple[Tuple[float, float], ...], ...]
+    k_max: int
+
+    @property
+    def total_jobs(self):
+        raise NotImplementedError  # depends on image shape; see carve_jobs
+
+
+def plan_carve(cfg: FusionConfig, intr: PinholeIntrinsics) -> CarvePlan:
+    t, p = cfg.tsdf, cfg.pipeline
+    T = p.carve_gamma * cfg.grid.voxel_size * min(intr.fx, intr.fy)
+    max_carve = t.max_ray_length_m
+    # Finest level: largest k with T/k >= max_carve (>= 1); its band's far end
+    # is stretched to max_carve (when T < max_carve no decimation is possible
+    # beyond T — those distances keep k, i.e. the finest available density).
+    k = 1 << max(0, int(math.floor(math.log2(max(T / max_carve, 1.0)))))
+    levels = []
+    hi = max_carve
+    while True:
+        lo = T / (2.0 * k)
+        last = (k >= p.carve_k_max) or (lo <= max(cfg.grid.voxel_size, 1e-3))
+        if last:
+            lo = 0.0
+        levels.append((k, lo, hi))
+        if last:
+            break
+        hi = lo
+        k *= 2
+    chunk_len = max((p.carve_steps - 3) * cfg.grid.voxel_size / 1.7321,
+                    cfg.grid.voxel_size)
+    chunks = []
+    for (k, lo, hi) in levels:
+        n = max(1, int(math.ceil((hi - lo) / chunk_len)))
+        edges = [lo + (hi - lo) * i / n for i in range(n + 1)]
+        chunks.append(tuple((edges[i], edges[i + 1]) for i in range(n)))
+    return CarvePlan(levels=tuple(levels), chunks=tuple(chunks),
+                     k_max=max(k for k, _, _ in levels))
+
+
+def _min_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    h, w = x.shape
+    return x.reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
+
+
+def carve_jobs(depth: jnp.ndarray, labels_img: jnp.ndarray,
+               T_G_C: jnp.ndarray, intr: PinholeIntrinsics,
+               cfg: FusionConfig, plan: CarvePlan):
+    """Build the decimated carve JobBatch for one frame.
+
+    Returns (jobs, n_valid) with jobs sized to the *unpadded* union of all
+    level/chunk slots (callers compact to the static carve budget).
+
+    Matches the reference's free-space behavior per pixel group:
+    carve extent = clip(min reach - trunc, 0, max_ray) — normal rays carve to
+    their surface band, clearing rays (reach > max_ray,
+    tsdf.point_validity) to the max-range clip, invalid/dynamic-label pixels
+    not at all (semantic_tsdf_integrator_fast.cpp:75-91).
+    """
+    t = cfg.tsdf
+    H, W = depth.shape
+    km = plan.k_max
+    Hp = ((H + km - 1) // km) * km
+    Wp = ((W + km - 1) // km) * km
+
+    # Per-pixel ray reach (distance along the ray, not camera z).
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (u - intr.cx) / intr.fx
+    y = (v - intr.cy) / intr.fy
+    nrm = jnp.sqrt(x * x + y * y + 1.0)                    # (H, W)
+    z = depth.astype(jnp.float32)
+    dist = z * jnp.broadcast_to(nrm, (H, W))
+    ok = jnp.isfinite(z) & (z > 0.0) & (dist >= t.min_ray_length_m)
+    ok = ok & sem_ops.dynamic_label_mask(labels_img, cfg.semantic)
+    clearing_ok = t.allow_clear  # beyond-max-range pixels still carve if set
+    if not clearing_ok:
+        ok = ok & (dist <= t.max_ray_length_m)
+    reach = jnp.where(ok, dist, jnp.inf)
+    INF = jnp.float32(3.0e38)
+    reach = jnp.minimum(reach, INF)
+    reach = jnp.pad(reach, ((0, Hp - H), (0, Wp - W)), constant_values=INF)
+    lab_p = jnp.pad(labels_img.astype(jnp.int32),
+                    ((0, Hp - H), (0, Wp - W)))
+    ok_p = jnp.pad(ok, ((0, Hp - H), (0, Wp - W)))
+
+    R = T_G_C[:3, :3]
+    origin = T_G_C[:3, 3]
+
+    # Mip pyramid of reach by successive 2x2 min-pooling.
+    pyr = {1: reach}
+    k = 2
+    while k <= km:
+        pyr[k] = _min_pool2(pyr[k // 2])
+        k *= 2
+
+    outs = {f: [] for f in ("origin", "point", "start", "end", "weight",
+                            "label", "color", "valid")}
+    for (lk, lo, hi), lchunks in zip(plan.levels, plan.chunks):
+        m = pyr[lk].reshape(-1)                              # (Hk*Wk,)
+        off = lk // 2
+        # Rep-pixel payload and direction (stride-sampled; images padded to
+        # exact multiples of every level's k).
+        lab_r = lab_p[off::lk, off::lk].reshape(-1)
+        ok_r = ok_p[off::lk, off::lk].reshape(-1)
+        Hk, Wk = pyr[lk].shape
+        ur = (jnp.arange(Wk, dtype=jnp.float32) * lk + off)[None, :]
+        vr = (jnp.arange(Hk, dtype=jnp.float32) * lk + off)[:, None]
+        xr = jnp.broadcast_to((ur - intr.cx) / intr.fx, (Hk, Wk)).reshape(-1)
+        yr = jnp.broadcast_to((vr - intr.cy) / intr.fy, (Hk, Wk)).reshape(-1)
+        nr = jnp.sqrt(xr * xr + yr * yr + 1.0)
+        dir_C = jnp.stack([xr, yr, jnp.ones_like(xr)], axis=-1) / nr[:, None]
+        unit = dir_C @ R.T                                   # (Jl, 3) world
+        m_fin = jnp.isfinite(m) & (m < INF)
+        m_safe = jnp.minimum(m, 2.0 * t.max_ray_length_m + 1.0)
+        m_star = jnp.clip(m_safe - t.truncation_distance, 0.0,
+                          t.max_ray_length_m)
+        if cfg.tsdf.use_const_weight:
+            wgt = jnp.ones_like(m_safe)
+        else:
+            zz = jnp.maximum(m_safe / nr, 1e-6)              # camera z of rep
+            wgt = 1.0 / (zz * zz)
+        lab_j = jnp.where(ok_r, lab_r, 0)                    # uninformative
+        point = origin[None, :] + unit * m_safe[:, None]
+        for (t0, t1c) in lchunks:
+            t1 = jnp.minimum(jnp.float32(t1c), m_star)
+            val = m_fin & (t1 > t0 + 1e-6)
+            outs["origin"].append(jnp.broadcast_to(origin, unit.shape))
+            outs["point"].append(point)
+            outs["start"].append(origin[None, :] + unit * jnp.float32(t0))
+            outs["end"].append(origin[None, :] + unit * t1[:, None])
+            outs["weight"].append(wgt)
+            outs["label"].append(lab_j)
+            outs["color"].append(jnp.zeros_like(unit))
+            outs["valid"].append(val)
+
+    cat = {f: jnp.concatenate(vs, axis=0) for f, vs in outs.items()}
+    return JobBatch(**cat)
+
+
+def band_octave_keep(pts_C: jnp.ndarray, valid: jnp.ndarray,
+                     cfg: FusionConfig, intr: PinholeIntrinsics):
+    """Deterministic octave replacement for the start-voxel dedup
+    (decimated mode).
+
+    The reference's ApproxHashSet subsampling keeps ~1 ray per
+    (voxel / start_voxel_subsampling_factor) surface cell (_fast.cpp:87-91) —
+    a density rate limit with thread-random winners. Here each pixel belongs
+    to the mip level matched to its surface distance (footprint >= the
+    subsampled voxel cell <=> distance d needs only every k(d)-th pixel,
+    k(d) = T/d with T = voxel * f / subsampling_factor), and the level's
+    center pixel of each k x k group wins. Identical selected-ray density,
+    deterministic, and O(1) elementwise — no hash-table scatter/gather chain
+    (~7 ms/frame on v5e at 307k pixels, measured round 2).
+    """
+    H, W = intr.height, intr.width
+    t = cfg.tsdf
+    T = (cfg.grid.voxel_size * min(intr.fx, intr.fy)
+         / max(t.start_voxel_subsampling_factor, 1e-6))
+    d = jnp.linalg.norm(pts_C, axis=-1)
+    kl = jnp.floor(jnp.log2(jnp.float32(T) / jnp.maximum(d, 1e-3)))
+    kl = jnp.clip(kl, 0.0, float(int(math.log2(cfg.pipeline.carve_k_max)))
+                  ).astype(jnp.int32)
+    k = jnp.left_shift(jnp.int32(1), kl)
+    u = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
+                         (H, W)).reshape(-1)
+    v = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                         (H, W)).reshape(-1)
+    half = jnp.right_shift(k, 1)
+    km1 = k - 1
+    keep = ((u & km1) == half) & ((v & km1) == half)
+    return valid & keep
+
+
+def compact_jobs(jobs: JobBatch, budget: int):
+    """Pack valid jobs into a static budget. Returns (jobs, n_dropped)."""
+    order = jnp.argsort(~jobs.valid, stable=True)[:budget]
+    take = lambda a: a[order]
+    n_valid = jnp.sum(jobs.valid.astype(jnp.int32))
+    dropped = jnp.maximum(0, n_valid - budget)
+    return JobBatch(
+        origin=take(jobs.origin), point=take(jobs.point),
+        start=take(jobs.start), end=take(jobs.end),
+        weight=take(jobs.weight), label=take(jobs.label),
+        color=take(jobs.color), valid=jobs.valid[order]), dropped

@@ -3,30 +3,36 @@
 This is the TPU-native equivalent of the reference's hot loops
 (semantic_tsdf_integrator_fast.cpp:66-142 per-point/per-voxel loops and
 _merged.cpp:235-328 per-bundle loop). Where the reference walks rays serially
-under striped mutexes, here every (step, ray) pair becomes one element of a
+under striped mutexes, here every (step, job) pair becomes one element of a
 dense update stream that is scatter-added into the grid accumulators — all
 updates are commutative, so no locks, no temp-block maps, no ordering.
 
 TPU layout: the whole hot path is structure-of-arrays. Step-level arrays are
-(S, R) with rays in vector lanes; coordinates are three separate component
+(S, R) with jobs in vector lanes; coordinates are three separate component
 planes; grid channels put component/label axes first (grid/blocks.py). No hot
 array carries a minor dimension smaller than the 128-lane tile.
 
 Pipeline (all inside one jit):
-  1. DDA-expand R rays into (S, 3, R) voxel coordinates (ops/raycast.py).
-  2. Allocation pre-pass: consecutive-dedup the block keys and batch-insert
-     into the block hash table (grid/hash.py) — replaces the reference's
-     allocate-on-demand + temp-map merge (semantic_integrator_base.cpp:205-265).
+  1. DDA-expand each JobBatch (ops/carve.py) into (S, R) update-stream planes
+     (ops/pallas_kernels.py dda_job_stream on TPU; XLA scan fallback). A frame
+     is a LIST of batches — e.g. full-res truncation-band jobs plus
+     octave-decimated carve jobs (carve_mode == "decimated") — each with its
+     own static step budget.
+  2. Allocation pre-pass: compact the block keys of all batches and
+     batch-insert into the block hash table (grid/hash.py) — replaces the
+     reference's allocate-on-demand + temp-map merge
+     (semantic_integrator_base.cpp:205-265).
   3. Slot lookup + (slot, local) flat keys; invalid entries route to a trash row.
   4. TSDF terms (ops/tsdf.py) and semantic counts (ops/semantic.py).
-  5. Scatter-add into wsum / wsdf / wcolor / sem_count / sem_delta, mark blocks
-     updated for incremental meshing.
+  5. One segment-compaction reduce over the concatenated streams, then
+     scatter-add into wsum / wsdf / wcolor / sem_count / sem_delta, mark
+     blocks updated for incremental meshing.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -34,10 +40,298 @@ from ..config import ColorMode, FusionConfig
 from ..grid import blocks as gblocks
 from ..grid import hash as bhash
 from ..grid.blocks import VoxelGrid
+from .carve import JobBatch
 from . import raycast, semantic, tsdf
 
 # Test hook: route the pallas branch through interpret mode off-TPU.
 FORCE_PALLAS_INTERPRET = False
+
+
+@dataclasses.dataclass
+class _Stream:
+    """Expanded (S, R) update-stream planes for one JobBatch."""
+    keys: jnp.ndarray        # (S, R) int32 packed block keys (-1 invalid)
+    local: jnp.ndarray       # (S, R) int32 in-block linear voxel index
+    w: jnp.ndarray           # (S, R) f32 weight contribution
+    w_sdf: jnp.ndarray       # (S, R) f32 weight * clamped sdf
+    wc_gate: jnp.ndarray     # (S, R) f32 color-gated weight
+    step_valid: jnp.ndarray  # (S, R) bool
+    run_key: Optional[jnp.ndarray]  # (MAXR, R) int32 block-run stream (pallas)
+    run_idx: Optional[jnp.ndarray]  # (S, R) int32 step -> run row (pallas)
+    labels: jnp.ndarray      # (R,) int32 per-job labels
+    colors: jnp.ndarray      # (R, 3) f32 per-job colors
+    job_valid: jnp.ndarray   # (R,) bool
+    slots: Optional[jnp.ndarray] = None  # (S, R) int32, filled by alloc pass
+    key: Optional[jnp.ndarray] = None    # (S, R) int32 flat voxel key
+    valid_upd: Optional[jnp.ndarray] = None  # (S, R) bool (segment mode)
+    sem_upd: Optional[jnp.ndarray] = None    # (S, R) bool (segment mode)
+    # Pre-fused segment-reduce inputs (cube-LUT kernel path):
+    k2: Optional[jnp.ndarray] = None         # (S, R) combined (voxel, label)
+    wv: Optional[jnp.ndarray] = None         # (S, R) masked w
+    wsdfv: Optional[jnp.ndarray] = None      # (S, R) masked w*sdf + trunc*w
+    cntv: Optional[jnp.ndarray] = None       # (S, R) semantic counts
+
+
+def _use_pallas(cfg: FusionConfig) -> bool:
+    import jax
+    # "axon" is the TPU-tunnel platform name in some environments.
+    return (cfg.pipeline.use_pallas
+            and (jax.default_backend() in ("tpu", "axon")
+                 or FORCE_PALLAS_INTERPRET))
+
+
+def expand_jobs(cfg: FusionConfig, jobs: JobBatch, S: int) -> _Stream:
+    """Stage 1: DDA-expand a JobBatch into its (S, R) update stream."""
+    g, t = cfg.grid, cfg.tsdf
+    vps = g.voxels_per_side
+    if _use_pallas(cfg):
+        from . import pallas_kernels
+        keys, local, w, w_sdf, wc_gate, step_valid, run_key, run_idx = (
+            pallas_kernels.dda_job_stream(
+                cfg, S, jobs.origin.T, jobs.point.T, jobs.start.T,
+                jobs.end.T, jobs.weight, jobs.valid,
+                interpret=FORCE_PALLAS_INTERPRET))
+        return _Stream(keys, local, w, w_sdf, wc_gate, step_valid,
+                       run_key, run_idx, jobs.label, jobs.color, jobs.valid)
+
+    # XLA fallback: lax.scan DDA + elementwise update terms (bit-parity with
+    # the kernel — tests/test_pallas.py).
+    inv = 1.0 / g.voxel_size
+    voxels, step_valid = raycast.traverse_soa(jobs.start.T * inv,
+                                              jobs.end.T * inv, S)
+    vx, vy, vz = voxels[:, 0], voxels[:, 1], voxels[:, 2]     # (S, R) each
+    step_valid = step_valid & jobs.valid[None, :]
+
+    bx = jnp.floor_divide(vx, vps)
+    by = jnp.floor_divide(vy, vps)
+    bz = jnp.floor_divide(vz, vps)
+    ext = g.world_extent_blocks
+    keys = bhash.pack_block_coords_soa(bx, by, bz, ext)       # (S, R)
+    step_valid = step_valid & bhash.in_bounds_soa(bx, by, bz, ext)
+    local = ((vx - bx * vps) * vps + (vy - by * vps)) * vps + (vz - bz * vps)
+
+    sdf = tsdf.projective_sdf_soa(jobs.origin, jobs.point, vx, vy, vz,
+                                  g.voxel_size)
+    w, w_sdf, color_gate = tsdf.update_terms(sdf, jobs.weight[None, :],
+                                             t, g.voxel_size)
+    w = jnp.where(step_valid, w, 0.0)
+    w_sdf = jnp.where(step_valid, w_sdf, 0.0)
+    wc_gate = jnp.where(step_valid & color_gate, w, 0.0)      # (S, R)
+    return _Stream(keys, local, w, w_sdf, wc_gate, step_valid, None, None,
+                   jobs.label, jobs.color, jobs.valid)
+
+
+def integrate_jobs(
+    grid: VoxelGrid,
+    cfg: FusionConfig,
+    batches: Sequence[Tuple[JobBatch, int]],   # (jobs, step budget) pairs
+    shard_id: Optional[jnp.ndarray] = None,    # this shard's index (traced ok)
+    num_shards: int = 1,
+    ag_dest_voxels: Optional[jnp.ndarray] = None,  # (M, 3) anti-grazing dest
+    ag_own_bundle: bool = False,  # batch-0 jobs may update their own dest
+    sem_points: Optional[tuple] = None,  # votes riding batch 0 (see below)
+    cube_origin: Optional[jnp.ndarray] = None,  # (3,) camera origin (cube LUT)
+) -> VoxelGrid:
+    """Apply a frame's job batches to the grid.
+
+    `cube_origin`: when all batches share one camera origin, slot resolution
+    runs through the frame-cube LUT Pallas kernel (ops/pallas_kernels.py
+    slot_resolve_stream) instead of serial hash-lookup gathers — ~15 ms ->
+    ~1 ms per frame on v5e. Multi-origin callers (batched frames, sharded
+    data parallelism) pass None and take the hash path.
+
+    `shard_id`/`num_shards`: spatial sharding by block-hash ownership —
+    entries whose block hashes to another shard are dropped here and applied
+    by that shard (parallel/sharding.py ray-replication protocol, SURVEY 2c).
+
+    `ag_dest_voxels`: the merged integrator's anti-grazing rule
+    (_merged.cpp:306-313): traversed voxels that are *destination* voxels of
+    other ray bundles are skipped; with `ag_own_bundle` a batch-0 job may
+    still update its own destination voxel (normal pass; clearing rays and
+    carve jobs never do).
+
+    `sem_points`: weighted per-(job, label) semantic votes riding batch 0's
+    geometry — the merged integrator's histogram-per-bundle semantics in
+    sparse form (_merged.cpp:254-285 builds hist[r][l] = #bundle points with
+    label l and votes the whole hist into every traversed voxel; equivalently
+    each nonzero (r, l) entry votes `count` along ray r). Arrays
+    (ray_idx, labels, valid, counts) of shape (P,) — callers pre-reduce raw
+    points to unique (ray, label) pairs (models/merged.py) so P stays at the
+    ray budget instead of the pixel count. In "segment" scatter mode this
+    rides a dedicated (voxel,label) segment reduction sharing batch 0's DDA
+    (the dense (R, L) histogram scatter alternative costs ~2.9 s/frame on
+    v5e — measured); other modes fold it back into a histogram. When given,
+    batch 0's per-job `labels` should be uninformative (zeros).
+    """
+    g = cfg.grid
+    vps, v3, cap, L = g.voxels_per_side, g.vps3, g.block_capacity, g.num_labels
+    ext = g.world_extent_blocks
+
+    streams = [expand_jobs(cfg, jobs, S) for jobs, S in batches]
+
+    use_segment = cfg.pipeline.scatter_mode == "segment"
+    lab_shift = max(1, (L - 1).bit_length())
+    n_flat = (cap + 1) * v3   # key space: valid keys + the trash row
+    if use_segment and (n_flat << lab_shift) >= 2 ** 31:
+        # (voxel, label) combined key must fit int32 (see config docstring).
+        use_segment = False
+    have_runs = all(st.run_key is not None for st in streams)
+    use_cube = False
+    if (have_runs and cube_origin is not None and use_segment
+            and ag_dest_voxels is None and _use_pallas(cfg)):
+        from . import pallas_kernels
+        use_cube = pallas_kernels.cube_lut_supported(cfg)
+
+    if num_shards > 1 and shard_id is not None:
+        salt = jnp.int32(0x2545F491)
+        for st in streams:
+            if st.run_key is not None:
+                run_owner = bhash.mix(st.run_key ^ salt) % num_shards
+                st.run_key = jnp.where(run_owner == shard_id, st.run_key, -1)
+            if use_cube:
+                continue  # ownership filtering rides the cube LUT (-1 cells)
+            owner = bhash.mix(st.keys ^ salt) % num_shards
+            st.step_valid = st.step_valid & (owner == shard_id)
+            st.w = jnp.where(st.step_valid, st.w, 0.0)
+            st.w_sdf = jnp.where(st.step_valid, st.w_sdf, 0.0)
+            st.wc_gate = jnp.where(st.step_valid, st.wc_gate, 0.0)
+
+    # --- 2+3. Block allocation pre-pass + slot lookup ---------------------
+    if have_runs:
+        # Run-compacted hash ops: ~vps x fewer random accesses (SURVEY 7c;
+        # measured 800 ms -> ~30 ms per frame on v5e).
+        alloc_keys = jnp.concatenate(
+            [st.run_key.reshape(-1) for st in streams])
+        alloc_active = alloc_keys >= 0
+    else:
+        # Step-level path (XLA fallback): consecutive-dedup the insert stream.
+        parts, acts = [], []
+        for st in streams:
+            changed = jnp.ones(st.keys.shape, dtype=bool)
+            changed = changed.at[1:].set(st.keys[1:] != st.keys[:-1])
+            parts.append(st.keys.reshape(-1))
+            acts.append((st.step_valid & changed).reshape(-1))
+        alloc_keys = jnp.concatenate(parts)
+        alloc_active = jnp.concatenate(acts)
+
+    tk, ts_, bc, nb, ov = bhash.insert_compacted(
+        grid.table_keys, grid.table_slots, grid.block_coords,
+        grid.n_blocks, alloc_keys, alloc_active, g.table_size, cap, ext)
+    grid = dataclasses.replace(
+        grid, table_keys=tk, table_slots=ts_, block_coords=bc,
+        n_blocks=nb, overflow=grid.overflow + ov)
+
+    touched = []
+    if use_cube:
+        from . import pallas_kernels
+        cube_vals, cam_block = frame_cube(grid, cfg, cube_origin,
+                                          shard_id, num_shards)
+        gate_near = cfg.semantic.update_near_surface_only
+        for st in streams:
+            inform = semantic.informative(st.labels) & st.job_valid
+            (k2, w_m, wsdf_off, cnt, key, vu, run_slots) = (
+                pallas_kernels.slot_resolve_stream(
+                    cfg, cube_vals, cam_block, st.run_key, st.run_idx,
+                    st.local, st.w, st.w_sdf, st.wc_gate, st.step_valid,
+                    st.labels, inform, lab_shift, gate_near,
+                    interpret=FORCE_PALLAS_INTERPRET))
+            st.k2, st.wv, st.wsdfv, st.cntv = k2, w_m, wsdf_off, cnt
+            st.key, st.valid_upd = key, vu
+            st.sem_upd = vu & (st.wc_gate > 0.0) if gate_near else vu
+            touched.append(jnp.where(run_slots >= 0, run_slots,
+                                     cap).reshape(-1))
+        touched_slots = jnp.concatenate(touched)
+        return _segment_scatter_apply(
+            grid, cfg, streams, touched_slots, lab_shift,
+            make_likelihood_cached(cfg), sem_points=sem_points)
+
+    if have_runs:
+        lut = bhash.lookup(grid.table_keys, grid.table_slots, alloc_keys,
+                           g.table_size)
+        off = 0
+        for st in streams:
+            n = st.run_key.size
+            run_slots = lut[off:off + n].reshape(st.run_key.shape)
+            off += n
+            active = st.run_key >= 0
+            run_slots = jnp.where(active & (run_slots >= 0), run_slots, cap)
+            # Broadcast run slots back to steps: select-sum over the MAXR
+            # planes (vector ops only — no step-level gather).
+            slots = jnp.zeros(st.keys.shape, dtype=jnp.int32)
+            for p in range(st.run_key.shape[0]):
+                slots = slots + jnp.where(st.run_idx == p,
+                                          run_slots[p][None, :], 0)
+            st.slots = jnp.where(st.step_valid, slots, cap)
+            touched.append(run_slots.reshape(-1))
+    else:
+        for st in streams:
+            slots = bhash.lookup(grid.table_keys, grid.table_slots,
+                                 st.keys.reshape(-1), g.table_size
+                                 ).reshape(st.keys.shape)
+            st.slots = jnp.where(st.step_valid & (slots >= 0), slots, cap)
+            touched.append(st.slots.reshape(-1))
+    touched_slots = jnp.concatenate(touched)
+
+    for st in streams:
+        st.key = st.slots * v3 + st.local                     # flat voxel key
+
+    if ag_dest_voxels is not None:
+        # Anti-grazing (_merged.cpp:306-313): dest voxels of this frame's
+        # bundles, as flat keys (they were just allocated above).
+        dblock, dlin = gblocks.voxel_to_block_local(ag_dest_voxels, vps)
+        dslots = gblocks.lookup_slots(grid, dblock, g)
+        dkey = jnp.where(dslots < cap, dslots * v3 + dlin, n_flat)
+        dest_mask = jnp.zeros((n_flat + 1,), dtype=bool).at[dkey].set(
+            True, mode="drop")
+        for bi, st in enumerate(streams):
+            hit = dest_mask[st.key]
+            if ag_own_bundle and bi == 0:
+                hit = hit & (st.key != dkey[None, :st.key.shape[1]])
+            st.step_valid = st.step_valid & ~hit
+            st.w = jnp.where(st.step_valid, st.w, 0.0)
+            st.w_sdf = jnp.where(st.step_valid, st.w_sdf, 0.0)
+            st.wc_gate = jnp.where(st.step_valid, st.wc_gate, 0.0)
+            st.key = jnp.where(st.step_valid, st.key, cap * v3 + st.local)
+
+    # --- 5. Scatter-add ---------------------------------------------------
+    lk = make_likelihood_cached(cfg)
+    if use_segment:
+        return _segment_scatter_apply(
+            grid, cfg, streams, touched_slots, lab_shift, lk,
+            sem_points=sem_points)
+    return _plain_scatter_apply(grid, cfg, streams, touched_slots, lk,
+                                sem_points=sem_points)
+
+
+def frame_cube(grid: VoxelGrid, cfg: FusionConfig, origin: jnp.ndarray,
+               shard_id=None, num_shards: int = 1):
+    """Build the frame's dense block->slot cube LUT around the camera block.
+
+    ~side^3 (< 8k) hash probes once per frame replace per-entry lookups over
+    the whole run stream (see slot_resolve_stream). Cells that are missing,
+    out of world bounds, or owned by another shard hold -1.
+    """
+    from . import pallas_kernels
+    g = cfg.grid
+    E, side, pad = pallas_kernels.cube_geometry(cfg)
+    ob = jnp.floor(origin / g.block_size).astype(jnp.int32)      # (3,)
+    r = jnp.arange(side, dtype=jnp.int32) - E
+    ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
+    coords = jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3) + ob[None, :]
+    inb = bhash.in_bounds(coords, g.world_extent_blocks)
+    keys = bhash.pack_block_coords(
+        jnp.clip(coords, -g.world_extent_blocks, g.world_extent_blocks - 1),
+        g.world_extent_blocks)
+    keys = jnp.where(inb, keys, -3)  # never matches a stored key
+    slots = bhash.lookup(grid.table_keys, grid.table_slots, keys,
+                         g.table_size)
+    good = inb & (slots >= 0)
+    if num_shards > 1 and shard_id is not None:
+        owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num_shards
+        good = good & (owner == shard_id)
+    vals = jnp.where(good, slots.astype(jnp.float32), -1.0)
+    vals = jnp.pad(vals, (0, pad - side ** 3), constant_values=-1.0)
+    return vals[None, :], ob
 
 
 def integrate_ray_batch(
@@ -50,278 +344,142 @@ def integrate_ray_batch(
     labels: jnp.ndarray,         # (R,) int32 semantic label ids
     is_clearing: jnp.ndarray,    # (R,) bool
     ray_valid: jnp.ndarray,      # (R,) bool
-    label_hist: Optional[jnp.ndarray] = None,  # (R, L) merged-integrator histograms
-    shard_id: Optional[jnp.ndarray] = None,    # this shard's index (traced ok)
-    num_shards: int = 1,
-    ag_dest_voxels: Optional[jnp.ndarray] = None,  # (M, 3) anti-grazing dest set
-    ag_own_bundle: bool = False,  # entries may update their own bundle's voxel
-    sem_points: Optional[tuple] = None,  # (ray_idx (P,), labels (P,), valid (P,))
+    **kw,
 ) -> VoxelGrid:
-    """`shard_id`/`num_shards`: spatial sharding by block-hash ownership —
-    entries whose block hashes to another shard are dropped here and applied by
-    that shard (parallel/sharding.py ray-replication protocol, SURVEY 2c).
+    """Round-1 entry: one full-traversal ray batch with voxblox extents
+    (raycast.py setup_rays semantics). Extra kwargs pass to integrate_jobs."""
+    from .carve import full_jobs
+    origin = jnp.broadcast_to(origin, points_G.shape)
+    jobs = full_jobs(origin, points_G, weights, labels, colors, is_clearing,
+                     ray_valid, cfg)
+    return integrate_jobs(grid, cfg, [(jobs, cfg.resolved_max_steps())], **kw)
 
-    `ag_dest_voxels`: the merged integrator's anti-grazing rule
-    (_merged.cpp:306-313): traversed voxels that are *destination* voxels of
-    other ray bundles are skipped; with `ag_own_bundle` a ray may still update
-    its own destination voxel (normal pass; clearing rays never do).
 
-    `sem_points`: weighted per-(ray, label) semantic votes riding this batch's
-    ray geometry — the merged integrator's histogram-per-bundle semantics in
-    sparse form (_merged.cpp:254-285 builds hist[r][l] = #bundle points with
-    label l and votes the whole hist into every traversed voxel; equivalently
-    each nonzero (r, l) entry votes `count` along ray r). Arrays
-    (ray_idx, labels, valid, counts) of shape (P,) — callers pre-reduce raw
-    points to unique (ray, label) pairs (models/merged.py) so P stays at the
-    ray budget instead of the pixel count. In "segment" scatter mode this
-    rides a dedicated (voxel,label) segment reduction sharing the main
-    stream's DDA (the dense (R, L) histogram scatter alternative costs
-    ~2.9 s/frame on v5e — measured); other modes fold it back into a
-    histogram. When given, per-ray `labels` should be uninformative (zeros)
-    and `label_hist` None."""
-    g = cfg.grid
-    t = cfg.tsdf
-    vps, v3, cap, L = g.voxels_per_side, g.vps3, g.block_capacity, g.num_labels
-    S = cfg.resolved_max_steps()
+def _plain_scatter_apply(grid, cfg, streams, touched_slots, lk,
+                         sem_points=None):
+    """"direct"/"sorted" scatter modes (debug baselines; mathematically
+    identical to "segment")."""
+    g, L = cfg.grid, cfg.grid.num_labels
+    v3, cap = g.vps3, g.block_capacity
+    row_flat = g.padded_rows * v3
 
-    import jax
-    # "axon" is the TPU-tunnel platform name in some environments.
-    use_pallas = (cfg.pipeline.use_pallas
-                  and (jax.default_backend() in ("tpu", "axon")
-                       or FORCE_PALLAS_INTERPRET))
-    run_key = run_idx = None
-    if use_pallas:
-        # --- 1+4 fused: Pallas DDA/update-stream kernel -------------------
-        from . import pallas_kernels
-        origin3 = jnp.broadcast_to(origin, points_G.shape).T
-        keys, local, w, w_sdf, wc_gate, step_valid, run_key, run_idx = (
-            pallas_kernels.dda_update_stream(
-                cfg, origin3, points_G.T, weights, is_clearing, ray_valid,
-                interpret=FORCE_PALLAS_INTERPRET))
-    else:
-        # --- 1. DDA expansion (SoA, XLA scan) -----------------------------
-        start_rs, end_rs = raycast.setup_rays(
-            origin, points_G, is_clearing,
-            voxel_size=g.voxel_size,
-            truncation_distance=t.truncation_distance,
-            max_ray_length_m=t.max_ray_length_m,
-            voxel_carving_enabled=t.voxel_carving_enabled,
-        )
-        voxels, step_valid = raycast.traverse_soa(start_rs.T, end_rs.T, S)
-        vx, vy, vz = voxels[:, 0], voxels[:, 1], voxels[:, 2]   # (S, R) each
-        step_valid = step_valid & ray_valid[None, :]
-
-        bx = jnp.floor_divide(vx, vps)
-        by = jnp.floor_divide(vy, vps)
-        bz = jnp.floor_divide(vz, vps)
-        ext = g.world_extent_blocks
-        keys = bhash.pack_block_coords_soa(bx, by, bz, ext)     # (S, R)
-        step_valid = step_valid & bhash.in_bounds_soa(bx, by, bz, ext)
-        local = ((vx - bx * vps) * vps + (vy - by * vps)) * vps + (vz - bz * vps)
-
-        # --- 4. Update terms (SoA) ---------------------------------------
-        sdf = tsdf.projective_sdf_soa(origin, points_G, vx, vy, vz,
-                                      g.voxel_size)
-        w, w_sdf, color_gate = tsdf.update_terms(sdf, weights[None, :], t,
-                                                 g.voxel_size)
-        w = jnp.where(step_valid, w, 0.0)
-        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
-        wc_gate = jnp.where(step_valid & color_gate, w, 0.0)    # (S, R)
-
-    ext = g.world_extent_blocks
-    if num_shards > 1 and shard_id is not None:
-        # Ownership filter at whichever granularity is available: run keys
-        # (pallas) or step keys (XLA).
-        salt = jnp.int32(0x2545F491)
-        if run_key is not None:
-            run_owner = bhash.mix(run_key ^ salt) % num_shards
-            run_key = jnp.where(run_owner == shard_id, run_key, -1)
-        owner = bhash.mix(keys ^ salt) % num_shards
-        step_valid = step_valid & (owner == shard_id)
-        w = jnp.where(step_valid, w, 0.0)
-        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
-        wc_gate = jnp.where(step_valid, wc_gate, 0.0)
-
-    # --- 2+3. Block allocation pre-pass + slot lookup ---------------------
-    if run_key is not None:
-        # Run-compacted hash ops: ~vps x fewer random accesses (SURVEY 7c;
-        # measured 800 ms -> ~30 ms per frame on v5e).
-        active = run_key >= 0                                  # (MAXR, R)
-        tk, ts_, bc, nb, ov = bhash.insert_compacted(
-            grid.table_keys, grid.table_slots, grid.block_coords,
-            grid.n_blocks, run_key.reshape(-1), active.reshape(-1),
-            g.table_size, cap, ext)
-        grid = dataclasses.replace(
-            grid, table_keys=tk, table_slots=ts_, block_coords=bc,
-            n_blocks=nb, overflow=grid.overflow + ov)
-        run_slots = bhash.lookup(grid.table_keys, grid.table_slots,
-                                 run_key.reshape(-1), g.table_size
-                                 ).reshape(run_key.shape)
-        run_slots = jnp.where(active & (run_slots >= 0), run_slots, cap)
-        # Broadcast run slots back to steps: select-sum over the MAXR planes
-        # (vector ops only — no step-level gather).
-        slots = jnp.zeros(keys.shape, dtype=jnp.int32)
-        for p in range(run_key.shape[0]):
-            slots = slots + jnp.where(run_idx == p, run_slots[p][None, :], 0)
-        slots = jnp.where(step_valid, slots, cap)
-        touched_slots = run_slots.reshape(-1)
-    else:
-        # Step-level path (XLA fallback): consecutive-dedup the insert stream.
-        changed = jnp.ones(keys.shape, dtype=bool)
-        changed = changed.at[1:].set(keys[1:] != keys[:-1])
-        tk, ts_, bc, nb, ov = bhash.insert(
-            grid.table_keys, grid.table_slots, grid.block_coords,
-            grid.n_blocks, keys.reshape(-1),
-            (step_valid & changed).reshape(-1), g.table_size, cap, ext)
-        grid = dataclasses.replace(
-            grid, table_keys=tk, table_slots=ts_, block_coords=bc,
-            n_blocks=nb, overflow=grid.overflow + ov)
-        slots = bhash.lookup(grid.table_keys, grid.table_slots,
-                             keys.reshape(-1), g.table_size
-                             ).reshape(keys.shape)
-        slots = jnp.where(step_valid & (slots >= 0), slots, cap)  # (S, R)
-        touched_slots = slots.reshape(-1)
-
-    key = slots * v3 + local                                    # flat voxel key
-    n_flat = (cap + 1) * v3   # key space: valid keys + the trash row
-    row_flat = cfg.grid.padded_rows * v3  # physical rows (8-row trash tile)
-
-    if ag_dest_voxels is not None:
-        # Anti-grazing (_merged.cpp:306-313): dest voxels of this frame's
-        # bundles, as flat keys (they were just allocated above).
-        dblock, dlin = gblocks.voxel_to_block_local(ag_dest_voxels, vps)
-        dslots = gblocks.lookup_slots(grid, dblock, g)
-        dkey = jnp.where(dslots < cap, dslots * v3 + dlin, n_flat)
-        dest_mask = jnp.zeros((n_flat + 1,), dtype=bool).at[dkey].set(
-            True, mode="drop")
-        hit = dest_mask[key]
-        if ag_own_bundle:
-            hit = hit & (key != dkey[None, :key.shape[1]])
-        step_valid = step_valid & ~hit
-        w = jnp.where(step_valid, w, 0.0)
-        w_sdf = jnp.where(step_valid, w_sdf, 0.0)
-        wc_gate = jnp.where(step_valid, wc_gate, 0.0)
-        key = jnp.where(step_valid, key, cap * v3 + local)
-
-    # --- 5. Scatter-add ---------------------------------------------------
-    kf = key.reshape(-1)
-    lk = make_likelihood_cached(cfg)
-
-    use_segment = (cfg.pipeline.scatter_mode == "segment"
-                   and label_hist is None)
-    if use_segment:
-        # (voxel, label) combined key must fit int32 (see config docstring).
-        lab_shift = max(1, (L - 1).bit_length())
-        if (n_flat << lab_shift) >= 2 ** 31:
-            use_segment = False
-    if use_segment:
-        return _segment_scatter_apply(
-            grid, cfg, key, slots, local, w, w_sdf, wc_gate, step_valid,
-            labels, colors, ray_valid, touched_slots, lab_shift, lk,
-            sem_points=sem_points)
-
-    if sem_points is not None:
-        # Non-segment fallback: fold the sparse votes back into per-ray
-        # histograms (the hist path's semantics are identical, just slower).
-        pr, pl, pv, pc = sem_points
-        label_hist = jnp.zeros((key.shape[1], L), jnp.float32).at[
-            pr, pl].add(jnp.where(pv, pc, 0.0), mode="drop")
+    kf = jnp.concatenate([st.key.reshape(-1) for st in streams])
+    wf = jnp.concatenate([st.w.reshape(-1) for st in streams])
+    wsdff = jnp.concatenate([st.w_sdf.reshape(-1) for st in streams])
 
     sorted_mode = cfg.pipeline.scatter_mode == "sorted"
-
     if sorted_mode:
         from .reduce import SortedUpdates
         su = SortedUpdates.build(kf, trash_key=-1)
-        scat = lambda tgt, vals: su.apply(tgt, vals.reshape(-1))
+        scat = lambda tgt, vals: su.apply(tgt, vals)
     else:
-        scat = lambda tgt, vals: tgt.at[kf].add(vals.reshape(-1))
+        scat = lambda tgt, vals: tgt.at[kf].add(vals)
 
-    wsum = scat(grid.wsum.reshape(-1), w).reshape(grid.wsum.shape)
-    wsdf = scat(grid.wsdf.reshape(-1), w_sdf).reshape(grid.wsdf.shape)
+    wsum = scat(grid.wsum.reshape(-1), wf).reshape(grid.wsum.shape)
+    wsdf = scat(grid.wsdf.reshape(-1), wsdff).reshape(grid.wsdf.shape)
     wcolor = grid.wcolor
     if cfg.semantic.color_mode == ColorMode.COLOR:
         # Measured-color blending feeds the mesh only in ColorMode.COLOR
         # (semantic modes recolor from labels at mesh time) — 3 scatter
         # channels saved otherwise.
         for c in range(3):
-            ch = scat(wcolor[c].reshape(-1),
-                      wc_gate * colors[None, :, c]).reshape(grid.wsum.shape)
+            vals = jnp.concatenate(
+                [(st.wc_gate * st.colors[None, :, c]).reshape(-1)
+                 for st in streams])
+            ch = scat(wcolor[c].reshape(-1), vals).reshape(grid.wsum.shape)
             wcolor = wcolor.at[c].set(ch)
 
     # Near-surface gate (opt-in, SemanticConfig.update_near_surface_only):
     # wc_gate > 0 is exactly "step in the truncation band with w > 0" in both
     # the XLA and Pallas stream layouts (w_sdf clamps to +-w*trunc outside).
-    sem_step = (step_valid & (wc_gate > 0.0)
-                if cfg.semantic.update_near_surface_only else step_valid)
+    def sem_step(st):
+        return (st.step_valid & (st.wc_gate > 0.0)
+                if cfg.semantic.update_near_surface_only else st.step_valid)
 
-    if label_hist is None:
-        # Fast integrator: one label per ray -> scalar adds at (label, key)
-        # (one-hot frequency, semantic_tsdf_integrator_fast.cpp:132-140).
-        inform = semantic.informative(labels) & ray_valid
-        cnt = jnp.where(sem_step & inform[None, :], 1.0, 0.0)
-        sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
-            grid.sem_count.shape)
-        # sem_delta layout (L, rows, V3): flat index label * row_flat + key.
-        lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
+    label_hist = None
+    if sem_points is not None:
+        # Fold the sparse votes back into per-ray histograms for batch 0
+        # (the hist path's semantics are identical, just slower).
+        pr, pl, pv, pc = sem_points
+        label_hist = jnp.zeros((streams[0].key.shape[1], L), jnp.float32).at[
+            pr, pl].add(jnp.where(pv, pc, 0.0), mode="drop")
+
+    # Per-stream semantic accumulation (one label per job, or batch-0 hist).
+    sem_count = grid.sem_count
+    sem_delta = grid.sem_delta
+    for bi, st in enumerate(streams):
+        ss = sem_step(st)
+        kfs = st.key.reshape(-1)
         if sorted_mode:
-            su2 = SortedUpdates.build(kf, trash_key=-1,
+            from .reduce import SortedUpdates
+            sus = SortedUpdates.build(kfs, trash_key=-1)
+            scs = lambda tgt, vals: sus.apply(tgt, vals.reshape(-1))
+        else:
+            scs = lambda tgt, vals: tgt.at[kfs].add(vals.reshape(-1))
+        if bi == 0 and label_hist is not None:
+            # Merged integrator: full per-ray histogram applied to every
+            # traversed voxel (_merged.cpp:254-328). Unknown contributes 0.
+            hist = label_hist.at[:, semantic.UNKNOWN_LABEL].set(0.0)
+            total = jnp.sum(hist, axis=-1)                    # (R,)
+            cnt = jnp.where(ss, total[None, :], 0.0)
+            sem_count = scs(sem_count.reshape(-1), cnt).reshape(
+                grid.sem_count.shape)
+            for lab in range(L):  # static L scatters of (S, R) scalars
+                add = jnp.where(ss, hist[:, lab][None, :], 0.0) * lk.delta
+                ch = scs(sem_delta[lab].reshape(-1), add).reshape(
+                    grid.wsum.shape)
+                sem_delta = sem_delta.at[lab].set(ch)
+            continue
+        # One label per job -> scalar adds at (label, key) (one-hot
+        # frequency, semantic_tsdf_integrator_fast.cpp:132-140).
+        inform = semantic.informative(st.labels) & st.job_valid
+        cnt = jnp.where(ss & inform[None, :], 1.0, 0.0)
+        sem_count = scs(sem_count.reshape(-1), cnt).reshape(
+            grid.sem_count.shape)
+        lab_b = jnp.broadcast_to(st.labels[None, :].astype(jnp.int32),
+                                 st.key.shape)
+        if sorted_mode:
+            from .reduce import SortedUpdates
+            su2 = SortedUpdates.build(kfs, trash_key=-1,
                                       secondary=lab_b.reshape(-1))
             seg_lab = su2.secondary_at_segments()
             out_idx = jnp.where(su2.out_keys >= 0,
                                 seg_lab * row_flat + su2.out_keys, -1)
-            sem_delta = su2.apply(grid.sem_delta.reshape(-1),
+            sem_delta = su2.apply(sem_delta.reshape(-1),
                                   cnt.reshape(-1) * lk.delta,
                                   out_index=out_idx).reshape(
                                       grid.sem_delta.shape)
         else:
-            lkey = jnp.where(cnt > 0, lab_b * row_flat + key, L * row_flat)
-            sem_delta = grid.sem_delta.reshape(-1).at[
+            lkey = jnp.where(cnt > 0, lab_b * row_flat + st.key, L * row_flat)
+            sem_delta = sem_delta.reshape(-1).at[
                 lkey.reshape(-1)].add(
                 jnp.broadcast_to(jnp.float32(lk.delta), lkey.shape).reshape(-1),
                 mode="drop").reshape(grid.sem_delta.shape)
-    else:
-        # Merged integrator: full per-ray histogram applied to every traversed
-        # voxel (_merged.cpp:254-328). Unknown column contributes nothing.
-        hist = label_hist.at[:, semantic.UNKNOWN_LABEL].set(0.0)
-        total = jnp.sum(hist, axis=-1)                         # (R,)
-        cnt = jnp.where(sem_step, total[None, :], 0.0)
-        sem_count = scat(grid.sem_count.reshape(-1), cnt).reshape(
-            grid.sem_count.shape)
-        sem_delta = grid.sem_delta
-        for lab in range(L):  # static L scatters of (S, R) scalars
-            add = jnp.where(sem_step, hist[:, lab][None, :], 0.0) * lk.delta
-            ch = scat(sem_delta[lab].reshape(-1), add).reshape(
-                grid.wsum.shape)
-            sem_delta = sem_delta.at[lab].set(ch)
 
     updated = grid.updated.at[touched_slots].set(True, mode="drop")
-
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor,
         sem_count=sem_count, sem_delta=sem_delta, updated=updated)
 
 
-def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
-                           step_valid, labels, colors, ray_valid,
-                           touched_slots, lab_shift, lk, sem_points=None):
-    """"segment" scatter mode: reduce the (S, R) update stream to its unique
-    (voxel, label) segments before touching the grid.
+def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
+                           sem_points=None):
+    """"segment" scatter mode: reduce the concatenated (S, R) update streams
+    to their unique (voxel, label) segments before touching the grid.
 
     Rationale (measured on v5e, scripts/profile_scatter_model.py): XLA TPU
-    scatter costs ~11 ns per index, serially — 5.9M-entry streams cost ~65 ms
-    PER CHANNEL, while the stream only contains ~10-100k unique voxels
-    (100-300x duplication: many rays traverse the same near-camera voxels).
-    Sort + exact segmented scan + compaction (ops/reduce.py) costs ~60 ms
-    total and leaves scatters with only `segment_budget` indices.
+    scatter costs ~11 ns per index, serially — multi-million-entry streams
+    cost ~65 ms PER CHANNEL, while a stream only contains ~10-100k unique
+    voxels (many jobs traverse the same voxels). Sort + exact segmented scan
+    + compaction (ops/reduce.py) costs vector passes + two duplicate-heavy
+    sorts and leaves scatters with only `segment_budget` indices.
 
     The signed w*sdf channel is offset to w*(sdf+trunc) >= 0 so every reduced
     channel is non-negative (keeps options open for monotone-scan variants)
     and recovered exactly afterwards: sum(w*sdf) = sum(w*(sdf+trunc))
     - trunc*sum(w).
     """
-    import jax
     from .reduce import TRASH_KEY, segment_compact_reduce
-    from . import semantic
 
     g, t = cfg.grid, cfg.tsdf
     v3, cap, L = g.vps3, g.block_capacity, g.num_labels
@@ -329,26 +487,43 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     row_flat = g.padded_rows * v3
     B = cfg.pipeline.segment_budget
     trunc = t.truncation_distance
-
-    valid_upd = step_valid & (slots < cap)
-    inform = semantic.informative(labels) & ray_valid
-    sem_upd = (valid_upd & (wc_gate > 0.0)
-               if cfg.semantic.update_near_surface_only else valid_upd)
-    cnt = jnp.where(sem_upd & inform[None, :], 1.0, 0.0)
-    lab_b = jnp.broadcast_to(labels[None, :].astype(jnp.int32), key.shape)
-    lab_b = jnp.clip(lab_b, 0, (1 << lab_shift) - 1)
-    k2 = jnp.where(valid_upd, (key << lab_shift) | lab_b, TRASH_KEY)
-    wv = jnp.where(valid_upd, w, 0.0)
-    wsdf_s = jnp.where(valid_upd, w_sdf + trunc * w, 0.0)
-
-    # max_run: a sorted stream holds at most one entry per ray per (voxel,
-    # label) — DDA never revisits a voxel within a ray.
-    n_rays = key.shape[1]
     frac = cfg.pipeline.stream_active_fraction
+
+    k2s, wvs, wsdfs, cnts = [], [], [], []
+    n_jobs_total = 0
+    for st in streams:
+        if st.k2 is not None:
+            # Cube-LUT kernel path: reduce inputs pre-fused on device.
+            k2s.append(st.k2.reshape(-1))
+            wvs.append(st.wv.reshape(-1))
+            wsdfs.append(st.wsdfv.reshape(-1))
+            cnts.append(st.cntv.reshape(-1))
+            n_jobs_total += st.key.shape[1]
+            continue
+        valid_upd = st.step_valid & (st.slots < cap)
+        inform = semantic.informative(st.labels) & st.job_valid
+        sem_upd = (valid_upd & (st.wc_gate > 0.0)
+                   if cfg.semantic.update_near_surface_only else valid_upd)
+        st.sem_upd = sem_upd
+        st.valid_upd = valid_upd
+        cnt = jnp.where(sem_upd & inform[None, :], 1.0, 0.0)
+        lab_b = jnp.broadcast_to(st.labels[None, :].astype(jnp.int32),
+                                 st.key.shape)
+        lab_b = jnp.clip(lab_b, 0, (1 << lab_shift) - 1)
+        k2s.append(jnp.where(valid_upd, (st.key << lab_shift) | lab_b,
+                             TRASH_KEY).reshape(-1))
+        wvs.append(jnp.where(valid_upd, st.w, 0.0).reshape(-1))
+        wsdfs.append(jnp.where(valid_upd, st.w_sdf + trunc * st.w,
+                               0.0).reshape(-1))
+        cnts.append(cnt.reshape(-1))
+        n_jobs_total += st.key.shape[1]
+
+    # max_run: a sorted stream holds at most one entry per job per (voxel,
+    # label) — DDA never revisits a voxel within a job.
     ok, (tw, tsdf_s, tcnt), n_drop = segment_compact_reduce(
-        k2.reshape(-1), (wv.reshape(-1), wsdf_s.reshape(-1),
-                         cnt.reshape(-1)), B, max_run=n_rays,
-        active_frac=frac)
+        jnp.concatenate(k2s), (jnp.concatenate(wvs), jnp.concatenate(wsdfs),
+                               jnp.concatenate(cnts)), B,
+        max_run=n_jobs_total, active_frac=frac)
 
     seg_valid = ok != TRASH_KEY
     vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
@@ -368,17 +543,18 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
         unique_indices=True).reshape(grid.sem_delta.shape)
 
     if sem_points is not None:
-        # Per-point semantic votes riding this batch's ray geometry (merged
-        # integrator, _merged.cpp:254-285 — see integrate_ray_batch doc).
+        # Per-point semantic votes riding batch 0's geometry (merged
+        # integrator, _merged.cpp:254-285 — see integrate_jobs doc).
         # Row-gather the (R, S)-transposed stream by each point's bundle ray
         # (row gathers carry their payload ~free; a lane-dim gather of the
         # (S, R) layout would serialize), then run the same (voxel, label)
-        # segment reduction on the (P, S) point stream. With per-ray `labels`
-        # uninformative the main-stream cnt above is all zeros, so sem_count/
+        # segment reduction on the (P, S) point stream. With per-job `labels`
+        # uninformative the batch-0 cnt above is all zeros, so sem_count/
         # sem_delta receive only the point votes.
+        st0 = streams[0]
         pr, pl, pv, pc = sem_points
-        keyT = key.T                                         # (R, S) copy
-        updT = sem_upd.T          # = valid_upd (& band gate if enabled)
+        keyT = st0.key.T                                     # (R, S) copy
+        updT = st0.sem_upd.T      # = valid_upd (& band gate if enabled)
         pkey = keyT[pr]                                      # (P, S)
         pupd = updT[pr] & (pv & semantic.informative(pl))[:, None]
         plab = jnp.clip(pl, 0, (1 << lab_shift) - 1)[:, None].astype(jnp.int32)
@@ -404,11 +580,14 @@ def _segment_scatter_apply(grid, cfg, key, slots, local, w, w_sdf, wc_gate,
     if cfg.semantic.color_mode == ColorMode.COLOR:
         # Color channels keyed by voxel only (labels irrelevant): a second
         # sort pair carrying the three gated color sums.
-        kv = jnp.where(valid_upd, key, TRASH_KEY)
-        chans = tuple((wc_gate * colors[None, :, c]).reshape(-1)
-                      for c in range(3))
-        okc, tcol, n_drop_c = segment_compact_reduce(kv.reshape(-1), chans,
-                                                     B, max_run=n_rays,
+        kv = jnp.concatenate(
+            [jnp.where(st.valid_upd, st.key, TRASH_KEY).reshape(-1)
+             for st in streams])
+        chans = tuple(jnp.concatenate(
+            [(st.wc_gate * st.colors[None, :, c]).reshape(-1)
+             for st in streams]) for c in range(3))
+        okc, tcol, n_drop_c = segment_compact_reduce(kv, chans, B,
+                                                     max_run=n_jobs_total,
                                                      active_frac=frac)
         cvalid = okc != TRASH_KEY
         cvox = jnp.where(cvalid, okc, n_flat)

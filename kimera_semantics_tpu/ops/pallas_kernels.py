@@ -30,36 +30,23 @@ from ..config import FusionConfig
 TILE = 512  # rays per program (lane-dim multiple of 128)
 
 
-def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
+def _dda_kernel(origin_ref, point_ref, start_ref, end_ref, weight_ref,
+                flags_ref,
                 key_ref, local_ref, w_ref, wsdf_ref, wc_ref, valid_ref,
                 run_key_ref, run_idx_ref,
-                *, S, MAXR, voxel_size, trunc, max_ray, carving, vps, ext,
-                use_dropoff):
+                *, S, MAXR, voxel_size, trunc, vps, ext, use_dropoff):
     f32 = jnp.float32
     origin = origin_ref[:]        # (3, T)
-    point = point_ref[:]          # (3, T)
+    point = point_ref[:]          # (3, T) sdf anchor (surface sample)
     weight = weight_ref[0, :]     # (T,)
-    flags = flags_ref[:]          # (2, T) int32: [clearing, ray_valid]
-    clearing = flags[0] != 0
-    ray_valid = flags[1] != 0
+    ray_valid = flags_ref[0, :] != 0
 
     vec = point - origin
     dist_g = jnp.sqrt(jnp.sum(vec * vec, axis=0))              # (T,)
-    unit = vec / jnp.maximum(dist_g, 1e-12)[None, :]
-
-    clear_len = jnp.clip(dist_g - trunc, 0.0, max_ray)
-    clear_end = origin + unit * clear_len[None, :]
-    norm_end = point + unit * trunc
-    end = jnp.where(clearing[None, :], clear_end, norm_end)
-    if carving:
-        start = origin
-    else:
-        band = point - unit * trunc
-        start = jnp.where(clearing[None, :], clear_end, band)
 
     inv = f32(1.0 / voxel_size)
-    start3 = start * inv
-    end3 = end * inv
+    start3 = start_ref[:] * inv
+    end3 = end_ref[:] * inv
     eps = f32(1e-6)
     curr = jnp.floor(start3 + eps).astype(jnp.int32)           # (3, T)
     end_i = jnp.floor(end3 + eps).astype(jnp.int32)
@@ -151,17 +138,19 @@ def _dda_kernel(origin_ref, point_ref, weight_ref, flags_ref,
         jnp.full((origin.shape[1],), -2, dtype=jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
-                      points3: jnp.ndarray, weights: jnp.ndarray,
-                      is_clearing: jnp.ndarray, ray_valid: jnp.ndarray,
-                      interpret: bool = False):
-    """Expand rays into the per-(step, ray) update stream.
+@functools.partial(jax.jit, static_argnames=("cfg", "S", "interpret"))
+def dda_job_stream(cfg: FusionConfig, S: int, origin3: jnp.ndarray,
+                   point3: jnp.ndarray, start3: jnp.ndarray,
+                   end3: jnp.ndarray, weights: jnp.ndarray,
+                   job_valid: jnp.ndarray, interpret: bool = False):
+    """Expand traversal jobs into the per-(step, job) update stream.
 
     Args:
-      origin3 / points3: (3, R) float32 world-frame.
-      weights: (R,) float32; is_clearing / ray_valid: (R,) bool.
-    Returns (key, local, w, wsdf, wc_gate, run_key, run_idx, valid):
+      origin3 / point3 / start3 / end3: (3, R) float32 world-frame — sdf
+        anchor pair (origin, point) and traversal extent (start, end)
+        (ops/carve.py JobBatch semantics).
+      weights: (R,) float32; job_valid: (R,) bool. S: static step budget.
+    Returns (key, local, w, wsdf, wc_gate, valid, run_key, run_idx):
     key/local/w/wsdf/wc_gate/valid are (S, R) step-level planes (key == -1
     where invalid); run_key/run_idx are (MAXR, R) block-run compaction
     streams (run_key == -1 for unused run rows; run_idx maps each run to
@@ -169,17 +158,14 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
     ops/integrate.py.
     """
     g, t = cfg.grid, cfg.tsdf
-    S = cfg.resolved_max_steps()
-    MAXR = max_runs(cfg)
-    R = points3.shape[1]
+    MAXR = max_runs(cfg, S)
+    R = point3.shape[1]
     tile = TILE if R % TILE == 0 else R  # small-R fallback (tests)
-    flags = jnp.stack([is_clearing.astype(jnp.int32),
-                       ray_valid.astype(jnp.int32)])
+    flags = job_valid.astype(jnp.int32)[None, :]
 
     kernel = functools.partial(
         _dda_kernel, S=S, MAXR=MAXR, voxel_size=g.voxel_size,
-        trunc=t.truncation_distance, max_ray=t.max_ray_length_m,
-        carving=t.voxel_carving_enabled, vps=g.voxels_per_side,
+        trunc=t.truncation_distance, vps=g.voxels_per_side,
         ext=g.world_extent_blocks, use_dropoff=t.use_weight_dropoff)
 
     grid_spec = pl.GridSpec(
@@ -187,8 +173,10 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             [pl.BlockSpec((S, tile), lambda i: (0, i),
@@ -206,15 +194,194 @@ def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
                  jax.ShapeDtypeStruct((S, R), jnp.int32)])
     key, local, w, wsdf, wc, valid, run_key, run_idx = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(origin3, points3, weights[None, :], flags)
+    )(origin3, point3, start3, end3, weights[None, :], flags)
     return key, local, w, wsdf, wc, valid.astype(bool), run_key, run_idx
 
 
-def max_runs(cfg: FusionConfig) -> int:
-    """Upper bound on block transitions per ray: each axis crosses a block
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def dda_update_stream(cfg: FusionConfig, origin3: jnp.ndarray,
+                      points3: jnp.ndarray, weights: jnp.ndarray,
+                      is_clearing: jnp.ndarray, ray_valid: jnp.ndarray,
+                      interpret: bool = False):
+    """Voxblox-extent ray expansion (round-1 entry): computes per-ray
+    start/end (raycast.py setup_rays semantics, world units) and defers to
+    dda_job_stream with the full-traversal step budget."""
+    t = cfg.tsdf
+    S = cfg.resolved_max_steps()
+    vec = points3 - origin3
+    dist_g = jnp.sqrt(jnp.sum(vec * vec, axis=0))
+    unit = vec / jnp.maximum(dist_g, 1e-12)[None, :]
+    clear_len = jnp.clip(dist_g - t.truncation_distance, 0.0,
+                         t.max_ray_length_m)
+    clear_end = origin3 + unit * clear_len[None, :]
+    norm_end = points3 + unit * t.truncation_distance
+    end = jnp.where(is_clearing[None, :], clear_end, norm_end)
+    if t.voxel_carving_enabled:
+        start = origin3
+    else:
+        band = points3 - unit * t.truncation_distance
+        start = jnp.where(is_clearing[None, :], clear_end, band)
+    return dda_job_stream(cfg, S, origin3, points3, start, end, weights,
+                          ray_valid, interpret=interpret)
+
+
+def max_runs(cfg: FusionConfig, S: int | None = None) -> int:
+    """Upper bound on block transitions per job: each axis crosses a block
     boundary at most steps_axis/vps + 1 times; summed <= S/vps + 3, plus the
     initial run."""
-    return cfg.resolved_max_steps() // cfg.grid.voxels_per_side + 5
+    if S is None:
+        S = cfg.resolved_max_steps()
+    return S // cfg.grid.voxels_per_side + 5
+
+
+# ---------------------------------------------------------------------------
+# Cube-LUT slot resolution: block-hash lookup without serial gathers.
+#
+# XLA lowers hash-table probing (grid/hash.py lookup) to serial per-index
+# gathers (~11-14 ns each); at run-stream sizes (300-500k) that is 12-18 ms
+# per frame — the single largest stage after the segment sorts (measured,
+# scripts/profile_fast_r2.py). But every update of a frame lies within
+# max_ray + trunc of the camera, i.e. inside a static (2E+1)^3 cube of
+# blocks around the camera block. This kernel resolves slots against a
+# VMEM-resident dense cube LUT (built once per frame from ~5k hash probes)
+# with a vectorized masked lane-reduction — no serial memory ops — and
+# fuses the whole segment-reduce input preparation (flat voxel key, label
+# packing, validity masking, trunc offset) behind it.
+# ---------------------------------------------------------------------------
+
+
+def cube_geometry(cfg: FusionConfig):
+    """Static cube extent: blocks within max_ray + trunc (+1 slack) of the
+    camera block. Returns (E, side, padded lane count)."""
+    import math
+    reach = cfg.tsdf.max_ray_length_m + cfg.tsdf.truncation_distance
+    E = int(math.ceil(reach / cfg.grid.block_size)) + 1
+    side = 2 * E + 1
+    pad = ((side ** 3 + 127) // 128) * 128
+    return E, side, pad
+
+
+def cube_lut_supported(cfg: FusionConfig) -> bool:
+    """The lane-reduction costs O(stream * side^3) compares and the LUT row
+    chunk must fit VMEM — small cubes only (plenty for the canonical
+    configs: side 17 at 0.8 m blocks, 11 at 1.6 m)."""
+    _, _, pad = cube_geometry(cfg)
+    return pad <= 8192
+
+
+def _slot_kernel(params_s, cube_ref, runk_ref, runidx_ref, local_ref,
+                 w_ref, wsdf_ref, wc_ref, valid_ref, lab_ref,
+                 k2_ref, key_ref, w_out, wsdf_out, cnt_out, vout, runslot_ref,
+                 slot_scr,
+                 *, MAXR, side, E, ext, v3, cap, lab_shift, trunc,
+                 gate_near, pad, trash):
+    f32 = jnp.float32
+    cbx, cby, cbz = params_s[0], params_s[1], params_s[2]
+    rk = runk_ref[:]                                   # (MAXR, T)
+    bx = ((rk >> 20) & 0x3FF) - ext - cbx + E
+    by = ((rk >> 10) & 0x3FF) - ext - cby + E
+    bz = (rk & 0x3FF) - ext - cbz + E
+    in_c = ((rk >= 0) & (bx >= 0) & (bx < side) & (by >= 0) & (by < side)
+            & (bz >= 0) & (bz < side))
+    cidx = jnp.where(in_c, (bx * side + by) * side + bz, -1)
+
+    T = rk.shape[1]
+    cube = cube_ref[:]                                  # (1, pad) f32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, pad), 1)
+    for m in range(MAXR):
+        # Masked lane-reduction gather: exactly one lane matches (or none).
+        match = iota == cidx[m][:, None]
+        sl = jnp.max(jnp.where(match, jnp.broadcast_to(cube, (T, pad)),
+                               f32(-1.0)), axis=1)      # (T,)
+        slot_scr[m, :] = sl.astype(jnp.int32)
+
+    # Broadcast run slots to steps (at most one run row matches per step).
+    ridx = runidx_ref[:]                                # (S, T)
+    slot = jnp.full(ridx.shape, -1, dtype=jnp.int32)
+    for m in range(MAXR):
+        slot = slot + jnp.where(ridx == m, slot_scr[m:m + 1, :] + 1, 0)
+
+    v = (valid_ref[:] > 0) & (slot >= 0) & (slot < cap)
+    key = slot * v3 + local_ref[:]
+    lab = lab_ref[0, :]
+    w = w_ref[:]
+    k2_ref[:] = jnp.where(v, (key << lab_shift) | lab[None, :], trash)
+    key_ref[:] = key
+    w_out[:] = jnp.where(v, w, 0.0)
+    wsdf_out[:] = jnp.where(v, wsdf_ref[:] + f32(trunc) * w, 0.0)
+    sem_gate = v & (wc_ref[:] > 0.0) if gate_near else v
+    inform = lab_ref[1, :] > 0
+    cnt_ref_val = jnp.where(sem_gate & inform[None, :], 1.0, 0.0)
+    cnt_out[:] = cnt_ref_val
+    vout[:] = v.astype(jnp.int32)
+    runslot_ref[:] = slot_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lab_shift", "gate_near",
+                                             "interpret"))
+def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
+                        run_key, run_idx, local, w, wsdf, wc, step_valid,
+                        labels, informative, lab_shift: int,
+                        gate_near: bool, interpret: bool = False):
+    """Resolve block slots for one expanded stream via the frame cube LUT and
+    emit segment-reduce inputs.
+
+    Args:
+      cube_vals: (1, pad) f32 — slot per cube cell (-1 missing/unowned),
+        from ops/integrate.py frame_cube.
+      cam_block: (3,) int32 camera block coords.
+      run_key/run_idx: (MAXR, R)/(S, R) from dda_job_stream.
+      local/w/wsdf/wc: (S, R) stream planes; step_valid (S, R) bool.
+      labels: (R,) int32; informative: (R,) bool.
+    Returns (k2, w_m, wsdf_off, cnt, key, valid_upd, run_slots):
+      k2 (S, R) int32 combined (voxel << lab_shift | label) key (TRASH where
+      invalid); w_m/wsdf_off/cnt masked value channels (wsdf offset by
+      +trunc*w — ops/integrate.py contract); key (S, R) raw flat voxel key;
+      valid_upd (S, R) bool; run_slots (MAXR, R) int32 (-1 invalid).
+    """
+    import numpy as np
+    g, t = cfg.grid, cfg.tsdf
+    E, side, pad = cube_geometry(cfg)
+    S, R = local.shape
+    MAXR = run_key.shape[0]
+    tile = TILE if R % TILE == 0 else R
+    params = jnp.concatenate([cam_block.astype(jnp.int32),
+                              jnp.zeros((5,), jnp.int32)])
+    labs2 = jnp.stack([labels.astype(jnp.int32),
+                       informative.astype(jnp.int32)])
+
+    kernel = functools.partial(
+        _slot_kernel, MAXR=MAXR, side=side, E=E, ext=g.world_extent_blocks,
+        v3=g.vps3, cap=g.block_capacity, lab_shift=lab_shift,
+        trunc=t.truncation_distance, gate_near=gate_near, pad=pad,
+        trash=np.int32(0x7FFFFFFF))
+
+    bs = lambda s: pl.BlockSpec((s, tile), lambda i, m: (0, i))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),      # cube
+                  bs(MAXR), bs(S), bs(S),                     # runk/idx/local
+                  bs(S), bs(S), bs(S), bs(S),                 # w/wsdf/wc/valid
+                  bs(2)],                                     # labels/inform
+        out_specs=[bs(S), bs(S), bs(S), bs(S), bs(S), bs(S), bs(MAXR)],
+        scratch_shapes=[pltpu.VMEM((MAXR, tile), jnp.int32)],
+    )
+    out_shapes = [jax.ShapeDtypeStruct((S, R), jnp.int32),
+                  jax.ShapeDtypeStruct((S, R), jnp.int32),
+                  jax.ShapeDtypeStruct((S, R), jnp.float32),
+                  jax.ShapeDtypeStruct((S, R), jnp.float32),
+                  jax.ShapeDtypeStruct((S, R), jnp.float32),
+                  jax.ShapeDtypeStruct((S, R), jnp.int32),
+                  jax.ShapeDtypeStruct((MAXR, R), jnp.int32)]
+    k2, key, w_m, wsdf_off, cnt, vu, run_slots = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, cube_vals, run_key, run_idx, local, w, wsdf, wc,
+      step_valid.astype(jnp.int32), labs2)
+    return k2, w_m, wsdf_off, cnt, key, vu.astype(bool), run_slots
 
 
 # ---------------------------------------------------------------------------

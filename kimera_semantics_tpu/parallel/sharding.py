@@ -32,7 +32,7 @@ from ..grid import blocks as gblocks
 from ..grid.blocks import VoxelGrid
 from ..models import common
 from ..ops import dedup as dedup_ops
-from ..ops.integrate import integrate_ray_batch
+from ..ops.integrate import integrate_jobs
 
 AXIS = "grid"
 
@@ -68,27 +68,21 @@ def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
         frame = jax.tree.map(lambda x: x[0], frame_stack)
         my = jax.lax.axis_index(AXIS)
 
-        (_, pts_G, origin, colors, labels, weights, valid,
-         clearing) = common.prepare_points(frame, intr, cfg)
-        # Per-frame start-voxel subsampling on the local shard's approx set.
-        keep, start_set = dedup_ops.start_voxel_dedup(
-            grid.start_set, pts_G, valid,
-            voxel_size_inv=1.0 / cfg.grid.voxel_size,
-            subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor)
-        grid = dataclasses.replace(grid, start_set=start_set)
-        kept, pts_G, colors, labels, weights, clearing = common.compact(
-            keep, R, pts_G, colors, labels, weights, clearing)
-        origins = jnp.broadcast_to(origin, pts_G.shape)
+        # Same per-frame job construction as single-device fast
+        # (models/fast.py): octave-decimated band+carve batches by default,
+        # voxblox-extent full traversal under carve_mode == "full" (with the
+        # per-shard start-voxel approx set threaded through grid state).
+        from ..models.fast import _frame_batches
+        grid, batches, _ = _frame_batches(grid, frame, cfg, intr)
 
-        # Ray replication across shards: one all_gather over ICI. The ray
-        # budget after compact() is min(#pixels, max_rays) — fold the shard
-        # axis into whatever it actually is.
+        # Job replication across shards: one all_gather over ICI per batch
+        # kind (~R x 32 B per device). Every shard then applies the update
+        # entries whose blocks it owns (ownership filter in integrate_jobs).
         gather = lambda x: jax.lax.all_gather(x, AXIS).reshape(
             (-1,) + x.shape[1:])
-        grid = integrate_ray_batch(
-            grid, cfg, gather(origins), gather(pts_G), gather(weights),
-            gather(colors), gather(labels), gather(clearing), gather(kept),
-            shard_id=my, num_shards=d)
+        batches_g = [(jax.tree.map(gather, jobs), S) for jobs, S in batches]
+        grid = integrate_jobs(grid, cfg, batches_g,
+                              shard_id=my, num_shards=d)
         return jax.tree.map(lambda x: x[None], grid)
 
     return jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),

@@ -1,0 +1,135 @@
+"""Octave-decimated carving (ops/carve.py) + cube-LUT slot kernel tests."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         PipelineConfig, TsdfConfig)
+from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.io.dataset import SyntheticDataset
+from kimera_semantics_tpu.models import fast, merged
+from kimera_semantics_tpu.ops import carve, integrate as integ
+
+INTR = PinholeIntrinsics(fx=40.0, fy=40.0, cx=39.5, cy=29.5, width=80,
+                         height=60)
+
+
+def make_cfg(**pipeline_kw):
+    kw = dict(max_rays=2048, dedup_table_size=1 << 14,
+              segment_budget=1 << 16, carve_budget=2048, carve_steps=16)
+    kw.update(pipeline_kw)
+    return FusionConfig(
+        grid=GridConfig(voxel_size=0.2, voxels_per_side=8, block_capacity=512),
+        tsdf=TsdfConfig(truncation_distance=0.4, max_ray_length_m=4.0),
+        pipeline=PipelineConfig(**kw))
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    lm = LabelColorMap.random(21)
+    ds = SyntheticDataset(num_frames=3, intr=INTR, label_map=lm)
+    return ds, [ds.frame(i) for i in range(3)], lm
+
+
+def run_frames(cfg, frames, model=fast):
+    grid = blocks.create(cfg)
+    for f in frames:
+        grid = model.integrate_frame(grid, f, cfg, INTR)
+    return grid
+
+
+class TestPlan:
+    def test_levels_cover_zero_to_max(self):
+        cfg = make_cfg()
+        plan = carve.plan_carve(cfg, INTR)
+        los = [lo for _, lo, _ in plan.levels]
+        his = [hi for _, _, hi in plan.levels]
+        assert his[0] == cfg.tsdf.max_ray_length_m
+        assert los[-1] == 0.0
+        # Contiguous bands, coarser k with shrinking distance.
+        for i in range(len(plan.levels) - 1):
+            assert his[i + 1] == pytest.approx(los[i])
+            assert plan.levels[i + 1][0] == 2 * plan.levels[i][0]
+
+    def test_chunks_respect_step_budget(self):
+        cfg = make_cfg()
+        plan = carve.plan_carve(cfg, INTR)
+        max_len = (cfg.pipeline.carve_steps - 3) * cfg.grid.voxel_size / 1.7321
+        for chunks in plan.chunks:
+            for t0, t1 in chunks:
+                assert t1 - t0 <= max_len * 1.0001
+
+
+class TestDecimatedAccuracy:
+    def test_mesh_error_close_to_full(self, dataset):
+        ds, frames, lm = dataset
+        from kimera_semantics_tpu.ops import mesh as mesh_ops
+        from kimera_semantics_tpu.sim import eval as sim_eval
+        errs = {}
+        for mode in ("full", "decimated"):
+            cfg = dataclasses.replace(
+                make_cfg(), tsdf=dataclasses.replace(make_cfg().tsdf,
+                                                     carve_mode=mode))
+            g = run_frames(cfg, frames)
+            m = mesh_ops.extract_mesh(g, cfg, label_map=lm)
+            errs[mode] = sim_eval.mesh_surface_error(m.vertices, ds.world)
+        assert errs["decimated"]["mean"] <= errs["full"]["mean"] * 1.3 + 0.01
+
+    def test_carve_overflow_counted(self, dataset):
+        _, frames, _ = dataset
+        cfg = make_cfg(carve_budget=64)  # deliberately starved
+        g = run_frames(cfg, frames)
+        assert int(g.overflow) > 0
+
+    def test_merged_decimated_runs(self, dataset):
+        _, frames, _ = dataset
+        cfg = make_cfg()
+        g = run_frames(cfg, frames, model=merged)
+        assert int(g.n_blocks) > 10
+
+
+class TestBandOctave:
+    def test_density_matches_levels(self):
+        cfg = make_cfg()
+        H, W = INTR.height, INTR.width
+        # Constant-depth plane at 1 m: voxel footprint = v*f/d = 8 px ->
+        # k = 8 with subsampling factor 2 -> T = 0.2*40/2 = 4, k(1m) = 4.
+        pts_C = jnp.concatenate(
+            [jnp.zeros((H * W, 2)), jnp.ones((H * W, 1))], axis=1)
+        keep = carve.band_octave_keep(pts_C, jnp.ones((H * W,), bool), cfg,
+                                      INTR)
+        n = int(jnp.sum(keep))
+        assert n == (W // 4) * (H // 4 + (1 if H % 4 else 0))
+
+
+class TestCubeLut:
+    def test_cube_path_matches_hash_path(self, dataset):
+        _, frames, _ = dataset
+        cfg = make_cfg()
+        g_x = run_frames(cfg, frames)           # XLA hash-lookup path
+        integ.FORCE_PALLAS_INTERPRET = True     # pallas + cube LUT, interpreted
+        try:
+            fast.integrate_frame.clear_cache()
+            g_p = run_frames(cfg, frames)
+        finally:
+            integ.FORCE_PALLAS_INTERPRET = False
+            fast.integrate_frame.clear_cache()
+        assert int(g_x.n_blocks) == int(g_p.n_blocks)
+        coords = np.asarray(g_x.block_coords)[:int(g_x.n_blocks)]
+        sx = blocks.lookup_slots(g_x, jnp.asarray(coords), cfg.grid)
+        sp = blocks.lookup_slots(g_p, jnp.asarray(coords), cfg.grid)
+        for f in ["wsum", "wsdf", "sem_count"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_x, f))[np.asarray(sx)],
+                np.asarray(getattr(g_p, f))[np.asarray(sp)],
+                rtol=1e-5, atol=1e-5, err_msg=f)
+        np.testing.assert_allclose(
+            np.asarray(g_x.sem_delta)[:, np.asarray(sx)],
+            np.asarray(g_p.sem_delta)[:, np.asarray(sp)],
+            rtol=1e-5, atol=1e-5)
