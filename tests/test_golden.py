@@ -1,0 +1,121 @@
+"""Golden-fixture end-to-end regression suite (VERDICT r1 item 3).
+
+Mirrors the reference's dataset-regression practice
+(kimera_semantics_ros/scripts/kimera_semantics_eval.bash:36-77): a COMMITTED
+12-frame bag (tests/fixtures/golden_scene.bag, built by
+scripts/make_golden_fixture.py — byte-pinned input, exercising the ROS1 bag
+reader in the loop) is integrated end to end by all three integrators; mesh
+error, label accuracy, TSDF RMSE, accumulated weight mass, block counts, and
+batch-ESDF statistics are pinned against frozen expectations. Any silent
+accuracy regression from a performance change trips these bounds.
+
+Pinned values derived on CPU (jit, float32) at the config below; tolerances
+absorb summation-order jitter across backends, not semantic drift.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kimera_semantics_tpu.config import (FusionConfig, GridConfig,
+                                         PipelineConfig, SemanticConfig,
+                                         TsdfConfig)
+from kimera_semantics_tpu.core.color import LabelColorMap
+from kimera_semantics_tpu.grid import blocks
+from kimera_semantics_tpu.io.rosbag import RosbagDataset
+from kimera_semantics_tpu.ops import esdf as esdf_ops
+from kimera_semantics_tpu.ops import mesh as mesh_ops
+from kimera_semantics_tpu.sim import eval as sim_eval
+from kimera_semantics_tpu.sim import world as sim_world
+
+BAG = "tests/fixtures/golden_scene.bag"
+
+CFG = FusionConfig(
+    grid=GridConfig(voxel_size=0.1, voxels_per_side=8, block_capacity=1024),
+    tsdf=TsdfConfig(truncation_distance=0.2, max_ray_length_m=5.0),
+    semantic=SemanticConfig(semantic_measurement_probability=0.8),
+    pipeline=PipelineConfig(max_rays=8192, dedup_table_size=1 << 16,
+                            segment_budget=1 << 17, carve_budget=16384,
+                            carve_steps=24, block_budget=512))
+
+# method -> (blocks, wsum_total, rmse_tsdf, label_acc, mesh_mean, mesh_p95)
+GOLDEN = {
+    "fast":       (428, 314142.0, 0.0250, 0.487, 0.0100, 0.0287),
+    "merged":     (420, 972410.0, 0.0252, 0.492, 0.0081, 0.0246),
+    "projective": (412, 25651.0, 0.0303, 0.472, 0.0053, 0.0132),
+}
+# Relative tolerances per column (mass/accuracy drift allowances).
+TOL = dict(blocks=0, wsum=0.05, rmse=0.10, lacc=0.03, mesh=0.15)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    lm = LabelColorMap.random(21, seed=0)
+    ds = RosbagDataset(BAG, label_map=lm,
+                       depth_topic="/depth/image_raw",
+                       semantic_topic="/semantic/image_raw",
+                       cam_info_topic="/depth/camera_info")
+    frames = [ds.frame(i) for i in range(len(ds))]
+    return ds, frames, lm, sim_world.default_eval_world()
+
+
+def integrate(method, frames, intr):
+    if method == "fast":
+        from kimera_semantics_tpu.models import fast as mod
+    elif method == "merged":
+        from kimera_semantics_tpu.models import merged as mod
+    else:
+        from kimera_semantics_tpu.models import projective as mod
+    g = blocks.create(CFG)
+    for f in frames:
+        g = mod.integrate_frame(g, f, CFG, intr)
+    return g
+
+
+_GRIDS = {}
+
+
+def grid_for(method, fixture):
+    ds, frames, lm, world = fixture
+    if method not in _GRIDS:
+        _GRIDS[method] = integrate(method, frames, ds.intr)
+    return _GRIDS[method]
+
+
+@pytest.mark.parametrize("method", sorted(GOLDEN))
+def test_end_to_end_metrics(method, fixture):
+    ds, frames, lm, world = fixture
+    g = grid_for(method, fixture)
+    exp_blocks, exp_wsum, exp_rmse, exp_lacc, exp_mmean, exp_mp95 = (
+        GOLDEN[method])
+    assert int(g.overflow) == 0, "budget overflow on the golden scene"
+    assert int(g.n_blocks) == exp_blocks
+    wsum_total = float(jnp.sum(g.wsum[:int(g.n_blocks)]))
+    assert wsum_total == pytest.approx(exp_wsum, rel=TOL["wsum"])
+    errs = sim_eval.compare_to_world(g, CFG, world)
+    assert float(errs.rmse_tsdf) == pytest.approx(exp_rmse, rel=TOL["rmse"])
+    assert float(errs.label_accuracy) == pytest.approx(exp_lacc,
+                                                       abs=TOL["lacc"])
+    m = mesh_ops.extract_mesh(g, CFG, label_map=lm)
+    me = sim_eval.mesh_surface_error(m.vertices, world)
+    assert me["mean"] == pytest.approx(exp_mmean, rel=TOL["mesh"])
+    assert me["p95"] == pytest.approx(exp_mp95, rel=TOL["mesh"])
+
+
+def test_esdf_statistics(fixture):
+    """Batch-ESDF tail of the offline pipeline (kimera_semantics_rosbag.cpp:
+    153-167): pinned distance-field statistics on the fast grid."""
+    g = grid_for("fast", fixture)
+    res = esdf_ops.compute_esdf(g, CFG, max_dist=2.0)
+    vals = np.asarray(res.distance)[np.asarray(res.observed)]
+    assert vals.size > 10000
+    # Near-surface agreement: ESDF at observed band voxels tracks the TSDF.
+    stats = (float(vals.mean()), float(np.abs(vals).mean()),
+             float((vals < 0).mean()))
+    exp = (0.5808, 0.6058, 0.1137)
+    assert stats[0] == pytest.approx(exp[0], abs=0.05)
+    assert stats[1] == pytest.approx(exp[1], rel=0.15)
+    assert stats[2] == pytest.approx(exp[2], abs=0.05)
+
+
+
