@@ -351,6 +351,21 @@ def tsdf_section_to_grid(sec: LayerSection, cfg: FusionConfig) -> VoxelGrid:
 def esdf_to_section(res, cfg: FusionConfig) -> LayerSection:
     g = cfg.grid
     vps = g.voxels_per_side
+    if hasattr(res, "block_coords"):
+        # Block-sparse result (ops/esdf.py EsdfBlocked) — already per block;
+        # convert local linear order ((x*vps)+y)*vps+z -> voxblox x-fastest.
+        nb = res.block_coords.shape[0]
+        to_vxb = lambda a: (a.reshape(nb, vps, vps, vps)
+                            .transpose(0, 3, 2, 1).reshape(nb, vps ** 3))
+        dist_b = to_vxb(res.distance.astype(np.float32))
+        obs_b = to_vxb(res.observed)
+        keep = obs_b.any(axis=1)
+        w0 = dist_b[keep].view(np.uint32)
+        w1 = obs_b[keep].astype(np.uint32)
+        words = np.stack([w0, w1], axis=-1).reshape(int(keep.sum()), -1)
+        origins = (res.block_coords[keep].astype(np.float64) * g.block_size)
+        return LayerSection(LAYER_TYPE_ESDF, g.voxel_size, vps, origins,
+                            words)
     dims = res.distance.shape
     if any(d % vps for d in dims):
         raise ValueError(f"EsdfResult dims {dims} not block-aligned")

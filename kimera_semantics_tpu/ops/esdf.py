@@ -3,10 +3,28 @@
 Equivalent of the reference's batch ESDF pass (`EsdfServer.updateEsdfBatch`
 with full_euclidean=true, kimera_semantics_rosbag.cpp:153-167). Voxblox
 propagates distances with a CPU brushfire; the TPU-native re-derivation is a
-jump-flooding pass (log2(N) sweeps of 6/26-neighbor gathers — massively
+jump-flooding pass (log2(N) sweeps of neighbor gathers — massively
 parallel, no priority queues): near-surface TSDF voxels seed their own centers,
 every voxel then converges to its nearest seed, and the Euclidean distance is
 signed by the local TSDF sign.
+
+Two layouts:
+  - `compute_esdf_blocked` (primary): BLOCK-SPARSE jump flooding over the
+    allocated blocks only — state lives in (nb, vps^3) arrays like the grid
+    channels themselves, cross-block jumps ride per-level neighbor-slot
+    tables (voxblox's ESDF layer is likewise block-sparse). Memory is
+    O(allocated volume): a 100 m corridor costs its blocks, not its
+    bounding box.
+  - `compute_esdf` (compat wrapper): densifies the blocked result over the
+    allocated AABB — only safe for compact scenes.
+
+Blocked JFA schedule: descending power-of-two steps; steps >= vps jump whole
+blocks (same local index, neighbor-table row gather), sub-block steps combine
+an in-block roll with the face wrap of the (single) crossing neighbor. Jumps
+are per-axis (6-neighborhood) but applied SEQUENTIALLY within each scale, so
+any displacement decomposes scale-by-scale per axis (separable JFA); two
+final 1-step polish sweeps clean residual boundary pointer misses. Accuracy
+vs a brute-force Euclidean oracle is pinned in tests/test_esdf_blocked.py.
 """
 
 from __future__ import annotations
@@ -38,114 +56,174 @@ class EsdfResult:
         return self.distance[idx[..., 0], idx[..., 1], idx[..., 2]]
 
 
-@partial(jax.jit, static_argnames=("shape", "max_dist"))
-def _jump_flood(seed_pos: jnp.ndarray, seed_mask: jnp.ndarray,
-                seed_val: jnp.ndarray, centers: jnp.ndarray, shape,
-                max_dist: float):
-    """JFA over seed voxel centers. Each seed carries its own |tsdf| residual
-    (`seed_val`) — the distance estimate at a voxel is
-    |center - seed_center| + seed_residual, matching the true Euclidean
-    distance to the zero crossing to first order."""
-    X, Y, Z = shape
-    big = jnp.float32(max_dist * 4.0)
-    best_pos = jnp.where(seed_mask[..., None], seed_pos, big)
-    best_val = jnp.where(seed_mask, seed_val, 0.0)
-    best_d = jnp.where(seed_mask,
-                       jnp.linalg.norm(seed_pos - centers, axis=-1) + best_val,
-                       big)
+@dataclasses.dataclass
+class EsdfBlocked:
+    """Block-sparse ESDF: one row per allocated block (grid channel layout,
+    local linear index ((x*vps)+y)*vps+z — grid/blocks.py convention)."""
 
+    block_coords: np.ndarray  # (nb, 3) int32
+    distance: np.ndarray      # (nb, vps^3) float32 signed Euclidean
+    observed: np.ndarray      # (nb, vps^3) bool
+    voxel_size: float
+    vps: int
+
+    def sample(self, voxel_coords: np.ndarray) -> np.ndarray:
+        """Signed distance at global voxel coords (NaN for unallocated)."""
+        vc = np.asarray(voxel_coords)
+        b = np.floor_divide(vc, self.vps)
+        loc = vc - b * self.vps
+        lin = (loc[..., 0] * self.vps + loc[..., 1]) * self.vps + loc[..., 2]
+        lut = {tuple(c): i for i, c in enumerate(self.block_coords)}
+        flat_b = b.reshape(-1, 3)
+        rows = np.array([lut.get(tuple(c), -1) for c in flat_b], np.int64)
+        out = np.full(rows.shape, np.nan, np.float32)
+        ok = rows >= 0
+        out[ok] = self.distance[rows[ok], lin.reshape(-1)[ok]]
+        return out.reshape(vc.shape[:-1])
+
+    def to_dense(self) -> "EsdfResult":
+        """Densify over the blocks' AABB — compact scenes only (O(extent^3))."""
+        vps = self.vps
+        lo = self.block_coords.min(axis=0)
+        hi = self.block_coords.max(axis=0) + 1
+        dims = tuple(int(d) * vps for d in (hi - lo))
+        dist = np.full(dims, np.float32(np.inf))
+        obs = np.zeros(dims, bool)
+        for i, c in enumerate(self.block_coords):
+            o = (c - lo) * vps
+            sl = tuple(slice(o[d], o[d] + vps) for d in range(3))
+            dist[sl] = self.distance[i].reshape(vps, vps, vps)
+            obs[sl] = self.observed[i].reshape(vps, vps, vps)
+        return EsdfResult(origin_voxel=(lo * vps).astype(np.int32),
+                          distance=dist, observed=obs)
+
+
+def _blocked_jfa_steps(vps: int, max_dist_vox: int):
+    """Descending power-of-two step schedule covering max_dist_vox, plus two
+    1-step polish sweeps."""
+    s = 1
+    while s < max_dist_vox:
+        s *= 2
     steps = []
-    s = 1 << int(np.ceil(np.log2(max(X, Y, Z))))
     while s >= 1:
         steps.append(s)
         s //= 2
+    return steps + [1, 1]
 
-    nbr = jnp.asarray(_NEIGHBORS)
 
-    ii = jnp.arange(X)[:, None, None]
-    jj = jnp.arange(Y)[None, :, None]
-    kk = jnp.arange(Z)[None, None, :]
+def compute_esdf_blocked(grid: VoxelGrid, cfg: FusionConfig,
+                         max_dist: float = 4.0) -> EsdfBlocked:
+    """Block-sparse batch ESDF (see module docstring). Memory and compute are
+    O(allocated blocks), never O(scene AABB)."""
+    g = cfg.grid
+    vps = g.voxels_per_side
+    if vps & (vps - 1):
+        raise ValueError("blocked ESDF needs power-of-two voxels_per_side")
+    nb = int(grid.n_blocks)
+    if nb == 0:
+        return EsdfBlocked(np.zeros((0, 3), np.int32),
+                           np.zeros((0, vps ** 3), np.float32),
+                           np.zeros((0, vps ** 3), bool), g.voxel_size, vps)
+    coords = np.asarray(grid.block_coords[:nb]).astype(np.int32)
+    max_dist_vox = int(np.ceil(max_dist / g.voxel_size))
+    steps = _blocked_jfa_steps(vps, max_dist_vox)
 
-    def one_step(carry, step):
-        best_pos, best_val, best_d = carry
+    # Per-level neighbor slot tables: row index into the nb-row state (+nb =
+    # missing sentinel). Level k covers block offsets +-k per axis.
+    ks = sorted({max(1, s // vps) for s in steps})
+    own = {tuple(c): i for i, c in enumerate(coords)}
+    tables = {}
+    for k in ks:
+        t = np.full((nb, 6), nb, np.int32)
+        for a in range(3):
+            for si, sgn in enumerate((1, -1)):
+                off = np.zeros(3, np.int32)
+                off[a] = sgn * k
+                for i, c in enumerate(coords):
+                    t[i, a * 2 + si] = own.get(tuple(c + off), nb)
+        tables[k] = jnp.asarray(t)
 
-        def try_neighbor(i, carry):
-            best_pos, best_val, best_d = carry
-            off = nbr[i] * step
-            shift = (-off[0], -off[1], -off[2])
-            cand_pos = jnp.roll(best_pos, shift=shift, axis=(0, 1, 2))
-            cand_val = jnp.roll(best_val, shift=shift, axis=(0, 1, 2))
-            # jnp.roll wraps — mask lanes whose source index left the volume,
-            # else far-boundary seeds leak across as fake neighbors.
-            src_ok = ((ii + off[0] >= 0) & (ii + off[0] < X)
-                      & (jj + off[1] >= 0) & (jj + off[1] < Y)
-                      & (kk + off[2] >= 0) & (kk + off[2] < Z))
-            d = jnp.linalg.norm(cand_pos - centers, axis=-1) + cand_val
-            better = src_ok & (d < best_d)
-            best_pos = jnp.where(better[..., None], cand_pos, best_pos)
-            best_val = jnp.where(better, cand_val, best_val)
-            best_d = jnp.where(better, d, best_d)
-            return best_pos, best_val, best_d
+    tsdf = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)[:nb]
+    wsum = jnp.asarray(grid.wsum)[:nb]
+    d4 = lambda a: a.reshape(nb, vps, vps, vps)
+    dense_d = d4(tsdf)
+    observed = d4(wsum) > 1e-6
+    near = observed & (jnp.abs(dense_d) < cfg.tsdf.truncation_distance * 0.99)
 
-        carry = jax.lax.fori_loop(0, 27, try_neighbor,
-                                  (best_pos, best_val, best_d))
-        return carry, None
+    # Voxel centers in meters, (nb, vps, vps, vps, 3).
+    li = jnp.arange(vps, dtype=jnp.float32) + 0.5
+    lx, ly, lz = jnp.meshgrid(li, li, li, indexing="ij")
+    local = jnp.stack([lx, ly, lz], axis=-1)                  # (v,v,v,3)
+    centers = ((jnp.asarray(coords, jnp.float32)[:, None, None, None, :] * vps
+                + local[None]) * g.voxel_size)
 
-    (best_pos, best_val, best_d), _ = jax.lax.scan(
-        one_step, (best_pos, best_val, best_d), jnp.asarray(steps))
+    dist = _blocked_jump_flood(dense_d, near, centers, tables, tuple(steps),
+                               vps, float(max_dist))
+    signed = jnp.where(observed & (dense_d < 0), -dist, dist)
+    signed = jnp.clip(signed, -max_dist, max_dist)
+    signed = jnp.where(near, dense_d, signed)
+    return EsdfBlocked(coords,
+                       np.asarray(signed.reshape(nb, vps ** 3)),
+                       np.asarray(observed.reshape(nb, vps ** 3)),
+                       g.voxel_size, vps)
+
+
+@partial(jax.jit, static_argnames=("steps", "vps", "max_dist"))
+def _blocked_jump_flood(dense_d, near, centers, tables, steps, vps, max_dist):
+    nb = dense_d.shape[0]
+    big = jnp.float32(max_dist * 4.0)
+    # Sentinel row nb: never a seed, infinite distance.
+    pad_state = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    best_pos = jnp.where(near[..., None], centers, big)
+    best_val = jnp.where(near, jnp.abs(dense_d), 0.0)
+    best_d = jnp.where(near, jnp.abs(dense_d), big)
+
+    for s in steps:
+        for axis in range(3):
+            for si, sgn in enumerate((1, -1)):
+                bp = pad_state(best_pos, big)
+                bv = pad_state(best_val, 0.0)
+                # Source voxel = local + sgn*s along `axis`.
+                if s >= vps:
+                    k = s // vps
+                    nbr = tables[k][:, axis * 2 + si]
+                    cand_pos = bp[nbr]
+                    cand_val = bv[nbr]
+                else:
+                    ax = 1 + axis
+                    rolled_pos = jnp.roll(bp[:nb], -sgn * s, axis=ax)
+                    rolled_val = jnp.roll(bv[:nb], -sgn * s, axis=ax)
+                    nbr = tables[1][:, axis * 2 + si]
+                    n_pos = jnp.roll(bp[nbr], -sgn * s, axis=ax)
+                    n_val = jnp.roll(bv[nbr], -sgn * s, axis=ax)
+                    # Wrapped lanes of the neighbor roll hold exactly the
+                    # crossing face (local + s*sgn mod vps).
+                    idx = jnp.arange(vps)
+                    src = idx + sgn * s
+                    in_blk = (src >= 0) & (src < vps)
+                    shape = [1, 1, 1, 1]
+                    shape[ax] = vps
+                    in_blk = in_blk.reshape(shape)
+                    cand_pos = jnp.where(in_blk[..., None], rolled_pos, n_pos)
+                    cand_val = jnp.where(in_blk, rolled_val, n_val)
+                d = jnp.linalg.norm(cand_pos - centers, axis=-1) + cand_val
+                better = d < best_d
+                best_pos = jnp.where(better[..., None], cand_pos, best_pos)
+                best_val = jnp.where(better, cand_val, best_val)
+                best_d = jnp.where(better, d, best_d)
     return best_d
 
 
 def compute_esdf(grid: VoxelGrid, cfg: FusionConfig,
                  max_dist: float = 4.0) -> EsdfResult:
-    """Batch ESDF over the axis-aligned bounds of allocated blocks."""
-    g = cfg.grid
-    vps = g.voxels_per_side
-    nb = int(grid.n_blocks)
-    if nb == 0:
-        return EsdfResult(np.zeros(3, np.int32), np.zeros((0, 0, 0), np.float32),
+    """Dense-output wrapper: block-sparse ESDF densified over the allocated
+    AABB (compact scenes; corridor-scale maps should consume
+    compute_esdf_blocked directly). Voxels in unallocated blocks are
+    unobserved and hold +inf."""
+    res = compute_esdf_blocked(grid, cfg, max_dist=max_dist)
+    if res.block_coords.shape[0] == 0:
+        return EsdfResult(np.zeros(3, np.int32),
+                          np.zeros((0, 0, 0), np.float32),
                           np.zeros((0, 0, 0), bool))
-    coords = np.asarray(grid.block_coords[:nb])
-    lo = coords.min(axis=0)
-    hi = coords.max(axis=0) + 1
-    dims = tuple(int(d) * vps for d in (hi - lo))
-
-    # Densify tsdf/weight over the AABB (missing blocks -> unobserved).
-    bx, by, bz = (np.arange(lo[d], hi[d]) for d in range(3))
-    all_blocks = np.stack(np.meshgrid(bx, by, bz, indexing="ij"),
-                          axis=-1).reshape(-1, 3)
-    slots = gblocks.lookup_slots(grid, jnp.asarray(all_blocks, dtype=jnp.int32),
-                                 g)
-    tsdf = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
-
-    @partial(jax.jit, static_argnames=("dims",))
-    def densify(tsdf, wsum, slots, dims):
-        nbx, nby, nbz = dims[0] // vps, dims[1] // vps, dims[2] // vps
-        d = tsdf[slots].reshape(nbx, nby, nbz, vps, vps, vps)
-        w = wsum[slots].reshape(nbx, nby, nbz, vps, vps, vps)
-        to_dense = lambda a: a.transpose(0, 3, 1, 4, 2, 5).reshape(dims)
-        return to_dense(d), to_dense(w)
-
-    dense_d, dense_w = densify(tsdf, grid.wsum, slots, dims)
-
-    ii = [jnp.arange(dims[d], dtype=jnp.float32) + lo[d] * vps + 0.5
-          for d in range(3)]
-    centers = jnp.stack(jnp.meshgrid(*ii, indexing="ij"), axis=-1) * g.voxel_size
-
-    # Seeds: observed voxels inside the truncation band; the surface point is
-    # the voxel center pushed to the zero crossing is approximated by the voxel
-    # center itself offset along the TSDF gradient; first-order: centers are
-    # used with the residual tsdf added to the final distance.
-    observed = dense_w > 1e-6
-    near = observed & (jnp.abs(dense_d) < cfg.tsdf.truncation_distance * 0.99)
-    dist = _jump_flood(centers, near, jnp.abs(dense_d), centers, dims, max_dist)
-
-    # Signed: negative inside surfaces (tsdf < 0 at observed voxels).
-    signed = jnp.where(observed & (dense_d < 0), -dist, dist)
-    signed = jnp.clip(signed, -max_dist, max_dist)
-    # Near-surface voxels keep their (more accurate) TSDF value.
-    signed = jnp.where(near, dense_d, signed)
-
-    return EsdfResult(origin_voxel=(lo * vps).astype(np.int32),
-                      distance=np.asarray(signed),
-                      observed=np.asarray(observed))
+    return res.to_dense()

