@@ -77,16 +77,32 @@ def _exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
         [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=xi.dtype)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "iters"))
+@partial(jax.jit,
+         static_argnames=("cfg", "iters", "refine_roll_pitch"))
 def align_to_map(grid: VoxelGrid, cfg: FusionConfig, points_C: jnp.ndarray,
                  valid: jnp.ndarray, T_G_C: jnp.ndarray, iters: int = 6,
-                 damping: float = 1e-3):
+                 damping: float = 1e-3, refine_roll_pitch: bool = True,
+                 min_match_ratio: float = 0.0):
     """Refine T_G_C so `points_C` agree with the map TSDF.
 
-    Returns (T_refined (4,4), rms_residual ()). Equivalent role to voxblox
-    `ICP::runICP` inside processPointCloudMessageAndInsert."""
+    Returns (T_refined (4,4), rms_residual (), match_ratio ()). Equivalent
+    role to voxblox `ICP::runICP` inside processPointCloudMessageAndInsert;
+    parameter surface mirrors voxblox's ICP config
+    (launch/kimera_semantics.launch:111: iterations, refine_roll_pitch,
+    subsampling is the caller's `points_C` stride).
+
+    - `refine_roll_pitch=False` constrains the world-frame twist to yaw +
+      translation (gravity-aligned platforms; voxblox icp_refine_roll_pitch).
+    - `min_match_ratio`: if fewer than this fraction of the valid points land
+      on observed, in-band TSDF, the refinement is rejected and T_G_C is
+      returned unchanged (degenerate-geometry / poor-overlap guard)."""
 
     trunc = cfg.tsdf.truncation_distance
+    # Constrained solve basis: columns of the world twist we optimize.
+    # Twist layout is (w, v); w_x, w_y are roll/pitch about world axes
+    # (xi is LEFT-applied: exp(xi) @ T, so w lives in the world frame).
+    dof = (0, 1, 2, 3, 4, 5) if refine_roll_pitch else (2, 3, 4, 5)
+    sel = jnp.asarray(dof)
 
     def residuals(xi, T):
         T_adj = _exp_se3(xi) @ T
@@ -97,17 +113,21 @@ def align_to_map(grid: VoxelGrid, cfg: FusionConfig, points_C: jnp.ndarray,
         m = valid & (w > 1e-3) & (jnp.abs(d) < 0.9 * trunc)
         return jnp.where(m, d, 0.0), m
 
-    def body(T, _):
+    def body(carry, _):
+        T, _, _ = carry
         xi0 = jnp.zeros(6, dtype=jnp.float32)
         r, m = residuals(xi0, T)
         # Gauss-Newton: H = J^T J (the trilinear field's second derivatives
         # are noise across cell boundaries — full Newton diverges).
         jac = jax.jacfwd(lambda x: residuals(x, T)[0])(xi0)   # (N, 6)
+        jac = jac[:, sel]                                     # (N, |dof|)
         grad = jac.T @ r
         hess = jac.T @ jac
-        hess = hess + damping * jnp.eye(6, dtype=hess.dtype) * (
-            1.0 + jnp.trace(hess) / 6.0)
-        step = -jnp.linalg.solve(hess, grad)
+        k = len(dof)
+        hess = hess + damping * jnp.eye(k, dtype=hess.dtype) * (
+            1.0 + jnp.trace(hess) / k)
+        step_r = -jnp.linalg.solve(hess, grad)
+        step = jnp.zeros(6, dtype=jnp.float32).at[sel].set(step_r)
         step = jnp.where(jnp.all(jnp.isfinite(step)), step,
                          jnp.zeros_like(step))
         # Trust region on the twist magnitude (half a voxel / ~3 degrees).
@@ -115,7 +135,12 @@ def align_to_map(grid: VoxelGrid, cfg: FusionConfig, points_C: jnp.ndarray,
         norm = jnp.linalg.norm(step) + 1e-12
         step = step * jnp.minimum(1.0, cap_t / norm)
         rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(m), 1))
-        return _exp_se3(step) @ T, rms
+        ratio = jnp.sum(m) / jnp.maximum(jnp.sum(valid), 1)
+        return (_exp_se3(step) @ T, rms, ratio), None
 
-    T, rms = jax.lax.scan(body, T_G_C, jnp.arange(iters))
-    return T, rms[-1]
+    zero = jnp.float32(0.0)
+    (T, rms, ratio), _ = jax.lax.scan(body, (T_G_C, zero, zero),
+                                      jnp.arange(iters))
+    ok = ratio >= min_match_ratio
+    T = jnp.where(ok, T, T_G_C)
+    return T, rms, ratio

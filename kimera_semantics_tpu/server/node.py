@@ -87,6 +87,21 @@ def _add_common(p):
     p.add_argument("--esdf-every", type=int, default=0,
                    help="refresh the ESDF every N frames while streaming "
                         "(voxblox EsdfServer update cycle)")
+    p.add_argument("--enable-icp", action="store_true",
+                   help="scan-to-map TSDF alignment before each integration "
+                        "(voxblox enable_icp, launch:111)")
+    p.add_argument("--icp-iters", type=int, default=6,
+                   help="Gauss-Newton iterations (voxblox icp iterations)")
+    p.add_argument("--icp-subsample", type=int, default=16,
+                   help="feed every Nth backprojected pixel to the solver")
+    p.add_argument("--icp-no-refine-roll-pitch", action="store_true",
+                   help="constrain refinement to yaw+translation (voxblox "
+                        "icp_refine_roll_pitch=false; gravity-aligned rigs)")
+    p.add_argument("--icp-damping", type=float, default=1e-3,
+                   help="Levenberg damping on the Gauss-Newton Hessian")
+    p.add_argument("--icp-min-match-ratio", type=float, default=0.1,
+                   help="reject refinement when fewer than this fraction of "
+                        "points hit observed in-band TSDF")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--depth-topic", default="/depth/image_raw",
                    help=".bag datasets: depth image topic")
@@ -228,7 +243,13 @@ def cmd_batch(args, streaming: bool):
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every,
-                     esdf_max_dist=args.esdf_max_dist))
+                     esdf_max_dist=args.esdf_max_dist,
+                     enable_icp=args.enable_icp,
+                     icp_iters=args.icp_iters,
+                     icp_subsample=args.icp_subsample,
+                     icp_refine_roll_pitch=not args.icp_no_refine_roll_pitch,
+                     icp_damping=args.icp_damping,
+                     icp_min_match_ratio=args.icp_min_match_ratio))
     if args.map_in:
         srv.load_map(args.map_in)
     if args.trace_dir:

@@ -43,6 +43,14 @@ class ServerConfig:
     enable_icp: bool = False          # scan-to-map pose refinement before
                                       # integration (voxblox enable_icp parity)
     icp_iters: int = 6
+    icp_subsample: int = 16           # every Nth backprojected pixel feeds the
+                                      # solver (voxblox icp subsampling)
+    icp_refine_roll_pitch: bool = True  # False: constrain to yaw+translation
+                                      # (voxblox icp_refine_roll_pitch)
+    icp_damping: float = 1e-3         # Levenberg damping on the GN Hessian
+    icp_min_match_ratio: float = 0.1  # reject refinement when fewer than this
+                                      # fraction of valid points hit observed
+                                      # in-band TSDF (poor-overlap guard)
     prefetch_depth: int = 2           # frames decoded ahead of the device by
                                       # a producer thread (0 = synchronous);
                                       # the ROS-queue analogue (io/prefetch.py)
@@ -74,6 +82,8 @@ class SemanticTsdfServer:
         self._last_stream_time = -np.inf
         self.mesh_callbacks: List[Callable[[mesh_ops.Mesh], None]] = []
         self.esdf = None  # latest periodic EsdfResult (esdf_every_n_frames)
+        self.last_icp_match_ratio = None  # fraction of points on observed
+                                          # in-band TSDF at the last ICP
 
     # -- streaming ---------------------------------------------------------
 
@@ -147,13 +157,16 @@ class SemanticTsdfServer:
         """Scan-to-map TSDF alignment (ops/icp.py) — voxblox enable_icp."""
         from ..core import camera as cam
         from ..ops import icp as icp_ops
+        sc = self.server_cfg
         with timing.Timer("icp/align"):
             pts_C, valid = cam.backproject(frame.depth, self.intr)
-            # Subsample for speed: every 16th pixel.
-            pts_C, valid = pts_C[::16], valid[::16]
-            T, _ = icp_ops.align_to_map(self.grid, self.cfg, pts_C, valid,
-                                        frame.T_G_C,
-                                        iters=self.server_cfg.icp_iters)
+            stride = max(1, sc.icp_subsample)
+            pts_C, valid = pts_C[::stride], valid[::stride]
+            T, _, self.last_icp_match_ratio = icp_ops.align_to_map(
+                self.grid, self.cfg, pts_C, valid, frame.T_G_C,
+                iters=sc.icp_iters, damping=sc.icp_damping,
+                refine_roll_pitch=sc.icp_refine_roll_pitch,
+                min_match_ratio=sc.icp_min_match_ratio)
         return dataclasses.replace(frame, T_G_C=T)
 
     # -- meshing / output --------------------------------------------------
