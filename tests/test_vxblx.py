@@ -176,3 +176,50 @@ class TestRoundTrip:
         # loading the multi-section file still finds the tsdf layer
         loaded = vxblx.load_vxblx(path, cfg)
         assert int(loaded.n_blocks) == int(grid.n_blocks)
+
+
+GOLDEN = "tests/fixtures/golden_map.vxblx"
+GOLDEN_SHA256 = "4c43c57c983830771b953879cb744014ed0865f5470d5a98502d6b911282a209"
+
+
+class TestGoldenBytes:
+    """Byte-level wire-format pin (VERDICT r1 item 7): the committed fixture
+    freezes the exact .vxblx encoding (proto fields covered: Layer header
+    voxel_size/voxels_per_side/type; Block origin_{x,y,z}/voxel_data words;
+    varint framing; x-fastest voxel order). Any codec change trips the hash
+    AND the byte-compare, forcing a deliberate fixture regeneration via
+    scripts/make_vxblx_golden.py."""
+
+    def test_fixture_hash_pinned(self):
+        import hashlib
+        data = open(GOLDEN, "rb").read()
+        assert hashlib.sha256(data).hexdigest() == GOLDEN_SHA256
+
+    def test_writer_reproduces_golden_bytes(self, tmp_path):
+        from kimera_semantics_tpu.ops import esdf as esdf_ops
+        cfg = small_cfg()
+        grid = make_grid(cfg)
+        res = esdf_ops.compute_esdf_blocked(grid, cfg, max_dist=1.0)
+        path = str(tmp_path / "re.vxblx")
+        vxblx.save_vxblx(path, grid, cfg, esdf=res)
+        assert open(path, "rb").read() == open(GOLDEN, "rb").read()
+
+    def test_reader_decodes_golden(self):
+        secs = vxblx.read_sections(GOLDEN)
+        assert [s.type for s in secs] == ["tsdf", "esdf"]
+        tsdf, esdf = secs
+        assert tsdf.voxel_size == 0.2 and tsdf.voxels_per_side == 8
+        assert tsdf.voxel_data.shape == (3, 1536)   # 3 words/voxel
+        assert esdf.voxel_data.shape == (3, 1024)   # 2 words/voxel
+        np.testing.assert_allclose(
+            np.sort(np.asarray(tsdf.block_origins), axis=0),
+            np.sort(np.array([[1.6, 3.2, 4.8], [-3.2, 0.0, 1.6],
+                              [0.0, 0.0, 0.0]]), axis=0), atol=1e-9)
+        # Decoded payload checksums (uint64 sums pin every bit of the words).
+        assert int(tsdf.voxel_data.astype(np.uint64).sum()) == 4842567354690
+        assert int(esdf.voxel_data.astype(np.uint64).sum()) == 2399381240302
+        cfg = small_cfg()
+        g = vxblx.load_vxblx(GOLDEN, cfg)
+        assert int(g.n_blocks) == 3
+        np.testing.assert_allclose(float(jnp.sum(g.wsum)), 1940.4316, rtol=1e-5)
+        np.testing.assert_allclose(float(jnp.sum(g.wsdf)), 1.0878029, rtol=1e-4)
