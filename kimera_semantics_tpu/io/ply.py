@@ -30,6 +30,18 @@ def write_ply(path: str, vertices: np.ndarray, colors: np.ndarray,
                                 normals)
         return
 
+    with open(path, "wb") as f:
+        f.write(ply_bytes(vertices, colors, triangles, normals))
+
+
+def ply_bytes(vertices: np.ndarray, colors: np.ndarray,
+              triangles: np.ndarray,
+              normals: np.ndarray | None = None) -> bytes:
+    """Encode the mesh as binary-little-endian PLY bytes (identical layout to
+    write_ply; used by the live HTTP mesh streamer, server/viz.py)."""
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32)
+    colors = np.ascontiguousarray(colors, dtype=np.uint8)
+    triangles = np.ascontiguousarray(triangles, dtype=np.int32)
     nrm_props = ("property float nx\nproperty float ny\nproperty float nz\n"
                  if normals is not None else "")
     header = (
@@ -57,10 +69,7 @@ def write_ply(path: str, vertices: np.ndarray, colors: np.ndarray,
     fbuf = np.empty(len(triangles), dtype=face_dtype)
     fbuf["n"] = 3
     fbuf["idx"] = triangles
-    with open(path, "wb") as f:
-        f.write(header)
-        f.write(vbuf.tobytes())
-        f.write(fbuf.tobytes())
+    return header + vbuf.tobytes() + fbuf.tobytes()
 
 
 def read_ply(path: str, with_normals: bool = False):

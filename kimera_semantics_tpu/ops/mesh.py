@@ -198,11 +198,17 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
 def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
                  label_map: Optional[LabelColorMap] = None,
                  only_updated: bool = False, batch: Optional[int] = None,
-                 with_normals: bool = False) -> Mesh:
+                 with_normals: bool = False, return_blocks: bool = False):
     """Extract the mesh for allocated (or updated) blocks; host-side compaction.
 
     Equivalent of TsdfServer::generateMesh / the periodic mesh update
     (kimera_semantics_rosbag.cpp:148; launch `update_mesh_every_n_sec`).
+
+    With `return_blocks=True` returns `(Mesh, meshed_rows, tri_rows)`:
+    the grid rows that were meshed this call (even if they produced zero
+    triangles — the caller's MeshLayer cache must clear those) and the grid
+    row of every output triangle. This is the voxblox MeshLayer update
+    contract: replace exactly the re-meshed blocks, keep the rest.
     """
     # The MC temporaries scale with batch x V^3 (edge/triangle buffers are
     # ~40 floats per voxel). Default: keep batch x vps3 constant so peak
@@ -216,7 +222,7 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
     sel = np.where(updated & allocated)[0] if only_updated else np.where(allocated)[0]
     render = render_colors(grid, cfg, label_map)
 
-    verts, cols, nrms = [], [], []
+    verts, cols, nrms, rows = [], [], [], []
     for i in range(0, len(sel), batch):
         chunk = sel[i:i + batch]
         slots = np.full(batch, cap, dtype=np.int32)
@@ -229,6 +235,9 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
         cols.append(tc.reshape(-1, 3, 3)[m])
         if with_normals:
             nrms.append(np.asarray(out[3]).reshape(-1, 3, 3)[m])
+        if return_blocks:
+            tri_per_blk = tm.size // batch
+            rows.append(np.repeat(slots, tri_per_blk)[m])
     if verts:
         v = np.concatenate(verts).reshape(-1, 3).astype(np.float32)
         c = np.clip(np.concatenate(cols).reshape(-1, 3), 0, 255).astype(np.uint8)
@@ -239,4 +248,9 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
         c = np.zeros((0, 3), np.uint8)
         nr = np.zeros((0, 3), np.float32) if with_normals else None
     tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
-    return Mesh(vertices=v, colors=c, triangles=tris, normals=nr)
+    mesh = Mesh(vertices=v, colors=c, triangles=tris, normals=nr)
+    if return_blocks:
+        tri_rows = (np.concatenate(rows).astype(np.int32) if rows
+                    else np.zeros(0, np.int32))
+        return mesh, sel.astype(np.int32), tri_rows
+    return mesh

@@ -73,6 +73,15 @@ def _add_common(p):
     p.add_argument("--mesh-out", default="mesh.ply")
     p.add_argument("--mesh-normals", action="store_true",
                    help="write per-vertex TSDF-gradient normals into the PLY")
+    p.add_argument("--live-mesh", default="",
+                   help="stream mode: atomically rewrite this PLY with the "
+                        "full growing mesh at each periodic update (rviz "
+                        "incremental-mesh topic equivalent)")
+    p.add_argument("--live-mesh-keep", type=int, default=0,
+                   help="also keep N rotating live-mesh snapshots")
+    p.add_argument("--live-port", type=int, default=-1,
+                   help=">=0: serve the live mesh over HTTP (/ viewer, "
+                        "/mesh.ply, /stats.json); 0 picks a free port")
     p.add_argument("--map-out", default=None)
     p.add_argument("--map-in", default=None,
                    help="load a saved map (.vxblx or .ksdv) before "
@@ -244,12 +253,18 @@ def cmd_batch(args, streaming: bool):
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every,
                      esdf_max_dist=args.esdf_max_dist,
+                     live_mesh_path=args.live_mesh,
+                     live_mesh_keep=args.live_mesh_keep,
+                     live_mesh_port=args.live_port,
                      enable_icp=args.enable_icp,
                      icp_iters=args.icp_iters,
                      icp_subsample=args.icp_subsample,
                      icp_refine_roll_pitch=not args.icp_no_refine_roll_pitch,
                      icp_damping=args.icp_damping,
                      icp_min_match_ratio=args.icp_min_match_ratio))
+    if srv.live_streamer is not None:
+        print(f"live mesh: http://127.0.0.1:{srv.live_streamer.port}/",
+              file=sys.stderr)
     if args.map_in:
         srv.load_map(args.map_in)
     if args.trace_dir:

@@ -66,6 +66,14 @@ class ServerConfig:
     stats_jsonl: str = ""             # per-frame metrics sink: one JSON line
                                       # per integrated frame (observability
                                       # parity, SURVEY 5.5)
+    live_mesh_path: str = ""          # stream mode: atomically rewrite this
+                                      # PLY with the FULL growing mesh at each
+                                      # periodic mesh update (rviz incremental
+                                      # mesh topic equivalent, launch:131)
+    live_mesh_keep: int = 0           # also keep N rotating snapshots
+    live_mesh_port: int = -1          # >=0: serve the live mesh over HTTP
+                                      # (/, /mesh.ply, /stats.json); 0 picks
+                                      # a free port (server/viz.py)
 
 
 class SemanticTsdfServer:
@@ -84,6 +92,20 @@ class SemanticTsdfServer:
         self.esdf = None  # latest periodic EsdfResult (esdf_every_n_frames)
         self.last_icp_match_ratio = None  # fraction of points on observed
                                           # in-band TSDF at the last ICP
+        # Live incremental-mesh surface (server/viz.py): a MeshLayer-style
+        # per-block cache feeding an atomic PLY writer and/or HTTP streamer.
+        self.mesh_cache = None
+        self._live_writer = None
+        self.live_streamer = None
+        sc = self.server_cfg
+        if sc.live_mesh_path or sc.live_mesh_port >= 0:
+            from . import viz
+            self.mesh_cache = viz.MeshLayerCache()
+            if sc.live_mesh_path:
+                self._live_writer = viz.LiveMeshWriter(sc.live_mesh_path,
+                                                       keep=sc.live_mesh_keep)
+            if sc.live_mesh_port >= 0:
+                self.live_streamer = viz.MeshHTTPStreamer(sc.live_mesh_port)
 
     # -- streaming ---------------------------------------------------------
 
@@ -175,9 +197,23 @@ class SemanticTsdfServer:
         """Incremental mesh over blocks updated since the last call."""
         import jax.numpy as jnp
         with timing.Timer("mesh/update"):
-            m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
-                                      only_updated=True,
-                                      with_normals=self.server_cfg.mesh_normals)
+            out = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
+                                        only_updated=True,
+                                        with_normals=self.server_cfg.mesh_normals,
+                                        return_blocks=self.mesh_cache is not None)
+        if self.mesh_cache is not None:
+            m, meshed_rows, tri_rows = out
+            self.mesh_cache.update(m, meshed_rows, tri_rows)
+            full = self.mesh_cache.full_mesh()
+            if self._live_writer is not None:
+                self._live_writer.write(full)
+            if self.live_streamer is not None:
+                self.live_streamer.publish(
+                    full, version=self.mesh_cache.version,
+                    blocks=self.mesh_cache.num_blocks,
+                    frames=self._frames_integrated)
+        else:
+            m = out
         self.grid = dataclasses.replace(
             self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
         for cb in self.mesh_callbacks:
