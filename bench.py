@@ -199,18 +199,96 @@ def main():
     # vs the analytic GT world — the north-star's "mesh L2 error" leg.
     mesh_err = None
     mesh_tris = 0
+    mesh_ms = None
     if os.environ.get("BENCH_MESH", "1") == "1":
         from kimera_semantics_tpu.ops import mesh as mesh_ops
         from kimera_semantics_tpu.sim import eval as sim_eval
+        tm = time.perf_counter()
         mesh = mesh_ops.extract_mesh(grid, cfg, label_map=label_map)
+        mesh_ms = 1000.0 * (time.perf_counter() - tm)
         mesh_tris = int(mesh.num_triangles)
         if mesh_tris:
             me = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
             mesh_err = me
 
-    # accumulate on device; one host fetch (each int() pays the tunnel RTT)
-    upd = int(sum(count_updates(f) for f in frames[4:4 + n_frames]))
+    # Honest per-method update counting (VERDICT r1 item 5/8): the ray
+    # integrators' unit of work is a valid (ray, step) DDA stream entry; the
+    # projective integrator's is touched-block-rows x vps^3 dense voxel
+    # updates. Counted untimed, on the method's own code path.
+    stage_ms = {}
+    if method == "projective":
+        from kimera_semantics_tpu.models import projective as proj_mod
+        from kimera_semantics_tpu.ops import mip as mip_ops
+        plan = mip_ops.make_plan(intr.height, intr.width,
+                                 cfg.pipeline.patch_rows,
+                                 cfg.pipeline.patch_cols)
+
+        @jax.jit
+        def alloc_count(g2, frame):
+            atlas = mip_ops.build_atlas(frame.depth, frame.labels,
+                                        frame.colors, plan)
+            g2, fcoords, fslots, freal = proj_mod.allocate_from_atlas(
+                g2, atlas, frame.T_G_C, cfg, intr, plan)
+            g2 = proj_mod.apply_frame(g2, atlas, frame.T_G_C, fcoords,
+                                      fslots, freal, cfg, intr, plan)
+            return g2, jnp.sum(freal)
+        g2 = blocks.create(cfg)
+        rows = []
+        for f in frames[4:4 + n_frames]:
+            g2, r = alloc_count(g2, f)
+            rows.append(r)
+        touched_rows = int(sum(int(x) for x in jax.device_get(rows)))
+        upd = touched_rows * cfg.grid.vps3
+
+        # Per-stage breakdown (atlas / allocate / apply), steady state.
+        if os.environ.get("BENCH_BREAKDOWN", "1") == "1" and not smoke:
+            jit_atlas = jax.jit(lambda fr: mip_ops.build_atlas(
+                fr.depth, fr.labels, fr.colors, plan))
+            jit_alloc = jax.jit(lambda g3, atlas, T: proj_mod.allocate_from_atlas(
+                g3, atlas, T, cfg, intr, plan))
+            jit_apply = jax.jit(lambda g3, atlas, T, fc, fs, fr: proj_mod.apply_frame(
+                g3, atlas, T, fc, fs, fr, cfg, intr, plan))
+            g3 = grid  # steady-state scene
+            ts = {"atlas": 0.0, "alloc": 0.0, "apply": 0.0}
+            k_frames = frames[4:4 + min(12, n_frames)]
+            for rep in range(2):        # rep 0 = compile warmup, untimed
+                for f in k_frames:
+                    t1 = time.perf_counter()
+                    atlas = jax.block_until_ready(jit_atlas(f))
+                    t2 = time.perf_counter()
+                    g3, fc, fs, fr = jit_alloc(g3, atlas, f.T_G_C)
+                    jax.block_until_ready(fr)
+                    t3 = time.perf_counter()
+                    g3 = jit_apply(g3, atlas, f.T_G_C, fc, fs, fr)
+                    jax.block_until_ready(g3.wsum)
+                    t4 = time.perf_counter()
+                    if rep:
+                        ts["atlas"] += t2 - t1
+                        ts["alloc"] += t3 - t2
+                        ts["apply"] += t4 - t3
+            stage_ms = {k: round(1000.0 * v / len(k_frames), 3)
+                        for k, v in ts.items()}
+    else:
+        # accumulate on device; one host fetch (each int() pays tunnel RTT)
+        upd = int(sum(count_updates(f) for f in frames[4:4 + n_frames]))
     updates_per_s = upd / elapsed
+
+    # HBM roofline estimate: the update applies a read-modify-write over
+    # every voxel channel of each touched row (w, wsdf, sem_count, 3x color,
+    # L x sem_delta; f32 both ways). Ray methods touch sparse entries via
+    # scatter — bytes estimated per stream entry over the same channels.
+    nch = 1 + 1 + 1 + 3 + cfg.grid.num_labels
+    if method == "projective":
+        bytes_moved = touched_rows * cfg.grid.vps3 * nch * 4 * 2
+    else:
+        bytes_moved = upd * nch * 4 * 2
+    gbps = bytes_moved / elapsed / 1e9
+    dev_kind = jax.devices()[0].device_kind.lower()
+    peak_gbps = (1640.0 if "v6" in dev_kind else
+                 1228.0 if "v4" in dev_kind else
+                 819.0 if ("v5" in dev_kind and ("lite" in dev_kind or
+                                                 "v5e" in dev_kind)) else
+                 2765.0 if "v5p" in dev_kind else None)
 
     # Reference CPU baselines (README.md:11): fast ~0.1 s/scan -> 10 fps,
     # merged ~1 s/scan -> 1 fps. The projective flagship covers the fast
@@ -227,7 +305,14 @@ def main():
         "overflow": int(grid.overflow),
         "batch": batch,
         "device": str(jax.devices()[0]),
+        "hbm_gbps_est": round(gbps, 1),
     }
+    if peak_gbps:
+        result["hbm_peak_frac"] = round(gbps / peak_gbps, 3)
+    if stage_ms:
+        result["stage_ms"] = stage_ms
+    if mesh_ms is not None:
+        result["mesh_ms"] = round(mesh_ms, 1)
     if mesh_err is not None:
         result["mesh_error_mean_m"] = round(mesh_err["mean"], 5)
         result["mesh_error_p95_m"] = round(mesh_err["p95"], 5)
