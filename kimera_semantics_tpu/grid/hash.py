@@ -199,6 +199,25 @@ def insert_compacted(table_keys: jnp.ndarray, table_slots: jnp.ndarray,
     return tk, ts, bc, nb, ov + dropped
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def unique_keys(keys: jnp.ndarray, active: jnp.ndarray, budget: int):
+    """Compact a duplicate-heavy key stream to its unique values.
+
+    Returns (uk (budget,) int32 ascending with trash==0x7FFFFFFF beyond the
+    uniques, n_dropped). Used by the sharded projective path to shrink each
+    frame's allocation candidates BEFORE the cross-shard all_gather (the raw
+    (S, R) DDA planes are ~50x larger than their unique block set)."""
+    import numpy as np
+    trash = np.int32(0x7FFFFFFF)
+    k = jnp.where(active.reshape(-1), keys.reshape(-1), trash)
+    sk = jnp.sort(k)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]]) & (sk != trash)
+    n_uniq = jnp.sum(is_first.astype(jnp.int32))
+    uk = jnp.sort(jnp.where(is_first, sk, trash))[:budget]
+    return uk, jnp.maximum(0, n_uniq - budget)
+
+
 @partial(jax.jit, static_argnames=("table_size", "capacity", "extent",
                                    "budget"))
 def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,

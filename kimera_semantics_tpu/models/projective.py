@@ -116,6 +116,14 @@ def allocate_from_atlas(grid: VoxelGrid, atlas, T_G_C, cfg: FusionConfig,
     in each tile wins — a missed far surface at a depth discontinuity is
     the same contract as the reference's subsampled rays,
     semantic_tsdf_integrator_fast.cpp:87-91)."""
+    keys, bvalid = candidates_from_atlas(atlas, T_G_C, cfg, intr, plan)
+    return insert_candidates(grid, keys, bvalid, cfg, shard=shard)
+
+
+def candidates_from_atlas(atlas, T_G_C, cfg: FusionConfig,
+                          intr: PinholeIntrinsics, plan):
+    """Candidate block keys for one frame, from its mip atlas (the DDA half
+    of allocate_from_atlas — see _candidate_keys)."""
     import math
     from ..ops import mip as mip_ops
     stride = cfg.pipeline.alloc_stride
@@ -130,11 +138,15 @@ def allocate_from_atlas(grid: VoxelGrid, atlas, T_G_C, cfg: FusionConfig,
     depth = jnp.where(px_ok, depth, 0.0)
     from ..core import camera as cam
     pts_C, px_valid = cam.backproject(depth, intr.scaled(W, H))
-    return _allocate_rays(grid, pts_C, labels, px_valid, T_G_C, cfg, shard)
+    return _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg)
 
 
-def _allocate_rays(grid: VoxelGrid, pts_C, labels, px_valid, T_G_C,
-                   cfg: FusionConfig, shard=None):
+def _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg: FusionConfig):
+    """The block-DDA half of allocation: candidate block keys for one frame's
+    subsampled ray set. Returns (keys (S, R) int32, bvalid (S, R) bool).
+    Split out so the sharded path can run it ONCE per device (own frame) and
+    all-gather compact key lists instead of re-running the DDA for every
+    frame on every shard (weak-scaling fix, VERDICT r1 item 2)."""
     g, t = cfg.grid, cfg.tsdf
     valid, is_clearing = tsdf_ops.point_validity(pts_C, t)
     valid = valid & px_valid & sem_ops.dynamic_label_mask(labels, cfg.semantic)
@@ -155,22 +167,35 @@ def _allocate_rays(grid: VoxelGrid, pts_C, labels, px_valid, T_G_C,
     bvalid = bvalid & valid[None, :]
     bvalid = bvalid & bhash.in_bounds_soa(bx, by, bz, g.world_extent_blocks)
     keys = bhash.pack_block_coords_soa(bx, by, bz, g.world_extent_blocks)
+    return keys, bvalid
 
+
+def insert_candidates(grid: VoxelGrid, keys, active, cfg: FusionConfig,
+                      shard=None):
+    """The insert half of allocation: ownership-filter + frame-list insert.
+    `keys`/`active` may be the raw (S, R) DDA planes or an already
+    unique-compacted list (bhash.unique_keys)."""
+    g = cfg.grid
     if shard is not None:
         # Hash-ownership filter (same salt/mix as ops/integrate.py so the
         # ray-centric and projective sharded paths agree on owners).
         my, num = shard
         owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num
-        bvalid = bvalid & (owner == my)
-
+        active = active & (owner == my)
     tk, ts, bc, nb, ov, fcoords, fslots, freal = bhash.insert_frame_list(
         grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
-        keys.reshape(-1), bvalid.reshape(-1), g.table_size, g.block_capacity,
+        keys.reshape(-1), active.reshape(-1), g.table_size, g.block_capacity,
         g.world_extent_blocks, cfg.pipeline.block_budget)
     grid = dataclasses.replace(
         grid, table_keys=tk, table_slots=ts, block_coords=bc, n_blocks=nb,
         overflow=grid.overflow + ov)
     return grid, fcoords, fslots, freal
+
+
+def _allocate_rays(grid: VoxelGrid, pts_C, labels, px_valid, T_G_C,
+                   cfg: FusionConfig, shard=None):
+    keys, bvalid = _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg)
+    return insert_candidates(grid, keys, bvalid, cfg, shard=shard)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))

@@ -129,18 +129,27 @@ def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
 
     Frame replication rides one all_gather of the mip atlases + poses
     (~10 MB/frame over ICI — the atlas carries everything the update needs:
-    depth, labels, packed color). Each shard then runs the full projective
-    pipeline (models/projective.py) for every frame, with the allocation
-    pre-pass ownership-filtered to its own blocks, so the per-shard work is
-    D frames x (touched blocks / D) ~= one frame's work — linear scaling,
-    and the same exactness argument as the ray path (ownership partitions
-    the update stream; updates commute)."""
+    depth, labels, packed color). The allocation DDA runs ONCE per frame
+    across the mesh: each shard traces only its OWN frame's subsampled rays,
+    unique-compacts the candidate block keys (bhash.unique_keys), and
+    all-gathers the compact lists — so per-device allocation work stays
+    constant in D instead of every shard re-tracing all D frames (the
+    round-1 weak-scaling bottleneck). Each shard then ownership-filters and
+    inserts every frame's candidates and applies the dense per-block update
+    for the rows it owns, so the per-shard apply work is D frames x
+    (touched blocks / D) ~= one frame's work — linear scaling, and the same
+    exactness argument as the ray path (ownership partitions the update
+    stream; updates commute)."""
+    from ..grid import hash as bhash
     from ..models import projective as proj_model
     from ..ops import mip as mip_ops
 
     d = mesh.devices.size
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
+    # Candidate budget: a frame cannot touch more distinct blocks than a few
+    # x the per-frame row budget; 4x covers ownership imbalance slack.
+    key_budget = 4 * cfg.pipeline.block_budget
 
     def body(grid_stack, frame_stack):
         grid = jax.tree.map(lambda x: x[0], grid_stack)
@@ -149,13 +158,20 @@ def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
 
         atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors,
                                     plan)
+        ckeys, cdrop = bhash.unique_keys(
+            *proj_model.candidates_from_atlas(atlas, frame.T_G_C, cfg, intr,
+                                              plan), key_budget)
         atlases = jax.lax.all_gather(atlas, AXIS)            # (D, 4, AH, AW)
         poses = jax.lax.all_gather(frame.T_G_C, AXIS)        # (D, 4, 4)
+        ckeys_all = jax.lax.all_gather(ckeys, AXIS)          # (D, K)
+        grid = dataclasses.replace(grid, overflow=grid.overflow + cdrop)
 
+        trash = np.int32(0x7FFFFFFF)
         for f in range(d):
             at, T = atlases[f], poses[f]
-            grid, fcoords, fslots, freal = proj_model.allocate_from_atlas(
-                grid, at, T, cfg, intr, plan, shard=(my, d))
+            grid, fcoords, fslots, freal = proj_model.insert_candidates(
+                grid, ckeys_all[f], ckeys_all[f] != trash, cfg,
+                shard=(my, d))
             grid = proj_model.apply_frame(grid, at, T, fcoords, fslots,
                                           freal, cfg, intr, plan)
         return jax.tree.map(lambda x: x[None], grid)

@@ -71,11 +71,14 @@ def main():
     jax.block_until_ready(frames[-1].depth)
     print(f"backend={jax.devices()[0].platform}", flush=True)
 
+    import faulthandler
+    faulthandler.dump_traceback_later(240, exit=True)
     grid = blocks.create(cfg)
     # Warm the scene so stages run at steady state.
-    for f in frames[:4]:
+    for i, f in enumerate(frames[:4]):
         grid = fast.integrate_frame(grid, f, cfg, intr)
-    jax.block_until_ready(grid.wsum)
+        jax.block_until_ready(grid.wsum)
+        print(f"warm {i}", flush=True)
     f = frames[5]
 
     timeit("fast.integrate_frame (end to end)",
