@@ -135,6 +135,12 @@ class TsdfConfig:
     #     redundant free-space updates. ~10x smaller update streams.
     #   "full": every ray traverses its whole extent (round-1 semantics;
     #     oracle-exact — tests pin this for sequential-reference comparisons).
+    #   "projective": the truncation band stays ray-exact (band jobs); free
+    #     space strictly before the band is carved by the dense per-block
+    #     projective kernel instead of carve jobs — each frustum voxel
+    #     carved exactly once per frame (the contract the reference's
+    #     ApproxHashSet approximates), with no multi-million-entry
+    #     sort/scan stream (models/fast.py _maybe_projective_carve).
     carve_mode: str = "decimated"
 
 

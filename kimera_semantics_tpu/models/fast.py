@@ -58,9 +58,9 @@ def _frame_batches(grid, frame, cfg, intr):
     (pts_C, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
 
-    decimate = (cfg.tsdf.carve_mode == "decimated"
-                and cfg.tsdf.voxel_carving_enabled)
-    if not decimate:
+    banded = (cfg.tsdf.carve_mode in ("decimated", "projective")
+              and cfg.tsdf.voxel_carving_enabled)
+    if not banded:
         (grid, kept, pts_G, colors, labels, weights,
          is_clearing) = _dedup_and_compact(grid, cfg, pts_G, colors, labels,
                                            weights, valid, is_clearing)
@@ -71,7 +71,7 @@ def _frame_batches(grid, frame, cfg, intr):
 
     # Octave band selection (deterministic dedup equivalent — ops/carve.py
     # band_octave_keep); clearing rays carry no surface band (their free
-    # space is covered by the carve jobs).
+    # space is covered by the carve jobs / the projective carve).
     keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
     kept, pts_G, colors, labels, weights, is_clearing = common.compact(
         keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
@@ -79,12 +79,15 @@ def _frame_batches(grid, frame, cfg, intr):
     origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
     band = carve_ops.band_jobs(origin_b, pts_G, weights, labels, colors,
                                is_clearing, kept, cfg)
+    s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+    if cfg.tsdf.carve_mode == "projective":
+        # Free space already carved densely (_maybe_projective_carve).
+        return grid, [(band, s_band)], origin
     plan = carve_ops.plan_carve(cfg, intr)
     cjobs = carve_ops.carve_jobs(frame.depth, frame.labels, frame.T_G_C,
                                  intr, cfg, plan)
     cjobs, dropped = carve_ops.compact_jobs(cjobs, cfg.pipeline.carve_budget)
     grid = dataclasses.replace(grid, overflow=grid.overflow + dropped)
-    s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     return grid, [(band, s_band), (cjobs, cfg.pipeline.carve_steps)], origin
 
 
@@ -92,8 +95,40 @@ def _frame_batches(grid, frame, cfg, intr):
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
                     cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     """One full frame update, jit-compiled end to end."""
+    grid = _maybe_projective_carve(grid, frame, cfg, intr)
     grid, batches, origin = _frame_batches(grid, frame, cfg, intr)
     return integrate_jobs(grid, cfg, batches, cube_origin=origin)
+
+
+def _maybe_projective_carve(grid: VoxelGrid, frame: common.Frame,
+                            cfg: FusionConfig,
+                            intr: PinholeIntrinsics) -> VoxelGrid:
+    """carve_mode == "projective": dense free-space carve.
+
+    The decimated carve stream exists to bound redundant free-space updates
+    — which is exactly what the projective sampler provides by construction
+    (each frustum voxel updated ONCE per frame, the contract the reference's
+    ApproxHashSet approximates, _fast.cpp:110-121). So free space strictly
+    before the truncation band is carved by the dense per-block kernel
+    (models/projective.py apply_frame, region="carve"): no carve jobs, no
+    multi-million-entry sort — O(touched blocks x vps^3) MXU/VPU work. The
+    truncation band stays ray-exact via band jobs (_frame_batches). Covers
+    clearing rays' free space too (update_terms_from_sample clearing logic).
+    Allocation rides the projective coarse-DDA atlas pre-pass; band blocks
+    are additionally allocated exactly by integrate_jobs' run insert."""
+    if not (cfg.tsdf.carve_mode == "projective"
+            and cfg.tsdf.voxel_carving_enabled):
+        return grid
+    from ..ops import mip as mip_ops
+    from . import projective as proj_model
+    plan = mip_ops.make_plan(intr.height, intr.width,
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
+    atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
+    grid, fc, fs, fr = proj_model.allocate_from_atlas(grid, atlas,
+                                                      frame.T_G_C, cfg, intr,
+                                                      plan)
+    return proj_model.apply_frame(grid, atlas, frame.T_G_C, fc, fs, fr, cfg,
+                                  intr, plan, region="carve")
 
 
 class FastSemanticTsdfIntegrator:
@@ -128,6 +163,7 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     per_kind = None
     for b in range(B):
         f = jax.tree.map(lambda x: x[b], frames)
+        grid = _maybe_projective_carve(grid, f, cfg, intr)
         grid, batches, _ = _frame_batches(grid, f, cfg, intr)
         if per_kind is None:
             per_kind = [[(jobs, S)] for jobs, S in batches]

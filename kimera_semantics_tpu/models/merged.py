@@ -142,7 +142,26 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     sem_pts = (sp_ray, sp_lab, sp_valid, pcounts)
     zlab = jnp.zeros((R,), dtype=jnp.int32)
 
-    decimate = (cfg.tsdf.carve_mode == "decimated"
+    # Projective free-space carve (see models/fast.py
+    # _maybe_projective_carve): bundles march only their band; free space
+    # (clearing bins included) is carved densely. Anti-grazing masks
+    # per-traversal destination voxels, which the dense carve cannot honor —
+    # it keeps the decimated carve jobs (integrate_jobs ag filter).
+    proj_carve = (cfg.tsdf.carve_mode == "projective"
+                  and cfg.tsdf.voxel_carving_enabled and not ag)
+    if proj_carve:
+        from .fast import _maybe_projective_carve
+        grid = _maybe_projective_carve(grid, frame, cfg, intr)
+        from ..ops import carve as carve_ops
+        from ..ops.integrate import integrate_jobs
+        origin_b = jnp.broadcast_to(origin[None, :], bpoint.shape)
+        band = carve_ops.band_jobs(origin_b, bpoint, bweight, zlab, bcolor,
+                                   jnp.zeros((R,), dtype=bool), bvalid, cfg)
+        s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+        return integrate_jobs(grid, cfg, [(band, s_band)],
+                              sem_points=sem_pts, cube_origin=origin)
+
+    decimate = (cfg.tsdf.carve_mode in ("decimated", "projective")
                 and cfg.tsdf.voxel_carving_enabled)
     if decimate:
         # Octave-decimated form (ops/carve.py): bundles march only their

@@ -214,7 +214,7 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
 
 def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
                 cfg: FusionConfig, intr: PinholeIntrinsics,
-                plan) -> VoxelGrid:
+                plan, region: str = "all") -> VoxelGrid:
     """Sample + update the listed blocks from one frame's atlas (trace-level
     building block shared by integrate_frame and the sharded step).
 
@@ -239,7 +239,7 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
         d_w, d_wsdf, d_cnt, d_lab, d_wc = (
             pallas_kernels.projective_sample_update(
                 meta, tflat, atlas, cfg, intr, plan, with_color=with_color,
-                interpret=FORCE_PALLAS_INTERPRET))
+                interpret=FORCE_PALLAS_INTERPRET, region=region))
         wsum, wsdf, sem_count, sem_delta, wcolor = pallas_kernels.block_rmw_add(
             grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta, grid.wcolor,
             fslots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
@@ -247,7 +247,8 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
             interpret=FORCE_PALLAS_INTERPRET)
     else:
         d = proj_ops.voxel_deltas(fcoords, real, atlas, T_G_C, intr,
-                                  plan, cfg, _sample_mode(cfg))
+                                  plan, cfg, _sample_mode(cfg),
+                                  region=region)
         safe = jnp.where(real, fslots, g.block_capacity)
         wsum = grid.wsum.at[safe].add(d["w"], mode="drop")
         wsdf = grid.wsdf.at[safe].add(d["wsdf"], mode="drop")
@@ -258,6 +259,34 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
             d["wcolor"].transpose(1, 0, 2), mode="drop")
 
     updated = grid.updated.at[jnp.where(real, fslots, g.padded_rows)].set(
+        True, mode="drop")
+    return dataclasses.replace(
+        grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
+        sem_delta=sem_delta, updated=updated)
+
+
+def apply_rows_multi(grid: VoxelGrid, atlases, T_G_C_all, frame_idx,
+                     fcoords, fslots, freal, cfg: FusionConfig,
+                     intr: PinholeIntrinsics, plan,
+                     region: str = "all") -> VoxelGrid:
+    """Sample + update a MIXED-frame row list: row j samples frame
+    frame_idx[j]'s atlas/pose (ops/projective.py voxel_deltas_multi). Used
+    by the sharded data-parallel step so all D frames' owned rows share ONE
+    row budget (XLA scatter path; the per-frame Pallas kernel skips its
+    padding tiles at runtime instead)."""
+    g = cfg.grid
+    d = proj_ops.voxel_deltas_multi(frame_idx, fcoords, freal, atlases,
+                                    T_G_C_all, intr, plan, cfg,
+                                    _sample_mode(cfg), region=region)
+    safe = jnp.where(freal, fslots, g.block_capacity)
+    wsum = grid.wsum.at[safe].add(d["w"], mode="drop")
+    wsdf = grid.wsdf.at[safe].add(d["wsdf"], mode="drop")
+    sem_count = grid.sem_count.at[safe].add(d["cnt"], mode="drop")
+    sem_delta = grid.sem_delta.at[:, safe].add(
+        d["sem"].transpose(1, 0, 2), mode="drop")
+    wcolor = grid.wcolor.at[:, safe].add(
+        d["wcolor"].transpose(1, 0, 2), mode="drop")
+    updated = grid.updated.at[jnp.where(freal, fslots, g.padded_rows)].set(
         True, mode="drop")
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,

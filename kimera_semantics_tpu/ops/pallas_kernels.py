@@ -394,7 +394,7 @@ PROJ_BPS = 8  # blocks per grid step (full sublane tiles for the voxel math)
 def _proj_kernel(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
                  atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
                  samp, e_scratch, rc_scratch, *, cfg, intr, plan,
-                 with_color):
+                 with_color, region="all"):
     """Per grid step: PROJ_BPS touched blocks.
 
     Vector phase ((BPS, V3) planes, voxels on lanes): voxel centers ->
@@ -421,13 +421,13 @@ def _proj_kernel(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
         _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
                    atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
                    samp, e_scratch, rc_scratch, i=i, cfg=cfg, intr=intr,
-                   plan=plan, with_color=with_color)
+                   plan=plan, with_color=with_color, region=region)
 
 
 def _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
                atlas_b, w_ref, wsdf_ref, cnt_ref, lab_ref, wc_ref,
                samp, e_scratch, rc_scratch, *, i, cfg, intr, plan,
-               with_color):
+               with_color, region="all"):
     g = cfg.grid
     vps, V3 = g.voxels_per_side, g.vps3
     ROWS, COLS = plan.row_window, plan.col_window
@@ -525,7 +525,8 @@ def _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
     depth = samp[0:BPS, :]
     label = jnp.round(samp[BPS:2 * BPS, :]).astype(jnp.int32)
     w, w_sdf, cnt, upd, color_gate = proj_ops.update_terms_from_sample(
-        depth, label, pX, pY, pZ, zsafe, in_img & lvl_ok, real_v, cfg)
+        depth, label, pX, pY, pZ, zsafe, in_img & lvl_ok, real_v, cfg,
+        region=region)
     w_ref[:] = w
     wsdf_ref[:] = w_sdf
     cnt_ref[:] = cnt
@@ -546,9 +547,10 @@ def _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "intr", "plan", "with_color",
-                                    "interpret"))
+                                    "interpret", "region"))
 def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
-                             with_color=False, interpret=False):
+                             with_color=False, interpret=False,
+                             region="all"):
     """Fused projective per-voxel stage for K touched blocks.
 
     Args:
@@ -566,7 +568,7 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
     ROWS = plan.row_window
 
     kernel = functools.partial(_proj_kernel, cfg=cfg, intr=intr, plan=plan,
-                               with_color=with_color)
+                               with_color=with_color, region=region)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     bykv = lambda: pl.BlockSpec((BPS, V3), lambda i, m: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -71,10 +71,21 @@ def block_patch_meta(block_coords: jnp.ndarray, T_C_G: jnp.ndarray,
     u0_level may be negative (alignment reaches left of the level origin —
     such columns are never selected because level coords are >= 0).
     """
+    R, t = T_C_G[:3, :3], T_C_G[:3, 3]
+    K = block_coords.shape[0]
+    return block_patch_meta_rows(
+        block_coords, jnp.broadcast_to(R, (K, 3, 3)),
+        jnp.broadcast_to(t, (K, 3)), intr, plan, block_size)
+
+
+def block_patch_meta_rows(block_coords: jnp.ndarray, Rk: jnp.ndarray,
+                          tk: jnp.ndarray, intr, plan: mip_ops.MipPlan,
+                          block_size: float):
+    """block_patch_meta with a PER-ROW camera transform (Rk (K, 3, 3),
+    tk (K, 3)) — the mixed-frame row path (voxel_deltas_multi)."""
     corners = (block_coords.astype(jnp.float32)[:, None, :]
                + _corner_offsets()[None]) * block_size          # (K, 8, 3)
-    R, t = T_C_G[:3, :3], T_C_G[:3, 3]
-    cam = corners @ R.T + t                                     # (K, 8, 3)
+    cam = jnp.einsum("kij,kcj->kci", Rk, corners) + tk[:, None, :]
     z = cam[..., 2]
     zsafe = jnp.maximum(z, _Z_EPS)
     u = intr.fx * cam[..., 0] / zsafe + intr.cx
@@ -128,6 +139,21 @@ def extract_patches(atlas: jnp.ndarray, u0_atlas: jnp.ndarray,
     return jax.vmap(one)(v0, u0_atlas)
 
 
+def extract_patches_multi(atlases: jnp.ndarray, frame_idx: jnp.ndarray,
+                          u0_atlas: jnp.ndarray, v0: jnp.ndarray,
+                          plan: mip_ops.MipPlan) -> jnp.ndarray:
+    """(D, C, AH, AW) stacked atlases -> (K, C, rows, cols) patches, row j
+    slicing atlas frame_idx[j] (mixed-frame row path)."""
+    C = atlases.shape[1]
+
+    def one(f, v, u):
+        return jax.lax.dynamic_slice(
+            atlases, (f, 0, v, u),
+            (1, C, plan.row_window, plan.col_window))[0]
+
+    return jax.vmap(one)(frame_idx, v0, u0_atlas)
+
+
 def sample_patches(patches: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray,
                    mode: str) -> jnp.ndarray:
     """Per-voxel patch sampling: (K, C, rows, cols), (K, V3) -> (K, V3, C).
@@ -164,7 +190,8 @@ def sample_patches(patches: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray,
 
 def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
                  atlas: jnp.ndarray, T_G_C: jnp.ndarray, intr,
-                 plan: mip_ops.MipPlan, cfg: FusionConfig, sample_mode: str):
+                 plan: mip_ops.MipPlan, cfg: FusionConfig, sample_mode: str,
+                 region: str = "all"):
     """Dense per-voxel update contributions for K touched blocks (XLA
     reference path — semantically identical to the fused TPU kernel).
 
@@ -172,16 +199,34 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
       w (K, V3), wsdf (K, V3), cnt (K, V3), label (K, V3) int32,
       sem (K, L, V3), wcolor (K, 3, V3) [zeros unless ColorMode.COLOR].
     """
+    K = block_coords.shape[0]
+    return voxel_deltas_multi(
+        jnp.zeros((K,), jnp.int32), block_coords, real_block, atlas[None],
+        T_G_C[None], intr, plan, cfg, sample_mode, region=region)
+
+
+def voxel_deltas_multi(frame_idx: jnp.ndarray, block_coords: jnp.ndarray,
+                       real_block: jnp.ndarray, atlases: jnp.ndarray,
+                       T_G_C_all: jnp.ndarray, intr, plan: mip_ops.MipPlan,
+                       cfg: FusionConfig, sample_mode: str,
+                       region: str = "all"):
+    """voxel_deltas over a MIXED-frame row list: row j samples frame
+    `frame_idx[j]`'s atlas with that frame's pose. Lets the sharded
+    data-parallel step apply all D frames' owned rows through ONE combined
+    row budget (slack paid once, not per frame — weak-scaling fix,
+    VERDICT r1 item 2). atlases (D, C, AH, AW); T_G_C_all (D, 4, 4)."""
     from ..core import transforms
 
     g, t = cfg.grid, cfg.tsdf
     vps, V3, L = g.voxels_per_side, g.vps3, g.num_labels
     K = block_coords.shape[0]
 
-    T_C_G = transforms.inverse(T_G_C)
-    lvl, u0l, v0, u0a = block_patch_meta(block_coords, T_C_G, intr, plan,
-                                         g.block_size)
-    patches = extract_patches(atlas, u0a, v0, plan)
+    T_C_G_all = jax.vmap(transforms.inverse)(T_G_C_all)      # (D, 4, 4)
+    Rk = T_C_G_all[frame_idx, :3, :3]                        # (K, 3, 3)
+    tk = T_C_G_all[frame_idx, :3, 3]                         # (K, 3)
+    lvl, u0l, v0, u0a = block_patch_meta_rows(block_coords, Rk, tk, intr,
+                                              plan, g.block_size)
+    patches = extract_patches_multi(atlases, frame_idx, u0a, v0, plan)
 
     # Voxel centers, SoA (K, V3) per component.
     lin = jnp.arange(V3, dtype=jnp.int32)
@@ -194,11 +239,12 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
     cz = ((block_coords[:, 2:3] * vps + lz[None]).astype(jnp.float32)
           + 0.5) * vs
 
-    # World -> camera (unrolled 3x4 — SoA planes stay in lanes).
-    Rm, tm = T_C_G[:3, :3], T_C_G[:3, 3]
-    pX = Rm[0, 0] * cx + Rm[0, 1] * cy + Rm[0, 2] * cz + tm[0]
-    pY = Rm[1, 0] * cx + Rm[1, 1] * cy + Rm[1, 2] * cz + tm[1]
-    pZ = Rm[2, 0] * cx + Rm[2, 1] * cy + Rm[2, 2] * cz + tm[2]
+    # World -> camera (unrolled 3x4 with per-row coefficients — SoA planes
+    # stay in lanes).
+    c = lambda i, j: Rk[:, i, j:j + 1]
+    pX = c(0, 0) * cx + c(0, 1) * cy + c(0, 2) * cz + tk[:, 0:1]
+    pY = c(1, 0) * cx + c(1, 1) * cy + c(1, 2) * cz + tk[:, 1:2]
+    pZ = c(2, 0) * cx + c(2, 1) * cy + c(2, 2) * cz + tk[:, 2:3]
     zok = pZ > _Z_EPS
     zsafe = jnp.maximum(pZ, _Z_EPS)
     u = intr.fx * pX / zsafe + intr.cx
@@ -221,7 +267,7 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
 
     w, w_sdf, cnt, upd, color_gate = update_terms_from_sample(
         depth, label, pX, pY, pZ, zsafe, in_img & lvl_ok,
-        real_block[:, None], cfg)
+        real_block[:, None], cfg, region=region)
 
     lk = _likelihood(cfg)
     lab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
@@ -240,10 +286,18 @@ def voxel_deltas(block_coords: jnp.ndarray, real_block: jnp.ndarray,
 
 
 def update_terms_from_sample(depth, label, pX, pY, pZ, zsafe, sample_ok,
-                             real, cfg: FusionConfig):
+                             real, cfg: FusionConfig, region: str = "all"):
     """Shared per-voxel update math given the sampled (depth, label) and the
     voxel's camera coordinates — used by both the XLA path above and traced
     inside the fused Pallas kernel (identical semantics by construction).
+
+    region: "all" (default) updates the full traversal extent; "carve"
+    restricts to strictly-before-the-band free space (sdf > trunc, plus
+    clearing rays' clipped extent) — the dense free-space half of the ray
+    integrators' carve_mode == "projective", whose truncation band is
+    covered exactly by per-ray band jobs (models/fast.py). At the seam both
+    sides agree the update is (w, w*trunc), so the handoff only affects
+    weight mass at one voxel ring, never the TSDF value.
 
     Returns (w, w_sdf, cnt, upd, color_gate); w/w_sdf/cnt are masked to 0
     outside `upd`.
@@ -281,6 +335,13 @@ def update_terms_from_sample(depth, label, pX, pY, pZ, zsafe, sample_ok,
         clear_band = jnp.abs(t_v - clear_len) <= 0.5 * vs
     # (logical ops, not where-on-bools: Mosaic lacks i1 select)
     upd = pvalid & ((clearing & clear_band) | (~clearing & normal_band))
+    if region == "carve":
+        # Free space strictly before the truncation band; the band itself
+        # ([dist-trunc, dist+trunc] along the ray) belongs to the per-ray
+        # band jobs. Clearing rays are all free space — keep them whole.
+        upd = upd & (clearing | (sdf > trunc))
+    elif region != "all":
+        raise ValueError(f"unknown update region {region!r}")
 
     # voxblox getVoxelWeight uses the point's camera z == sampled depth.
     if t.use_const_weight:

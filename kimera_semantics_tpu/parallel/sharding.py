@@ -63,10 +63,25 @@ def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
     d = mesh.devices.size
     R = cfg.pipeline.max_rays
 
+    proj_carve = (cfg.tsdf.carve_mode == "projective"
+                  and cfg.tsdf.voxel_carving_enabled)
+    if proj_carve:
+        from ..ops import mip as mip_ops
+        plan = mip_ops.make_plan(intr.height, intr.width,
+                                 cfg.pipeline.patch_rows,
+                                 cfg.pipeline.patch_cols)
+        key_budget = 4 * cfg.pipeline.block_budget
+
     def body(grid_stack, frame_stack):
         grid = jax.tree.map(lambda x: x[0], grid_stack)
         frame = jax.tree.map(lambda x: x[0], frame_stack)
         my = jax.lax.axis_index(AXIS)
+
+        if proj_carve:
+            # Dense ownership-filtered free-space carve for all D frames
+            # (models/fast.py _maybe_projective_carve, sharded form).
+            grid = _sharded_dense_apply(grid, frame, my, d, cfg, intr,
+                                        plan, key_budget, region="carve")
 
         # Same per-frame job construction as single-device fast
         # (models/fast.py): octave-decimated band+carve batches by default,
@@ -155,26 +170,68 @@ def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
         grid = jax.tree.map(lambda x: x[0], grid_stack)
         frame = jax.tree.map(lambda x: x[0], frame_stack)
         my = jax.lax.axis_index(AXIS)
-
-        atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors,
-                                    plan)
-        ckeys, cdrop = bhash.unique_keys(
-            *proj_model.candidates_from_atlas(atlas, frame.T_G_C, cfg, intr,
-                                              plan), key_budget)
-        atlases = jax.lax.all_gather(atlas, AXIS)            # (D, 4, AH, AW)
-        poses = jax.lax.all_gather(frame.T_G_C, AXIS)        # (D, 4, 4)
-        ckeys_all = jax.lax.all_gather(ckeys, AXIS)          # (D, K)
-        grid = dataclasses.replace(grid, overflow=grid.overflow + cdrop)
-
-        trash = np.int32(0x7FFFFFFF)
-        for f in range(d):
-            at, T = atlases[f], poses[f]
-            grid, fcoords, fslots, freal = proj_model.insert_candidates(
-                grid, ckeys_all[f], ckeys_all[f] != trash, cfg,
-                shard=(my, d))
-            grid = proj_model.apply_frame(grid, at, T, fcoords, fslots,
-                                          freal, cfg, intr, plan)
+        grid = _sharded_dense_apply(grid, frame, my, d, cfg, intr, plan,
+                                    key_budget, region="all")
         return jax.tree.map(lambda x: x[None], grid)
 
     return jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
                          out_specs=P(AXIS), check_vma=False)(sgrid, frames)
+
+
+def _sharded_dense_apply(grid, frame, my, d, cfg, intr, plan, key_budget,
+                         region="all"):
+    """Own-frame atlas + gathered compact candidates + ownership-filtered
+    dense per-block apply (shared by the sharded projective step and the ray
+    steps' projective free-space carve, region="carve")."""
+    from ..grid import hash as bhash
+    from ..models import projective as proj_model
+    from ..ops import mip as mip_ops
+
+    atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors,
+                                plan)
+    ckeys, cdrop = bhash.unique_keys(
+        *proj_model.candidates_from_atlas(atlas, frame.T_G_C, cfg, intr,
+                                          plan), key_budget)
+    atlases = jax.lax.all_gather(atlas, AXIS)            # (D, 4, AH, AW)
+    poses = jax.lax.all_gather(frame.T_G_C, AXIS)        # (D, 4, 4)
+    ckeys_all = jax.lax.all_gather(ckeys, AXIS)          # (D, K)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + cdrop)
+
+    trash = np.int32(0x7FFFFFFF)
+    use_pallas = proj_model._use_pallas(cfg)
+    rows_f, rows_c, rows_s, rows_r = [], [], [], []
+    for f in range(d):
+        at, T = atlases[f], poses[f]
+        grid, fcoords, fslots, freal = proj_model.insert_candidates(
+            grid, ckeys_all[f], ckeys_all[f] != trash, cfg,
+            shard=(my, d))
+        if use_pallas:
+            # Per-frame fused kernel: its padding tiles are skipped at
+            # runtime, so the per-frame budget costs no real TPU work.
+            grid = proj_model.apply_frame(grid, at, T, fcoords, fslots,
+                                          freal, cfg, intr, plan,
+                                          region=region)
+        else:
+            rows_f.append(jnp.full(freal.shape, f, jnp.int32))
+            rows_c.append(fcoords)
+            rows_s.append(fslots)
+            rows_r.append(freal)
+    if not use_pallas:
+        # Combined row budget: the XLA scatter path pays for every
+        # padded row, so compact all D frames' owned rows into ONE
+        # budget (+sqrt slack) — per-device apply work stays ~constant
+        # in D instead of D x per-frame padding.
+        bb = cfg.pipeline.block_budget
+        M = bb + max(8, 4 * int(np.sqrt(bb)) // 8 * 8)
+        fidx = jnp.concatenate(rows_f)
+        coords = jnp.concatenate(rows_c)
+        slots = jnp.concatenate(rows_s)
+        real = jnp.concatenate(rows_r)
+        order = jnp.argsort(~real, stable=True)[:M]
+        n_real = jnp.sum(real.astype(jnp.int32))
+        grid = dataclasses.replace(
+            grid, overflow=grid.overflow + jnp.maximum(0, n_real - M))
+        grid = proj_model.apply_rows_multi(
+            grid, atlases, poses, fidx[order], coords[order],
+            slots[order], real[order], cfg, intr, plan, region=region)
+    return grid

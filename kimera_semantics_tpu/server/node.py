@@ -32,6 +32,11 @@ def _add_common(p):
     p.add_argument("--no-carving", dest="carving", action="store_false",
                    help="disable voxel carving (update only the truncation "
                         "band; launch:102 enables carving)")
+    p.add_argument("--carve-mode", default=None,
+                   choices=["decimated", "projective", "full"],
+                   help="free-space carving strategy for the ray-centric "
+                        "integrators (TsdfConfig.carve_mode; default keeps "
+                        "the config default)")
     p.add_argument("--const-weight", action="store_true",
                    help="constant ray weight instead of 1/z^2 "
                         "(use_const_weight, launch:104 GT runs)")
@@ -194,7 +199,9 @@ def _build(args):
                         max_weight=args.max_weight,
                         use_const_weight=args.const_weight,
                         voxel_carving_enabled=args.carving,
-                        enable_anti_grazing=args.enable_anti_grazing),
+                        enable_anti_grazing=args.enable_anti_grazing,
+                        **({"carve_mode": args.carve_mode}
+                           if args.carve_mode else {})),
         semantic=SemanticConfig(
             semantic_measurement_probability=args.measurement_probability,
             color_mode=ColorMode(args.color_mode),

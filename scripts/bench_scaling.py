@@ -65,28 +65,43 @@ def main():
     ap.add_argument("--method", default="projective",
                     choices=["projective", "fast"])
     ap.add_argument("--mesh-sizes", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--canonical", action="store_true",
+                    help="reference operating point: 0.05 m voxels, 640x480, "
+                        "thousands of blocks (BASELINE configs 4-5)")
+    ap.add_argument("--block-budget", type=int, default=None,
+                    help="per-shard row budget, sized to the scene's touched "
+                        "blocks per frame (MESH-INDEPENDENT: the combined "
+                        "row path makes per-shard apply work ~constant in D)")
     args = ap.parse_args()
 
-    BASE_BUDGET = 256
-
-    def make_cfg(d):
-        # Per-shard static budgets shrink with the mesh: hash ownership gives
-        # each shard ~1/d of the touched blocks (+ slack for imbalance).
-        # Without this the XLA fallback pays the full padded budget per frame
-        # and per-device FLOPs grow ~linearly in d (the Pallas kernels skip
-        # trash tiles at runtime, so real-TPU work scales even without it).
-        bb = max(64, BASE_BUDGET // d + 32) if d > 1 else BASE_BUDGET
-        return FusionConfig(
+    # ONE config for every mesh size: with the combined multi-frame row
+    # budget (parallel/sharding.py apply_rows_multi) a shard's apply rows
+    # are ~the per-frame touched count regardless of D, so budgets must not
+    # shrink with the mesh — a d-dependent budget would fake the scaling.
+    if args.canonical:
+        bb = args.block_budget or 512
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
+                            block_capacity=4096),
+            tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0),
+            pipeline=PipelineConfig(max_rays=32768, dedup_table_size=1 << 18,
+                                    block_budget=bb, alloc_stride=8,
+                                    use_pallas=False),
+        )
+        intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
+                                 width=640, height=480)
+    else:
+        bb = args.block_budget or 64
+        cfg = FusionConfig(
             grid=GridConfig(voxel_size=0.1, voxels_per_side=16,
                             block_capacity=1024),
             tsdf=TsdfConfig(truncation_distance=0.2, max_ray_length_m=5.0),
             pipeline=PipelineConfig(max_rays=8192, dedup_table_size=1 << 16,
                                     block_budget=bb, use_pallas=False),
         )
-
-    cfg = make_cfg(1)
-    intr = PinholeIntrinsics(fx=160.0, fy=160.0, cx=159.5, cy=119.5,
-                             width=320, height=240)
+        intr = PinholeIntrinsics(fx=160.0, fy=160.0, cx=159.5, cy=119.5,
+                                 width=320, height=240)
+    make_cfg = lambda d: cfg
     lmap = LabelColorMap.random(cfg.grid.num_labels)
     max_d = max(args.mesh_sizes)
     ds = SyntheticDataset(num_frames=max_d, intr=intr, label_map=lmap)

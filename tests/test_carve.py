@@ -133,3 +133,106 @@ class TestCubeLut:
             np.asarray(g_x.sem_delta)[:, np.asarray(sx)],
             np.asarray(g_p.sem_delta)[:, np.asarray(sp)],
             rtol=1e-5, atol=1e-5)
+
+
+class TestProjectiveCarve:
+    """carve_mode == "projective": dense free-space carve + ray-exact band
+    (models/fast.py _maybe_projective_carve)."""
+
+    def _mode_cfg(self, mode, **kw):
+        cfg = make_cfg(**kw)
+        return dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf, carve_mode=mode))
+
+    def test_mesh_error_close_to_decimated(self):
+        """Accuracy pinned at a production-like voxel/pixel ratio: the dense
+        carve samples each voxel's own nearest pixel, so voxels must not
+        span many pixels (at the canonical 0.05 m/640x480 operating point a
+        voxel covers ~1-3 px; the 0.2 m/80x60 toy config here would cover
+        dozens and is NOT the intended regime for this mode)."""
+        from kimera_semantics_tpu.ops import mesh as mesh_ops
+        from kimera_semantics_tpu.sim import eval as sim_eval
+        intr = PinholeIntrinsics(fx=80.0, fy=80.0, cx=79.5, cy=59.5,
+                                 width=160, height=120)
+        lm = LabelColorMap.random(21)
+        ds = SyntheticDataset(num_frames=3, intr=intr, label_map=lm)
+        frames = [ds.frame(i) for i in range(3)]
+        errs = {}
+        for mode in ("decimated", "projective"):
+            cfg = FusionConfig(
+                grid=GridConfig(voxel_size=0.1, voxels_per_side=8,
+                                block_capacity=1024),
+                tsdf=TsdfConfig(truncation_distance=0.2, max_ray_length_m=4.0,
+                                carve_mode=mode),
+                pipeline=PipelineConfig(max_rays=8192,
+                                        dedup_table_size=1 << 15,
+                                        segment_budget=1 << 17,
+                                        carve_budget=8192, carve_steps=16))
+            grid = blocks.create(cfg)
+            for f in frames:
+                grid = fast.integrate_frame(grid, f, cfg, intr)
+            m = mesh_ops.extract_mesh(grid, cfg, label_map=lm)
+            errs[mode] = sim_eval.mesh_surface_error(m.vertices, ds.world)
+        assert (errs["projective"]["mean"]
+                <= errs["decimated"]["mean"] * 1.3 + 0.005), errs
+
+    def test_free_space_carved_positive(self, dataset):
+        """Observed voxels strictly before the band must hold tsdf ~ +trunc
+        (free space), matching the full-traversal reference carving."""
+        _, frames, _ = dataset
+        cfg = self._mode_cfg("projective")
+        g = run_frames(cfg, frames)
+        cfg_full = self._mode_cfg("full")
+        g_full = run_frames(cfg_full, frames)
+        trunc = cfg.tsdf.truncation_distance
+        for grid in (g, g_full):
+            d = np.asarray(blocks.tsdf_distance(grid, trunc))
+            w = np.asarray(grid.wsum)
+            # Most observed voxels are free space at +trunc in both modes.
+            frac_pos = (d[w > 1e-6] > 0.5 * trunc).mean()
+            assert frac_pos > 0.5
+        # Coverage: projective carve observes a comparable share of the
+        # voxels the full traversal observes.
+        obs_p = float((np.asarray(g.wsum) > 1e-6).sum())
+        obs_f = float((np.asarray(g_full.wsum) > 1e-6).sum())
+        assert obs_p > 0.6 * obs_f
+
+    def test_band_matches_decimated_band(self, dataset):
+        """Near-surface voxels (the ray-exact band) agree between projective
+        and decimated modes — the band pipeline is shared."""
+        _, frames, _ = dataset
+        cfg_p = self._mode_cfg("projective")
+        cfg_d = self._mode_cfg("decimated")
+        gp = run_frames(cfg_p, frames)
+        gd = run_frames(cfg_d, frames)
+        trunc = cfg_p.tsdf.truncation_distance
+        # Compare on voxels both observe with near-surface values.
+        from kimera_semantics_tpu.grid import hash as bhash
+        # match blocks by coordinates
+        nb_p, nb_d = int(gp.n_blocks), int(gd.n_blocks)
+        cp = {tuple(c): i for i, c in
+              enumerate(np.asarray(gp.block_coords[:nb_p]))}
+        dp = np.asarray(blocks.tsdf_distance(gp, trunc))
+        dd = np.asarray(blocks.tsdf_distance(gd, trunc))
+        wp, wd = np.asarray(gp.wsum), np.asarray(gd.wsum)
+        diffs = []
+        for j, c in enumerate(np.asarray(gd.block_coords[:nb_d])):
+            i = cp.get(tuple(c))
+            if i is None:
+                continue
+            m = ((wp[i] > 1e-6) & (wd[j] > 1e-6)
+                 & (np.abs(dd[j]) < 0.9 * trunc))
+            if m.any():
+                diffs.append(np.abs(dp[i][m] - dd[j][m]))
+        diffs = np.concatenate(diffs)
+        # Identical band jobs; differences only from free-space weight mass
+        # mixing at the band edge. Median near zero, bulk within a voxel.
+        assert np.median(diffs) < 0.02
+        assert (diffs < cfg_p.grid.voxel_size).mean() > 0.9
+
+    def test_merged_projective_runs(self, dataset):
+        _, frames, _ = dataset
+        cfg = self._mode_cfg("projective")
+        g = run_frames(cfg, frames, model=merged)
+        assert int(g.n_blocks) > 0
+        assert float(jnp.sum(g.wsum)) > 0
