@@ -77,7 +77,9 @@ def main():
                             block_capacity=4096 if vps <= 16 else 768),
             tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                             voxel_carving_enabled=True,
-                            use_const_weight=False),
+                            use_const_weight=False,
+                            carve_mode=os.environ.get("BENCH_CARVE_MODE",
+                                                      "decimated")),
             semantic=SemanticConfig(semantic_measurement_probability=0.8),
             pipeline=PipelineConfig(
                 max_rays=int(os.environ.get("BENCH_RAYS", "32768")),

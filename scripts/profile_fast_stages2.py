@@ -52,17 +52,20 @@ def timeit(name, fn, *args, reps=10):
 
 
 def main():
+    carve_mode = os.environ.get("KSD_CARVE_MODE", "decimated")
     cfg = FusionConfig(
         grid=GridConfig(voxel_size=0.05, voxels_per_side=16,
                         block_capacity=4096),
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
-                        voxel_carving_enabled=True, use_const_weight=False),
+                        voxel_carving_enabled=True, use_const_weight=False,
+                        carve_mode=carve_mode),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
         pipeline=PipelineConfig(max_rays=32768, dedup_table_size=1 << 20,
                                 scatter_mode="segment",
                                 segment_budget=1 << 18,
                                 alloc_stride=8, block_budget=512),
     )
+    print(f"carve_mode={carve_mode}", flush=True)
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,
                              width=640, height=480)
     lmap = LabelColorMap.random(21)
@@ -72,7 +75,7 @@ def main():
     print(f"backend={jax.devices()[0].platform}", flush=True)
 
     import faulthandler
-    faulthandler.dump_traceback_later(240, exit=True)
+    faulthandler.dump_traceback_later(1200, exit=True)
     grid = blocks.create(cfg)
     # Warm the scene so stages run at steady state.
     for i, f in enumerate(frames[:4]):
@@ -90,6 +93,10 @@ def main():
     for fr in frames[:4]:
         grid = fast.integrate_frame(grid, fr, cfg, intr)
     jax.block_until_ready(grid.wsum)
+
+    if carve_mode == "projective":
+        pc = jax.jit(lambda g: fast._maybe_projective_carve(g, f, cfg, intr))
+        grid = timeit("projective carve (atlas+alloc+dense apply)", pc, grid)
 
     prep = jax.jit(lambda g: fast._frame_batches(g, f, cfg, intr))
     g2, batches, origin = timeit("prepare: _frame_batches", prep, grid)

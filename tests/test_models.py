@@ -165,6 +165,40 @@ class TestBatchedFrames:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+    def test_merged_matches_sequential(self):
+        from kimera_semantics_tpu.models import merged
+        from kimera_semantics_tpu.models.common import Frame
+        cfg = small_cfg()
+        B = 3
+        ds = SyntheticDataset(num_frames=B, intr=INTR,
+                              label_map=LabelColorMap.random())
+        frames = [ds.frame(i) for i in range(B)]
+
+        g_seq = blocks.create(cfg)
+        for f in frames:
+            g_seq = merged.integrate_frame(g_seq, f, cfg, INTR)
+
+        stacked = Frame(
+            depth=jnp.stack([f.depth for f in frames]),
+            labels=jnp.stack([f.labels for f in frames]),
+            colors=jnp.stack([f.colors for f in frames]),
+            T_G_C=jnp.stack([f.T_G_C for f in frames]))
+        g_bat = merged.integrate_frames(blocks.create(cfg), stacked, cfg,
+                                        INTR)
+
+        assert int(g_bat.n_blocks) == int(g_seq.n_blocks)
+        coords = np.asarray(g_seq.block_coords)[:int(g_seq.n_blocks)]
+        s_seq = blocks.lookup_slots(g_seq, jnp.asarray(coords), cfg.grid)
+        s_bat = blocks.lookup_slots(g_bat, jnp.asarray(coords), cfg.grid)
+        for ch in ("wsum", "wsdf", "sem_count"):
+            a = np.asarray(getattr(g_seq, ch))[np.asarray(s_seq)]
+            b = np.asarray(getattr(g_bat, ch))[np.asarray(s_bat)]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=ch)
+        a = np.asarray(g_seq.sem_delta)[:, np.asarray(s_seq)]
+        b = np.asarray(g_bat.sem_delta)[:, np.asarray(s_bat)]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 class TestNearSurfaceSemanticGate:
     """SemanticConfig.update_near_surface_only (opt-in, beyond-reference):
     semantic votes restricted to the truncation band. TSDF/weights must be
