@@ -117,8 +117,24 @@ def main():
     # (models/projective.py); "fast"/"merged" are the reference-parity
     # ray-centric integrators, selectable for comparison.
     method = os.environ.get("BENCH_METHOD", "projective")
-    batch = 1 if method == "merged" else bench_batch
-    if method == "merged":
+    batch = bench_batch
+    if method == "merged" and batch > 1:
+        # Batched merged path (models/merged.py integrate_frames) — needs a
+        # banded carve mode and no anti-grazing (both true at bench config).
+        from kimera_semantics_tpu.models import merged as merged_mod
+        from kimera_semantics_tpu.models.common import Frame as _F
+        assert n_frames % batch == 0
+
+        def stackm(fs):
+            return _F(depth=jnp.stack([f.depth for f in fs]),
+                      labels=jnp.stack([f.labels for f in fs]),
+                      colors=jnp.stack([f.colors for f in fs]),
+                      T_G_C=jnp.stack([f.T_G_C for f in fs]))
+        step = lambda g, fs: merged_mod.integrate_frames(g, stackm(fs), cfg,
+                                                         intr)
+        groups = [frames[i:i + batch] for i in range(4, 4 + n_frames, batch)]
+        warm = [frames[0:batch]]
+    elif method == "merged":
         from kimera_semantics_tpu.models import merged as merged_mod
         step = lambda g, f: merged_mod.integrate_frame(g, f, cfg, intr)
         groups = list(frames[4:4 + n_frames])

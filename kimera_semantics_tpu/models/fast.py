@@ -161,10 +161,12 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     """
     B = frames.depth.shape[0]
     per_kind = None
+    origins = []
     for b in range(B):
         f = jax.tree.map(lambda x: x[b], frames)
         grid = _maybe_projective_carve(grid, f, cfg, intr)
-        grid, batches, _ = _frame_batches(grid, f, cfg, intr)
+        grid, batches, origin = _frame_batches(grid, f, cfg, intr)
+        origins.append(origin)
         if per_kind is None:
             per_kind = [[(jobs, S)] for jobs, S in batches]
         else:
@@ -177,4 +179,8 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
                             *[j for j, _ in entries])
         return jobs, S
 
-    return integrate_jobs(grid, cfg, [cat(entries) for entries in per_kind])
+    # Per-frame cube LUTs: each frame's chunk of the concatenated ray axis
+    # resolves against its own camera cube (ops/pallas_kernels.py
+    # slot_resolve_stream batched form).
+    return integrate_jobs(grid, cfg, [cat(entries) for entries in per_kind],
+                          cube_origin=jnp.stack(origins))

@@ -263,9 +263,12 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     R = cfg.pipeline.max_rays
     per_kind = None
     sems = []
+    origins = []
     for b in range(B):
         f = jax.tree.map(lambda x, _b=b: x[_b], frames)
-        grid, batches, sem_pts, _, _, _ = _frame_parts(grid, f, cfg, intr)
+        grid, batches, sem_pts, origin, _, _ = _frame_parts(grid, f, cfg,
+                                                            intr)
+        origins.append(origin)
         if per_kind is None:
             per_kind = [[bt] for bt in batches]
         else:
@@ -281,5 +284,8 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
         return jobs, S
 
     sem_cat = tuple(jnp.concatenate([s[i] for s in sems]) for i in range(4))
+    # Per-frame cube LUTs for the concatenated band stream (see
+    # models/fast.py integrate_frames).
     return integrate_jobs(grid, cfg, [cat(e) for e in per_kind],
-                          sem_points=sem_cat)
+                          sem_points=sem_cat,
+                          cube_origin=jnp.stack(origins))

@@ -181,6 +181,15 @@ def integrate_jobs(
             and ag_dest_voxels is None and _use_pallas(cfg)):
         from . import pallas_kernels
         use_cube = pallas_kernels.cube_lut_supported(cfg)
+        # Batched streams (cube_origin (B, 3)): every stream's ray axis must
+        # split into B equal per-frame chunks of whole ray tiles.
+        n_cube_frames = cube_origin.shape[0] if cube_origin.ndim == 2 else 1
+        if n_cube_frames > 1:
+            for st in streams:
+                R_s = st.local.shape[1]
+                if (R_s % n_cube_frames
+                        or (R_s // n_cube_frames) % pallas_kernels.TILE):
+                    use_cube = False
 
     if num_shards > 1 and shard_id is not None:
         salt = jnp.int32(0x2545F491)
@@ -310,14 +319,21 @@ def frame_cube(grid: VoxelGrid, cfg: FusionConfig, origin: jnp.ndarray,
     ~side^3 (< 8k) hash probes once per frame replace per-entry lookups over
     the whole run stream (see slot_resolve_stream). Cells that are missing,
     out of world bounds, or owned by another shard hold -1.
+
+    `origin` may be (3,) for one frame or (B, 3) for a batched stream (one
+    cube per frame); returns (vals (B, pad) f32, cam_block (B, 3) int32).
     """
     from . import pallas_kernels
     g = cfg.grid
     E, side, pad = pallas_kernels.cube_geometry(cfg)
-    ob = jnp.floor(origin / g.block_size).astype(jnp.int32)      # (3,)
+    if origin.ndim == 1:
+        origin = origin[None, :]
+    B = origin.shape[0]
+    ob = jnp.floor(origin / g.block_size).astype(jnp.int32)      # (B, 3)
     r = jnp.arange(side, dtype=jnp.int32) - E
     ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
-    coords = jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3) + ob[None, :]
+    rel = jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3)        # (side^3, 3)
+    coords = rel[None, :, :] + ob[:, None, :]                    # (B, s^3, 3)
     inb = bhash.in_bounds(coords, g.world_extent_blocks)
     keys = bhash.pack_block_coords(
         jnp.clip(coords, -g.world_extent_blocks, g.world_extent_blocks - 1),
@@ -330,8 +346,9 @@ def frame_cube(grid: VoxelGrid, cfg: FusionConfig, origin: jnp.ndarray,
         owner = bhash.mix(keys ^ jnp.int32(0x2545F491)) % num_shards
         good = good & (owner == shard_id)
     vals = jnp.where(good, slots.astype(jnp.float32), -1.0)
-    vals = jnp.pad(vals, (0, pad - side ** 3), constant_values=-1.0)
-    return vals[None, :], ob
+    vals = jnp.pad(vals, ((0, 0), (0, pad - side ** 3)),
+                   constant_values=-1.0)
+    return vals, ob
 
 
 def integrate_ray_batch(

@@ -274,9 +274,14 @@ def _slot_kernel(params_s, cube_ref, runk_ref, runidx_ref, local_ref,
                  k2_ref, key_ref, w_out, wsdf_out, cnt_out, vout, runslot_ref,
                  slot_scr,
                  *, MAXR, side, E, ext, v3, cap, lab_shift, trunc,
-                 gate_near, pad, trash):
+                 gate_near, pad, trash, tiles_per_frame):
     f32 = jnp.float32
-    cbx, cby, cbz = params_s[0], params_s[1], params_s[2]
+    # Batched streams concatenate B frames along the ray axis in equal
+    # chunks, so each ray tile belongs to exactly one frame — its cube was
+    # selected by the BlockSpec index map; the camera block comes from the
+    # frame's row of the scalar-prefetch params.
+    fb = (pl.program_id(0) // tiles_per_frame) * 8
+    cbx, cby, cbz = params_s[fb + 0], params_s[fb + 1], params_s[fb + 2]
     rk = runk_ref[:]                                   # (MAXR, T)
     bx = ((rk >> 20) & 0x3FF) - ext - cbx + E
     by = ((rk >> 10) & 0x3FF) - ext - cby + E
@@ -327,9 +332,11 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
     emit segment-reduce inputs.
 
     Args:
-      cube_vals: (1, pad) f32 — slot per cube cell (-1 missing/unowned),
-        from ops/integrate.py frame_cube.
-      cam_block: (3,) int32 camera block coords.
+      cube_vals: (B, pad) f32 — slot per cube cell (-1 missing/unowned),
+        from ops/integrate.py frame_cube; B > 1 for batched streams whose
+        ray axis concatenates B frames in equal chunks (each chunk a
+        multiple of the ray tile — integrate_jobs checks).
+      cam_block: (B, 3) or (3,) int32 camera block coords per frame.
       run_key/run_idx: (MAXR, R)/(S, R) from dda_job_stream.
       local/w/wsdf/wc: (S, R) stream planes; step_valid (S, R) bool.
       labels: (R,) int32; informative: (R,) bool.
@@ -344,9 +351,16 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
     E, side, pad = cube_geometry(cfg)
     S, R = local.shape
     MAXR = run_key.shape[0]
-    tile = TILE if R % TILE == 0 else R
-    params = jnp.concatenate([cam_block.astype(jnp.int32),
-                              jnp.zeros((5,), jnp.int32)])
+    if cam_block.ndim == 1:
+        cam_block = cam_block[None, :]
+    B = cube_vals.shape[0]
+    assert R % B == 0, (R, B)
+    per_frame = R // B
+    tile = TILE if per_frame % TILE == 0 else per_frame
+    tiles_per_frame = per_frame // tile
+    params = jnp.concatenate(
+        [cam_block.astype(jnp.int32),
+         jnp.zeros((B, 5), jnp.int32)], axis=1).reshape(-1)
     labs2 = jnp.stack([labels.astype(jnp.int32),
                        informative.astype(jnp.int32)])
 
@@ -354,13 +368,14 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
         _slot_kernel, MAXR=MAXR, side=side, E=E, ext=g.world_extent_blocks,
         v3=g.vps3, cap=g.block_capacity, lab_shift=lab_shift,
         trunc=t.truncation_distance, gate_near=gate_near, pad=pad,
-        trash=np.int32(0x7FFFFFFF))
+        trash=np.int32(0x7FFFFFFF), tiles_per_frame=tiles_per_frame)
 
     bs = lambda s: pl.BlockSpec((s, tile), lambda i, m: (0, i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),      # cube
+        in_specs=[pl.BlockSpec((1, pad),
+                               lambda i, m: (i // tiles_per_frame, 0)),  # cube
                   bs(MAXR), bs(S), bs(S),                     # runk/idx/local
                   bs(S), bs(S), bs(S), bs(S),                 # w/wsdf/wc/valid
                   bs(2)],                                     # labels/inform

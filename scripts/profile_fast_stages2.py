@@ -36,14 +36,17 @@ from kimera_semantics_tpu.models import fast
 from kimera_semantics_tpu.ops import integrate as int_ops
 
 
-def timeit(name, fn, *args, reps=10):
+def timeit(name, fn, *args, reps=10, thread=False):
+    # thread=True: fn donates its first arg (grid in / grid out) — feed the
+    # previous output back in so no donated buffer is ever reused.
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
+    rest = args[1:]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
+        out = fn(out, *rest) if thread else fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:<46} {dt*1000:9.2f} ms   (compile {compile_s:6.1f} s)",
@@ -85,7 +88,8 @@ def main():
     f = frames[5]
 
     timeit("fast.integrate_frame (end to end)",
-           lambda g: fast.integrate_frame(g, f, cfg, intr), grid)
+           lambda g: fast.integrate_frame(g, f, cfg, intr), grid,
+           thread=True)
     # integrate_frame donates; keep a fresh copy for the stage runs
     for fr in frames[:4]:
         pass
@@ -104,9 +108,11 @@ def main():
         print(f"   batch R={jobs.valid.shape[0]} S={S} "
               f"valid={int(jnp.sum(jobs.valid))}", flush=True)
 
-    expand = jax.jit(lambda bs: [int_ops.expand_jobs(cfg, j, S)
-                                 for j, S in bs])
-    streams = timeit("expand_jobs (both batches)", expand, batches)
+    Ss = [int(S) for _, S in batches]
+    jobs_only = [j for j, _ in batches]
+    expand = jax.jit(lambda js: [int_ops.expand_jobs(cfg, j, S)
+                                 for j, S in zip(js, Ss)])
+    streams = timeit("expand_jobs (both batches)", expand, jobs_only)
     for st in streams:
         print(f"   stream {st.keys.shape} active="
               f"{int(jnp.sum(st.step_valid))} runs="
@@ -143,10 +149,10 @@ def main():
            grid.n_blocks, uk)
 
     # full tail: integrate_jobs (insert + cube resolve + reduce + scatter)
-    tail = jax.jit(lambda gg, bs, o: int_ops.integrate_jobs(
-        gg, cfg, bs, cube_origin=o))
+    tail = jax.jit(lambda gg, js, o: int_ops.integrate_jobs(
+        gg, cfg, list(zip(js, Ss)), cube_origin=o))
     timeit("integrate_jobs (alloc+resolve+reduce+scatter)", tail, g2,
-           batches, origin)
+           jobs_only, origin)
 
 
 if __name__ == "__main__":

@@ -135,6 +135,46 @@ class TestCubeLut:
             rtol=1e-5, atol=1e-5)
 
 
+class TestCubeLutBatched:
+    """Batched streams resolve per-frame cubes (slot_resolve_stream's
+    (B, pad) form — each frame's chunk of the concatenated ray axis against
+    its own camera cube)."""
+
+    def _stack(self, frames):
+        from kimera_semantics_tpu.models.common import Frame
+        return Frame(depth=jnp.stack([f.depth for f in frames]),
+                     labels=jnp.stack([f.labels for f in frames]),
+                     colors=jnp.stack([f.colors for f in frames]),
+                     T_G_C=jnp.stack([f.T_G_C for f in frames]))
+
+    @pytest.mark.parametrize("model", [fast, merged])
+    def test_batched_cube_matches_sequential(self, dataset, model):
+        _, frames, _ = dataset
+        cfg = make_cfg(max_rays=1024)  # per-frame chunk = 2 ray tiles
+        g_seq = run_frames(cfg, frames, model=model)   # XLA hash path
+        integ.FORCE_PALLAS_INTERPRET = True
+        try:
+            model.integrate_frames.clear_cache()
+            g_bat = model.integrate_frames(blocks.create(cfg),
+                                           self._stack(frames), cfg, INTR)
+        finally:
+            integ.FORCE_PALLAS_INTERPRET = False
+            model.integrate_frames.clear_cache()
+        assert int(g_bat.n_blocks) == int(g_seq.n_blocks)
+        coords = np.asarray(g_seq.block_coords)[:int(g_seq.n_blocks)]
+        ss = blocks.lookup_slots(g_seq, jnp.asarray(coords), cfg.grid)
+        sb = blocks.lookup_slots(g_bat, jnp.asarray(coords), cfg.grid)
+        for ch in ("wsum", "wsdf", "sem_count"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_seq, ch))[np.asarray(ss)],
+                np.asarray(getattr(g_bat, ch))[np.asarray(sb)],
+                rtol=1e-4, atol=1e-4, err_msg=ch)
+        np.testing.assert_allclose(
+            np.asarray(g_seq.sem_delta)[:, np.asarray(ss)],
+            np.asarray(g_bat.sem_delta)[:, np.asarray(sb)],
+            rtol=1e-4, atol=1e-4)
+
+
 class TestProjectiveCarve:
     """carve_mode == "projective": dense free-space carve + ray-exact band
     (models/fast.py _maybe_projective_carve)."""
