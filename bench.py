@@ -72,8 +72,18 @@ def main():
         intr = PinholeIntrinsics(fx=32.0, fy=32.0, cx=31.5, cy=23.5,
                                  width=64, height=48)
     else:
+        # Block sides >16 (the reference's literal vps=32 layer config) run
+        # on 16^3 storage tiles — identical voxel state, .vxblx regroups to
+        # true blocks (GridConfig.io_voxels_per_side). BENCH_STORAGE_VPS
+        # forces literal storage for comparison.
+        storage_vps = int(os.environ.get(
+            "BENCH_STORAGE_VPS",
+            "16" if (vps > 16 and vps % 16 == 0) else str(vps)))
+        io_vps = vps if storage_vps != vps else 0
+        vps = storage_vps
         cfg = FusionConfig(
             grid=GridConfig(voxel_size=0.05, voxels_per_side=vps,
+                            io_voxels_per_side=io_vps,
                             block_capacity=4096 if vps <= 16 else 768),
             tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                             voxel_carving_enabled=True,
@@ -286,6 +296,61 @@ def main():
                         ts["apply"] += t4 - t3
             stage_ms = {k: round(1000.0 * v / len(k_frames), 3)
                         for k, v in ts.items()}
+    elif (cfg.tsdf.carve_mode in ("decimated", "projective")
+          and cfg.tsdf.voxel_carving_enabled):
+        # Banded ray methods: count on the method's own code path — valid
+        # (job, step) entries of the band (+ decimated carve) streams, plus
+        # touched-rows x vps^3 dense carve updates under projective carve
+        # (the RMW unit of work, same as the projective method's counter).
+        from kimera_semantics_tpu.models import fast as fast_mod
+        from kimera_semantics_tpu.models import merged as merged_mod
+        from kimera_semantics_tpu.models import projective as proj_mod
+        from kimera_semantics_tpu.ops import integrate as int_ops
+        from kimera_semantics_tpu.ops import mip as mip_ops
+        proj_carve = cfg.tsdf.carve_mode == "projective"
+        plan_b = mip_ops.make_plan(intr.height, intr.width,
+                                   cfg.pipeline.patch_rows,
+                                   cfg.pipeline.patch_cols)
+
+        @jax.jit
+        def count_banded(g2, frame):
+            rows = jnp.int32(0)
+            if proj_carve:
+                atlas = mip_ops.build_atlas(frame.depth, frame.labels,
+                                            frame.colors, plan_b)
+                g2, _, _, fr = proj_mod.allocate_from_atlas(
+                    g2, atlas, frame.T_G_C, cfg, intr, plan_b)
+                rows = jnp.sum(fr).astype(jnp.int32)
+            if method == "merged":
+                g2, batches, sem_pts, origin, _, _ = merged_mod._frame_parts(
+                    g2, frame, cfg, intr)
+                n = jnp.int32(0)
+                for jobs, S in batches:
+                    st = int_ops.expand_jobs(cfg, jobs, S)
+                    n = n + jnp.sum(st.step_valid).astype(jnp.int32)
+                g2 = int_ops.integrate_jobs(g2, cfg, batches,
+                                            sem_points=sem_pts,
+                                            cube_origin=origin)
+            else:
+                if proj_carve:
+                    g2 = fast_mod._maybe_projective_carve(g2, frame, cfg,
+                                                          intr)
+                g2, batches, origin = fast_mod._frame_batches(g2, frame,
+                                                              cfg, intr)
+                n = jnp.int32(0)
+                for jobs, S in batches:
+                    st = int_ops.expand_jobs(cfg, jobs, S)
+                    n = n + jnp.sum(st.step_valid).astype(jnp.int32)
+                g2 = int_ops.integrate_jobs(g2, cfg, batches,
+                                            cube_origin=origin)
+            return g2, n + rows * cfg.grid.vps3
+
+        g2 = blocks.create(cfg)
+        counts = []
+        for f in frames[4:4 + n_frames]:
+            g2, c = count_banded(g2, f)
+            counts.append(c)
+        upd = int(sum(int(x) for x in jax.device_get(counts)))
     else:
         # accumulate on device; one host fetch (each int() pays tunnel RTT)
         upd = int(sum(count_updates(f) for f in frames[4:4 + n_frames]))

@@ -66,12 +66,25 @@ class GridConfig:
     """
 
     voxel_size: float = 0.05            # launch/kimera_semantics.launch:99
-    voxels_per_side: int = 16           # reference uses 32 (launch:100); 16 packs
-                                        # tighter on TPU; both supported.
+    voxels_per_side: int = 16           # STORAGE block side. The reference
+                                        # uses 32 (launch:100); 16 packs TPU
+                                        # tile groups better and samples near
+                                        # blocks at a finer mip. Both run;
+                                        # see io_voxels_per_side.
     block_capacity: int = 2048          # max allocated blocks (excl. trash slot)
     num_labels: int = 21                # runtime-configurable (ref: compile-time)
     world_extent_blocks: int = 512      # block coords in [-512, 512) per axis for
                                         # int32 key packing (10 bits + offset)
+    io_voxels_per_side: int = 0         # externally-visible block side for
+                                        # .vxblx interop (0 = same as storage).
+                                        # The voxel-level state is identical
+                                        # for any storage tiling (updates are
+                                        # per voxel; finer blocks are a strict
+                                        # sparsity refinement), so a user
+                                        # vps=32 config runs on 16^3 storage
+                                        # tiles and io/vxblx.py regroups 2x2x2
+                                        # sibling tiles into true 32^3 blocks
+                                        # at the serialization boundary.
 
     def __post_init__(self):
         # Flat voxel keys are int32: (capacity+1) * vps^3 must fit.
@@ -82,6 +95,17 @@ class GridConfig:
         if self.block_capacity % 8:
             raise ValueError("block_capacity must be a multiple of 8 "
                              "(TPU sublane tile; grid/blocks.py row padding)")
+        if self.io_voxels_per_side:
+            if (self.io_voxels_per_side < self.voxels_per_side
+                    or self.io_voxels_per_side % self.voxels_per_side):
+                raise ValueError(
+                    f"io_voxels_per_side={self.io_voxels_per_side} must be a "
+                    f"multiple of voxels_per_side={self.voxels_per_side}")
+
+    @property
+    def io_vps(self) -> int:
+        """Externally-visible (serialization) block side."""
+        return self.io_voxels_per_side or self.voxels_per_side
 
     @property
     def padded_rows(self) -> int:

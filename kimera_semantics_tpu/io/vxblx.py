@@ -282,6 +282,67 @@ def _voxel_perm(vps: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Storage-tile <-> IO-block regrouping (GridConfig.io_voxels_per_side).
+#
+# The grid's storage tiling is an internal layout choice (16^3 tiles pack the
+# TPU's (8, 128) tile groups and sample finer mips); the serialized block
+# side is the *user's* layer config. Voxel state is identical under any
+# storage tiling — updates are per voxel, and allocating finer blocks is a
+# strict sparsity refinement — so a vps=32 layer maps to 2x2x2 sibling 16^3
+# tiles. At this boundary the r^3 siblings regroup into one io_vps^3 block
+# (absent siblings fill with default/unobserved voxels, exactly what the
+# reference stores for never-touched voxels of an allocated block).
+# All payloads here are x-fastest voxblox linear order.
+# ---------------------------------------------------------------------------
+
+
+def _fine_to_parent_positions(vps: int, io_vps: int,
+                              oc: np.ndarray) -> np.ndarray:
+    """Per fine block with octant offsets oc (n, 3) in [0, r): the parent
+    x-fastest linear position of each of its vps^3 voxels -> (n, vps^3)."""
+    i = np.arange(vps ** 3)
+    x, y, z = i % vps, (i // vps) % vps, i // (vps * vps)
+    return ((oc[:, 0:1] * vps + x[None])
+            + io_vps * ((oc[:, 1:2] * vps + y[None])
+                        + io_vps * (oc[:, 2:3] * vps + z[None])))
+
+
+def _regroup_blocks(block_idx: np.ndarray, words: np.ndarray, vps: int,
+                    io_vps: int, default_words: np.ndarray):
+    """(nb, 3) fine coords + (nb, vps^3, W) payloads -> unique coarse coords
+    (np, 3) + (np, io_vps^3, W) payloads, default-filled where no sibling."""
+    r = io_vps // vps
+    parent = np.floor_divide(block_idx, r)
+    oc = block_idx - parent * r
+    if len(block_idx) == 0:
+        return parent, np.zeros((0, io_vps ** 3, words.shape[-1]),
+                                words.dtype)
+    uniq, inv = np.unique(parent, axis=0, return_inverse=True)
+    tgt = _fine_to_parent_positions(vps, io_vps, oc)
+    out = np.broadcast_to(default_words,
+                          (len(uniq), io_vps ** 3, words.shape[-1])).copy()
+    out[inv[:, None], tgt] = words
+    return uniq, out
+
+
+def _split_blocks(parent_idx: np.ndarray, words: np.ndarray, vps: int,
+                  io_vps: int):
+    """Inverse of _regroup_blocks: (n, 3) coarse coords + (n, io_vps^3, W)
+    -> all r^3 children as ((n*r^3, 3) fine coords, (n*r^3, vps^3, W));
+    callers filter empty children (sparsity refinement)."""
+    r = io_vps // vps
+    n = len(parent_idx)
+    ocs = np.stack(np.meshgrid(np.arange(r), np.arange(r), np.arange(r),
+                               indexing="ij"), axis=-1).reshape(-1, 3)
+    tgt = _fine_to_parent_positions(vps, io_vps, ocs)       # (r^3, vps^3)
+    child_words = words[:, tgt, :].reshape(n * r ** 3, vps ** 3,
+                                           words.shape[-1])
+    child_idx = (parent_idx[:, None, :] * r
+                 + ocs[None, :, :]).reshape(n * r ** 3, 3)
+    return child_idx, child_words
+
+
+# ---------------------------------------------------------------------------
 # Grid <-> TSDF section
 # ---------------------------------------------------------------------------
 
@@ -299,10 +360,19 @@ def grid_to_tsdf_section(grid: VoxelGrid, cfg: FusionConfig) -> LayerSection:
     alpha = np.where(wt > 0, 255, 0).astype(np.uint32)
     w2 = ((col[0].astype(np.uint32) << 24) | (col[1].astype(np.uint32) << 16)
           | (col[2].astype(np.uint32) << 8) | alpha)
-    words = np.stack([w0, w1, w2], axis=-1).reshape(nb, -1)
-    origins = (np.asarray(grid.block_coords[:nb], np.float64)
-               * g.block_size)
-    return LayerSection(LAYER_TYPE_TSDF, g.voxel_size, g.voxels_per_side,
+    words = np.stack([w0, w1, w2], axis=-1)                  # (nb, vps3, 3)
+    block_idx = np.asarray(grid.block_coords[:nb], np.int64)
+    io_vps = g.io_vps
+    if io_vps != g.voxels_per_side:
+        # Regroup storage tiles into the user-config block side (default
+        # voxel: dist 0 / weight 0 / color 0 — the reference's untouched
+        # voxels of an allocated block).
+        block_idx, words = _regroup_blocks(
+            block_idx, words, g.voxels_per_side, io_vps,
+            np.zeros((3,), np.uint32))
+    words = words.reshape(len(block_idx), -1)
+    origins = block_idx.astype(np.float64) * (g.voxel_size * io_vps)
+    return LayerSection(LAYER_TYPE_TSDF, g.voxel_size, io_vps,
                         origins, words)
 
 
@@ -311,15 +381,28 @@ def tsdf_section_to_grid(sec: LayerSection, cfg: FusionConfig) -> VoxelGrid:
     semantic_simulation_server.cpp:57-89): the file's blocks replace the
     in-memory layer wholesale (we rebuild from empty)."""
     g = cfg.grid
-    if sec.voxels_per_side != g.voxels_per_side:
+    if sec.voxels_per_side != g.io_vps:
         raise ValueError(
-            f"vxblx vps {sec.voxels_per_side} != config {g.voxels_per_side}")
+            f"vxblx vps {sec.voxels_per_side} != config {g.io_vps}")
     if abs(sec.voxel_size - g.voxel_size) > 1e-9:
         raise ValueError(
             f"vxblx voxel_size {sec.voxel_size} != config {g.voxel_size}")
     n = len(sec.block_origins)
+    io_vps = g.io_vps
+    words = sec.voxel_data.reshape(n, io_vps ** 3, TSDF_WORDS_PER_VOXEL)
+    block_idx = np.floor(sec.block_origins / (g.voxel_size * io_vps)
+                         + 0.5).astype(np.int64)
+    if io_vps != g.voxels_per_side:
+        # Split user-side blocks into storage tiles; keep observed ones only
+        # (weight > 0 somewhere) — the sparsity refinement.
+        block_idx, words = _split_blocks(block_idx, words,
+                                         g.voxels_per_side, io_vps)
+        keep = (np.ascontiguousarray(words[..., 1]).view(np.float32)
+                > 0).any(axis=1)
+        block_idx, words = block_idx[keep], words[keep]
+        n = len(block_idx)
+    block_idx = block_idx.astype(np.int32)
     perm = _voxel_perm(g.voxels_per_side)
-    words = sec.voxel_data.reshape(n, g.vps3, TSDF_WORDS_PER_VOXEL)
     dist = words[:, perm, 0].view(np.float32) if n else np.zeros((0, g.vps3),
                                                                  np.float32)
     wt = words[:, perm, 1].view(np.float32) if n else dist
@@ -327,8 +410,6 @@ def tsdf_section_to_grid(sec: LayerSection, cfg: FusionConfig) -> VoxelGrid:
     rgb = np.stack([(packed >> 24) & 0xFF, (packed >> 16) & 0xFF,
                     (packed >> 8) & 0xFF]).astype(np.float32)
 
-    block_idx = np.floor(sec.block_origins / g.block_size + 0.5).astype(
-        np.int32)
     grid = gblocks.create(cfg)
     if n == 0:
         return grid
@@ -351,6 +432,22 @@ def tsdf_section_to_grid(sec: LayerSection, cfg: FusionConfig) -> VoxelGrid:
 def esdf_to_section(res, cfg: FusionConfig) -> LayerSection:
     g = cfg.grid
     vps = g.voxels_per_side
+
+    def finish(block_idx, dist_b, obs_b):
+        # (n, vps^3) x-fastest payloads -> section at the IO block side.
+        w0 = np.ascontiguousarray(dist_b.astype(np.float32)).view(np.uint32)
+        w1 = obs_b.astype(np.uint32)  # bit0 = observed
+        words = np.stack([w0, w1], axis=-1)               # (n, vps^3, 2)
+        io_vps = g.io_vps
+        if io_vps != vps:
+            block_idx, words = _regroup_blocks(
+                np.asarray(block_idx, np.int64), words, vps, io_vps,
+                np.zeros((2,), np.uint32))
+        origins = (np.asarray(block_idx, np.float64)
+                   * (g.voxel_size * io_vps))
+        return LayerSection(LAYER_TYPE_ESDF, g.voxel_size, io_vps, origins,
+                            words.reshape(len(block_idx), -1))
+
     if hasattr(res, "block_coords"):
         # Block-sparse result (ops/esdf.py EsdfBlocked) — already per block;
         # convert local linear order ((x*vps)+y)*vps+z -> voxblox x-fastest.
@@ -360,12 +457,7 @@ def esdf_to_section(res, cfg: FusionConfig) -> LayerSection:
         dist_b = to_vxb(res.distance.astype(np.float32))
         obs_b = to_vxb(res.observed)
         keep = obs_b.any(axis=1)
-        w0 = dist_b[keep].view(np.uint32)
-        w1 = obs_b[keep].astype(np.uint32)
-        words = np.stack([w0, w1], axis=-1).reshape(int(keep.sum()), -1)
-        origins = (res.block_coords[keep].astype(np.float64) * g.block_size)
-        return LayerSection(LAYER_TYPE_ESDF, g.voxel_size, vps, origins,
-                            words)
+        return finish(res.block_coords[keep], dist_b[keep], obs_b[keep])
     dims = res.distance.shape
     if any(d % vps for d in dims):
         raise ValueError(f"EsdfResult dims {dims} not block-aligned")
@@ -377,15 +469,11 @@ def esdf_to_section(res, cfg: FusionConfig) -> LayerSection:
     dist = to_blocks(res.distance.astype(np.float32))
     obs = to_blocks(res.observed)
     keep = obs.any(axis=1)
-    w0 = dist[keep].view(np.uint32)
-    w1 = obs[keep].astype(np.uint32)  # bit0 = observed
-    words = np.stack([w0, w1], axis=-1).reshape(keep.sum(), -1)
     bidx = np.stack(np.meshgrid(np.arange(nbx), np.arange(nby),
                                 np.arange(nbz), indexing="ij"),
                     axis=-1).reshape(-1, 3)[keep]
-    origins = ((bidx + res.origin_voxel[None] // vps).astype(np.float64)
-               * g.block_size)
-    return LayerSection(LAYER_TYPE_ESDF, g.voxel_size, vps, origins, words)
+    return finish(bidx + res.origin_voxel[None] // vps, dist[keep],
+                  obs[keep])
 
 
 # ---------------------------------------------------------------------------

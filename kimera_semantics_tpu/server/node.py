@@ -25,7 +25,15 @@ def _add_common(p):
                    help="directory holding the label CSVs named by presets "
                         "(default: $KIMERA_CFG_DIR, then the reference cfg/)")
     p.add_argument("--voxel-size", type=float, default=0.05)
-    p.add_argument("--voxels-per-side", type=int, default=16)
+    p.add_argument("--voxels-per-side", type=int, default=16,
+                   help="layer block side (reference launch uses 32); sides "
+                        ">16 that are a multiple of 16 run on 16^3 storage "
+                        "tiles internally (identical voxel state; .vxblx "
+                        "interop regroups to true blocks) unless "
+                        "--storage-vps forces literal storage")
+    p.add_argument("--storage-vps", type=int, default=0,
+                   help="force the internal storage block side (0 = auto: "
+                        "16 for multiples of 16, else literal)")
     p.add_argument("--block-capacity", type=int, default=4096)
     p.add_argument("--truncation", type=float, default=0.1)
     p.add_argument("--max-ray-length", type=float, default=5.0)
@@ -182,16 +190,27 @@ def _build(args):
         lmap = LabelColorMap.from_csv(csv, num_labels=args.num_labels)
     else:
         lmap = LabelColorMap.random(args.num_labels or 21)
-    sem_gb = (lmap.num_labels * (args.block_capacity + 8)
-              * args.voxels_per_side ** 3 * 4 / 2 ** 30)
+    # Storage tiling: user block sides >16 map to 16^3 storage tiles (the
+    # voxel state is identical — GridConfig.io_voxels_per_side doc) unless
+    # --storage-vps forces the literal side. Capacity scales so the same
+    # voxel volume fits.
+    storage_vps = args.storage_vps or (
+        16 if (args.voxels_per_side > 16 and args.voxels_per_side % 16 == 0)
+        else args.voxels_per_side)
+    io_vps = args.voxels_per_side if storage_vps != args.voxels_per_side else 0
+    cap_scale = (args.voxels_per_side // storage_vps) ** 3
+    block_capacity = args.block_capacity * cap_scale
+    sem_gb = (lmap.num_labels * (block_capacity + 8)
+              * storage_vps ** 3 * 4 / 2 ** 30)
     if sem_gb > 8.0:
         print(f"warning: num_labels={lmap.num_labels} at this grid size "
               f"needs ~{sem_gb:.0f} GB for the semantic channel — consider "
               "--num-labels or a smaller --block-capacity", file=sys.stderr)
     cfg = FusionConfig(
         grid=GridConfig(voxel_size=args.voxel_size,
-                        voxels_per_side=args.voxels_per_side,
-                        block_capacity=args.block_capacity,
+                        voxels_per_side=storage_vps,
+                        io_voxels_per_side=io_vps,
+                        block_capacity=block_capacity,
                         num_labels=lmap.num_labels),
         tsdf=TsdfConfig(truncation_distance=args.truncation,
                         max_ray_length_m=args.max_ray_length,

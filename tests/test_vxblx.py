@@ -145,6 +145,88 @@ class TestRoundTrip:
         obs = w0 > 0
         assert np.abs(c1.astype(int) - c0.astype(int))[:, obs].max() <= 1
 
+    def test_io_vps_roundtrip(self, tmp_path):
+        """Storage 8^3 tiles + io 16^3 blocks: the file carries true 16^3
+        blocks (GridConfig.io_voxels_per_side) and loading splits back to
+        observed storage tiles with identical voxel state."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, io_voxels_per_side=16))
+        grid = make_grid(cfg)
+        path = str(tmp_path / "map32.vxblx")
+        vxblx.save_vxblx(path, grid, cfg)
+
+        # File-level: blocks are io_vps^3 with io-block-size origins.
+        secs = vxblx.read_sections(path)
+        assert secs[0].voxels_per_side == 16
+        assert secs[0].voxel_data.shape[1] == 16 ** 3 * 3
+        io_bs = cfg.grid.voxel_size * 16
+        np.testing.assert_allclose(secs[0].block_origins % io_bs, 0,
+                                   atol=1e-9)
+
+        loaded = vxblx.load_vxblx(path, cfg)
+        nb = int(grid.n_blocks)
+        # make_grid observes voxels in every storage tile -> same tile set.
+        assert int(loaded.n_blocks) == nb
+        a = np.asarray(grid.block_coords[:nb])
+        b = np.asarray(loaded.block_coords[:nb])
+        oa, ob = np.lexsort(a.T), np.lexsort(b.T)
+        np.testing.assert_array_equal(a[oa], b[ob])
+        trunc, wmax = cfg.tsdf.truncation_distance, cfg.tsdf.max_weight
+        d0 = np.asarray(blocks.tsdf_distance(grid, trunc))[:nb][oa]
+        d1 = np.asarray(blocks.tsdf_distance(loaded, trunc))[:nb][ob]
+        np.testing.assert_allclose(d1, d0, atol=1e-6)
+        w0 = np.asarray(blocks.tsdf_weight(grid, wmax))[:nb][oa]
+        w1 = np.asarray(blocks.tsdf_weight(loaded, wmax))[:nb][ob]
+        np.testing.assert_allclose(w1, w0, rtol=1e-6)
+
+    def test_io_vps_section_matches_literal_storage(self, tmp_path):
+        """The world-state contract: integrating the same frames at literal
+        16^3 storage and at 8^3 storage tiles with io 16 produces the SAME
+        .vxblx section (same blocks, same per-voxel dist/weight) — the
+        storage tiling is unobservable through the serialization surface.
+        (Ray-centric full-carve path: per-voxel updates are tiling-blind.)"""
+        from kimera_semantics_tpu.core.camera import PinholeIntrinsics
+        from kimera_semantics_tpu.core.color import LabelColorMap
+        from kimera_semantics_tpu.io.dataset import SyntheticDataset
+        from kimera_semantics_tpu.models import fast
+        intr = PinholeIntrinsics(fx=40.0, fy=40.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        ds = SyntheticDataset(num_frames=2, intr=intr,
+                              label_map=LabelColorMap.random(21))
+        frames = [ds.frame(i) for i in range(2)]
+
+        def run(vps, io):
+            cfg = FusionConfig(
+                grid=GridConfig(voxel_size=0.2, voxels_per_side=vps,
+                                io_voxels_per_side=io, block_capacity=1024),
+                tsdf=TsdfConfig(truncation_distance=0.4, max_ray_length_m=4.0,
+                                carve_mode="full"),
+                pipeline=PipelineConfig(max_rays=2048,
+                                        dedup_table_size=1 << 14,
+                                        segment_budget=1 << 17))
+            g = blocks.create(cfg)
+            for f in frames:
+                g = fast.integrate_frame(g, f, cfg, intr)
+            return vxblx.grid_to_tsdf_section(g, cfg)
+
+        sec16 = run(16, 0)
+        sec8 = run(8, 16)
+        assert sec8.voxels_per_side == sec16.voxels_per_side == 16
+        o16, o8 = sec16.block_origins, sec8.block_origins
+        k16 = np.lexsort(o16.T)
+        k8 = np.lexsort(o8.T)
+        np.testing.assert_allclose(o16[k16], o8[k8], atol=1e-9)
+        w16 = sec16.voxel_data[k16].reshape(-1, 16 ** 3, 3)
+        w8 = sec8.voxel_data[k8].reshape(-1, 16 ** 3, 3)
+        d16 = np.ascontiguousarray(w16[..., 0]).view(np.float32)
+        d8 = np.ascontiguousarray(w8[..., 0]).view(np.float32)
+        wt16 = np.ascontiguousarray(w16[..., 1]).view(np.float32)
+        wt8 = np.ascontiguousarray(w8[..., 1]).view(np.float32)
+        np.testing.assert_allclose(wt8, wt16, rtol=1e-5, atol=1e-6)
+        obs = wt16 > 0
+        np.testing.assert_allclose(d8[obs], d16[obs], rtol=1e-4, atol=1e-5)
+
     def test_mismatched_config_rejected(self, tmp_path):
         cfg = small_cfg()
         grid = make_grid(cfg)
