@@ -49,6 +49,35 @@ class Mesh:
         return self.triangles.shape[0]
 
 
+def connect_mesh(mesh: Mesh, voxel_size: float) -> Mesh:
+    """Triangle soup -> connected (vertex-deduplicated) indexed mesh.
+
+    Voxblox's MeshLayer offers connected meshes via an exact vertex-position
+    map (voxblox mesh_layer.h getConnectedMesh); marching-cubes vertices on
+    a shared cell edge are interpolated from the same corner pair, so
+    quantizing at a tiny fraction of the voxel size (2^-12) merges exactly
+    the duplicated corners without welding distinct features. First
+    occurrence keeps its color/normal (voxblox behavior). Shrinks PLYs ~6x
+    (each interior vertex is shared by ~6 triangles).
+    """
+    if len(mesh.vertices) == 0:
+        return mesh
+    q = np.round(mesh.vertices / (voxel_size / 4096.0)).astype(np.int64)
+    # Unique by quantized position; inverse maps soup verts -> unique ids.
+    _, first, inv = np.unique(q, axis=0, return_index=True,
+                              return_inverse=True)
+    order = np.argsort(first)               # keep first-occurrence order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    keep = np.sort(first)
+    return Mesh(vertices=mesh.vertices[keep],
+                colors=mesh.colors[keep],
+                triangles=rank[inv].astype(np.int32)[
+                    mesh.triangles.reshape(-1)].reshape(-1, 3),
+                normals=(mesh.normals[keep]
+                         if mesh.normals is not None else None))
+
+
 def render_colors(grid: VoxelGrid, cfg: FusionConfig,
                   label_map: Optional[LabelColorMap]) -> jnp.ndarray:
     """Per-voxel mesh color (3, B+1, V3) float per the ColorMode semantics of

@@ -291,7 +291,7 @@ def _slot_kernel(params_s, cube_ref, runk_ref, runidx_ref, local_ref,
     cidx = jnp.where(in_c, (bx * side + by) * side + bz, -1)
 
     T = rk.shape[1]
-    cube = cube_ref[:]                                  # (1, pad) f32
+    cube = cube_ref[0]                                  # (1, pad) f32
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, pad), 1)
     for m in range(MAXR):
         # Masked lane-reduction gather: exactly one lane matches (or none).
@@ -374,8 +374,10 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // tile,),
-        in_specs=[pl.BlockSpec((1, pad),
-                               lambda i, m: (i // tiles_per_frame, 0)),  # cube
+        in_specs=[pl.BlockSpec((1, 1, pad),
+                               lambda i, m: (i // tiles_per_frame, 0, 0)),
+                  # cube: (B, 1, pad) — the (1, pad) trailing shape matches
+                  # the array dims exactly (Mosaic full-dim rule)
                   bs(MAXR), bs(S), bs(S),                     # runk/idx/local
                   bs(S), bs(S), bs(S), bs(S),                 # w/wsdf/wc/valid
                   bs(2)],                                     # labels/inform
@@ -394,7 +396,7 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, cube_vals, run_key, run_idx, local, w, wsdf, wc,
+    )(params, cube_vals[:, None, :], run_key, run_idx, local, w, wsdf, wc,
       step_valid.astype(jnp.int32), labs2)
     return k2, w_m, wsdf_off, cnt, key, vu.astype(bool), run_slots
 

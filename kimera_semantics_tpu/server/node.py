@@ -86,6 +86,10 @@ def _add_common(p):
     p.add_argument("--mesh-out", default="mesh.ply")
     p.add_argument("--mesh-normals", action="store_true",
                    help="write per-vertex TSDF-gradient normals into the PLY")
+    p.add_argument("--connected-mesh", action="store_true",
+                   help="vertex-deduplicated (connected) mesh output — "
+                        "voxblox MeshLayer getConnectedMesh (~6x smaller "
+                        "PLYs)")
     p.add_argument("--live-mesh", default="",
                    help="stream mode: atomically rewrite this PLY with the "
                         "full growing mesh at each periodic update (rviz "
@@ -275,6 +279,7 @@ def cmd_batch(args, streaming: bool):
         ServerConfig(mesh_every_n_frames=5 if streaming else 0,
                      mesh_filename=args.mesh_out,
                      mesh_normals=args.mesh_normals,
+                     mesh_connected=args.connected_mesh,
                      log_every_n_frames=args.log_every,
                      stats_jsonl=args.stats_jsonl,
                      esdf_every_n_frames=args.esdf_every,

@@ -37,6 +37,10 @@ class ServerConfig:
     mesh_every_n_frames: int = 0      # 0 = no periodic meshing
     min_frame_interval: float = 0.0   # seconds of *stream time* between frames
     mesh_filename: str = ""
+    mesh_connected: bool = False      # vertex-deduplicated (connected)
+                                      # meshes on generate_mesh outputs —
+                                      # voxblox MeshLayer getConnectedMesh
+                                      # (~6x smaller PLYs)
     mesh_normals: bool = False        # per-vertex TSDF-gradient normals on
                                       # extracted meshes (voxblox Mesh
                                       # normals; written into the PLY)
@@ -240,6 +244,8 @@ class SemanticTsdfServer:
             m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
                                       only_updated=False,
                                       with_normals=self.server_cfg.mesh_normals)
+            if self.server_cfg.mesh_connected:
+                m = mesh_ops.connect_mesh(m, self.cfg.grid.voxel_size)
         path = path or self.server_cfg.mesh_filename
         if path:
             ply_io.write_ply(path, m.vertices, m.colors, m.triangles,

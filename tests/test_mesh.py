@@ -91,6 +91,40 @@ class TestMarchingCubes:
         assert m2.num_triangles == 0
 
 
+class TestConnectedMesh:
+    def test_dedup_preserves_geometry(self):
+        cfg = make_cfg()
+        grid = sphere_grid(cfg, radius=1.0)
+        soup = mesh_ops.extract_mesh(grid, cfg, LabelColorMap.random())
+        conn = mesh_ops.connect_mesh(soup, cfg.grid.voxel_size)
+        # Same triangle count; substantially fewer vertices (interior MC
+        # vertices are shared by ~6 triangles on a closed surface).
+        assert conn.num_triangles == soup.num_triangles
+        assert len(conn.vertices) < 0.4 * len(soup.vertices)
+        assert conn.triangles.min() >= 0
+        assert conn.triangles.max() < len(conn.vertices)
+        # Every triangle's vertex positions are preserved exactly... up to
+        # the dedup quantum (first occurrence wins).
+        np.testing.assert_allclose(
+            conn.vertices[conn.triangles.reshape(-1)],
+            soup.vertices[soup.triangles.reshape(-1)],
+            atol=cfg.grid.voxel_size / 2048.0)
+        # Manifold sphere: V - E + F = 2 (Euler) once vertices are welded.
+        edges = np.sort(conn.triangles[:, [0, 1, 1, 2, 2, 0]]
+                        .reshape(-1, 2), axis=1)
+        E = len(np.unique(edges, axis=0))
+        V, F = len(conn.vertices), conn.num_triangles
+        assert V - E + F == 2
+
+    def test_empty_mesh_ok(self):
+        cfg = make_cfg()
+        empty = mesh_ops.Mesh(vertices=np.zeros((0, 3), np.float32),
+                              colors=np.zeros((0, 3), np.uint8),
+                              triangles=np.zeros((0, 3), np.int32))
+        out = mesh_ops.connect_mesh(empty, cfg.grid.voxel_size)
+        assert out.num_triangles == 0
+
+
 def test_semantic_probability_coloring():
     """ColorMode.SEMANTIC_PROBABILITY: vertices colored by rainbow(p_max)
     (semantic_integrator_base.cpp:183-188). With identical per-voxel
