@@ -90,6 +90,40 @@ def prepare_points(frame: Frame, intr: cam.PinholeIntrinsics, cfg: FusionConfig)
     return pts_C, pts_G, origin, colors, labels, weights, valid, is_clearing
 
 
+def gather_packed(idx: jnp.ndarray, *arrays):
+    """Row-gather every array at `idx` via ONE packed gather.
+
+    XLA TPU gathers execute serially at ~11-14 ns PER INDEX independent of
+    payload width (docs/DESIGN.md cost model) — so K separate gathers of the
+    same index set cost K x indices while one gather of the channel-packed
+    matrix costs 1 x. int32 rides as a bitwise f32 cast (exact); bool as
+    0/1. Returns the gathered arrays with original dtypes/ranks.
+    """
+    import jax as _jax
+    cols, specs = [], []
+    for a in arrays:
+        a2 = a[:, None] if a.ndim == 1 else a
+        if a2.dtype == jnp.int32:
+            c = _jax.lax.bitcast_convert_type(a2, jnp.float32)
+        elif a2.dtype == jnp.bool_:
+            c = a2.astype(jnp.float32)
+        else:
+            c = a2.astype(jnp.float32)
+        specs.append((a.ndim, a.dtype, a2.shape[1]))
+        cols.append(c)
+    packed = jnp.concatenate(cols, axis=1)[idx]
+    outs, off = [], 0
+    for ndim, dt, w in specs:
+        sl = packed[:, off:off + w]
+        off += w
+        if dt == jnp.int32:
+            sl = _jax.lax.bitcast_convert_type(sl, jnp.int32)
+        elif dt == jnp.bool_:
+            sl = sl > 0.5
+        outs.append(sl[:, 0] if ndim == 1 else sl)
+    return tuple(outs)
+
+
 def compact(order_mask: jnp.ndarray, max_out: int, *arrays):
     """Pack entries where order_mask is True into the first `max_out` slots.
 
@@ -99,4 +133,4 @@ def compact(order_mask: jnp.ndarray, max_out: int, *arrays):
     """
     order = jnp.argsort(~order_mask, stable=True)[:max_out]
     kept = order_mask[order]
-    return (kept,) + tuple(a[order] for a in arrays)
+    return (kept,) + gather_packed(order, *arrays)

@@ -53,14 +53,29 @@ def _dedup_and_compact(grid, cfg, pts_G, colors, labels, weights, valid,
     return grid, kept, pts_G, colors, labels, weights, is_clearing
 
 
-def _frame_batches(grid, frame, cfg, intr):
-    """Build this frame's job batches (and thread the dedup set state)."""
+def _band_prepare(frame, cfg, intr):
+    """Grid-independent banded prepare for ONE frame (projective-carve mode):
+    backproject, octave band keep, compact, band jobs. Pure in the frame —
+    vmappable across a batch (integrate_frames)."""
     (pts_C, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
+    keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
+    kept, pts_G, colors, labels, weights, is_clearing = common.compact(
+        keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
+        is_clearing)
+    origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
+    band = carve_ops.band_jobs(origin_b, pts_G, weights, labels, colors,
+                               is_clearing, kept, cfg)
+    return band, origin
 
+
+def _frame_batches(grid, frame, cfg, intr):
+    """Build this frame's job batches (and thread the dedup set state)."""
     banded = (cfg.tsdf.carve_mode in ("decimated", "projective")
               and cfg.tsdf.voxel_carving_enabled)
     if not banded:
+        (pts_C, pts_G, origin, colors, labels, weights, valid,
+         is_clearing) = common.prepare_points(frame, intr, cfg)
         (grid, kept, pts_G, colors, labels, weights,
          is_clearing) = _dedup_and_compact(grid, cfg, pts_G, colors, labels,
                                            weights, valid, is_clearing)
@@ -72,13 +87,7 @@ def _frame_batches(grid, frame, cfg, intr):
     # Octave band selection (deterministic dedup equivalent — ops/carve.py
     # band_octave_keep); clearing rays carry no surface band (their free
     # space is covered by the carve jobs / the projective carve).
-    keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
-    kept, pts_G, colors, labels, weights, is_clearing = common.compact(
-        keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
-        is_clearing)
-    origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
-    band = carve_ops.band_jobs(origin_b, pts_G, weights, labels, colors,
-                               is_clearing, kept, cfg)
+    band, origin = _band_prepare(frame, cfg, intr)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     if cfg.tsdf.carve_mode == "projective":
         # Free space already carved densely (_maybe_projective_carve).
@@ -160,10 +169,30 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     clear_every > 1 the set drift matches sequential semantics too).
     """
     B = frames.depth.shape[0]
+    if (cfg.tsdf.carve_mode == "projective"
+            and cfg.tsdf.voxel_carving_enabled):
+        # Dense carves chain through the hash table (sequential); the band
+        # prepare is grid-independent — ONE vmapped prepare over the batch
+        # (B x fewer op launches than a per-frame loop; bitwise-identical
+        # per-frame math).
+        for b in range(B):
+            f = jax.tree.map(lambda x, _b=b: x[_b], frames)
+            grid = _maybe_projective_carve(grid, f, cfg, intr)
+        bands, origins = jax.vmap(
+            lambda f: _band_prepare(f, cfg, intr))(frames)
+        band = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), bands)
+        s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+        # Per-frame cube LUTs: each frame's chunk of the concatenated ray
+        # axis resolves against its own camera cube (slot_resolve_stream
+        # batched form).
+        return integrate_jobs(grid, cfg, [(band, s_band)],
+                              cube_origin=origins)
+
     per_kind = None
     origins = []
     for b in range(B):
-        f = jax.tree.map(lambda x: x[b], frames)
+        f = jax.tree.map(lambda x, _b=b: x[_b], frames)
         grid = _maybe_projective_carve(grid, f, cfg, intr)
         grid, batches, origin = _frame_batches(grid, f, cfg, intr)
         origins.append(origin)
@@ -179,8 +208,6 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
                             *[j for j, _ in entries])
         return jobs, S
 
-    # Per-frame cube LUTs: each frame's chunk of the concatenated ray axis
-    # resolves against its own camera cube (ops/pallas_kernels.py
-    # slot_resolve_stream batched form).
+    # Per-frame cube LUTs (see above).
     return integrate_jobs(grid, cfg, [cat(entries) for entries in per_kind],
                           cube_origin=jnp.stack(origins))

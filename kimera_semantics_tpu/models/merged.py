@@ -50,12 +50,12 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
     idx = jnp.arange(n, dtype=jnp.int32)
     key_hi, key_lo, perm = jax.lax.sort((key_hi, key_lo, idx), num_keys=2)
 
-    w = jnp.where(active, weights, 0.0)[perm]
+    # ONE packed gather for all per-point channels (TPU gathers cost per
+    # index, not per byte — models/common.py gather_packed).
+    w, pg, col, lab, act, vox_p = common.gather_packed(
+        perm, jnp.where(active, weights, 0.0), points_G, colors, labels,
+        active, vox)
     contrib = w > _EPS_WEIGHT
-    pg = points_G[perm]
-    col = colors[perm]
-    lab = labels[perm]
-    act = active[perm]
 
     is_first = jnp.ones((n,), dtype=bool)
     is_first = is_first.at[1:].set(
@@ -74,7 +74,7 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
         seg, lab].add(contrib.astype(jnp.float32), mode="drop")
     # Destination voxel coords of each bundle (constant within a segment).
     dest = jnp.zeros((max_bundles + 1, 3), dtype=jnp.int32).at[seg].max(
-        vox[perm] + (1 << 14), mode="drop") - (1 << 14)
+        vox_p + (1 << 14), mode="drop") - (1 << 14)
     # Bin's earliest point in original order (reference takes the first point
     # of each bin for clearing rays; ordering there is thread-mixed, here
     # deterministic raster order — tolerance contract).
@@ -95,6 +95,40 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
             first_idx[:max_bundles],
             dest[:max_bundles],
             seg_orig)
+
+
+def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
+    """Grid-independent bundled prepare for ONE frame (projective-carve
+    mode): bundling, sparse (bundle, label) votes, band jobs. Pure in the
+    frame — vmappable across a batch (integrate_frames). Returns
+    (band_jobs, sem_pts, pair_drop, origin)."""
+    from ..ops import carve as carve_ops
+    from ..ops import semantic
+    from ..ops.reduce import TRASH_KEY, segment_compact_reduce
+    (_, pts_G, origin, colors, labels, weights, valid,
+     is_clearing) = common.prepare_points(frame, intr, cfg)
+    R = cfg.pipeline.max_rays
+    L = cfg.grid.num_labels
+    inv = 1.0 / cfg.grid.voxel_size
+    (bvalid, bpoint, bweight, bcolor, _, _, _, bseg) = _bundle(
+        pts_G, weights, colors, labels, valid & ~is_clearing,
+        voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    n_pts = pts_G.shape[0]
+    p_ray = jnp.minimum(bseg, R - 1)
+    p_valid = ((bseg < R) & bvalid[p_ray] & semantic.informative(labels))
+    lab_shift = max(1, (L - 1).bit_length())
+    lab_c = jnp.clip(labels, 0, (1 << lab_shift) - 1)
+    pair_key = jnp.where(p_valid, (p_ray << lab_shift) | lab_c, TRASH_KEY)
+    pk, (pcounts,), pair_drop = segment_compact_reduce(
+        pair_key, (jnp.where(p_valid, 1.0, 0.0),), 2 * R, max_run=n_pts)
+    sp_valid = pk != TRASH_KEY
+    sp_ray = jnp.where(sp_valid, pk >> lab_shift, 0)
+    sp_lab = jnp.where(sp_valid, pk & ((1 << lab_shift) - 1), 0)
+    zlab = jnp.zeros((R,), dtype=jnp.int32)
+    origin_b = jnp.broadcast_to(origin[None, :], bpoint.shape)
+    band = carve_ops.band_jobs(origin_b, bpoint, bweight, zlab, bcolor,
+                               jnp.zeros((R,), dtype=bool), bvalid, cfg)
+    return band, (sp_ray, sp_lab, sp_valid, pcounts), pair_drop, origin
 
 
 def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
@@ -215,10 +249,8 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
     n = pts_G.shape[0]
     safe_first = jnp.minimum(cfirst, n - 1)
-    cpts = pts_G[safe_first]
-    cweights = weights[safe_first]
-    ccolors = colors[safe_first]
-    clabels = labels[safe_first]
+    cpts, cweights, ccolors, clabels = common.gather_packed(
+        safe_first, pts_G, weights, colors, labels)
     cvalid = cvalid & (cfirst < n) & (cweights > _EPS_WEIGHT)
     grid = integrate_ray_batch(
         grid, cfg, origin, cpts, cweights, ccolors, clabels,
@@ -261,6 +293,29 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
         "batched merged integration needs a banded carve mode")
     B = frames.depth.shape[0]
     R = cfg.pipeline.max_rays
+    if (cfg.tsdf.carve_mode == "projective"
+            and cfg.tsdf.voxel_carving_enabled):
+        # Sequential dense carves (hash-table chaining), ONE vmapped
+        # bundling/vote prepare across the batch (see models/fast.py
+        # integrate_frames).
+        from .fast import _maybe_projective_carve
+        for b in range(B):
+            f = jax.tree.map(lambda x, _b=b: x[_b], frames)
+            grid = _maybe_projective_carve(grid, f, cfg, intr)
+        bands, sems_v, drops, origins = jax.vmap(
+            lambda f: _bundle_prepare(f, cfg, intr))(frames)
+        band = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), bands)
+        s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+        sr, sl, sv, sc = sems_v
+        off = (jnp.arange(B, dtype=jnp.int32)[:, None]
+               * jnp.int32(R))                      # frame ray offsets
+        sem_cat = ((sr + off).reshape(-1), sl.reshape(-1), sv.reshape(-1),
+                   sc.reshape(-1))
+        grid = dataclasses.replace(grid,
+                                   overflow=grid.overflow + jnp.sum(drops))
+        return integrate_jobs(grid, cfg, [(band, s_band)],
+                              sem_points=sem_cat, cube_origin=origins)
+
     per_kind = None
     sems = []
     origins = []

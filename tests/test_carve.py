@@ -148,9 +148,13 @@ class TestCubeLutBatched:
                      T_G_C=jnp.stack([f.T_G_C for f in frames]))
 
     @pytest.mark.parametrize("model", [fast, merged])
-    def test_batched_cube_matches_sequential(self, dataset, model):
+    @pytest.mark.parametrize("carve_mode", ["decimated", "projective"])
+    def test_batched_cube_matches_sequential(self, dataset, model,
+                                             carve_mode):
         _, frames, _ = dataset
         cfg = make_cfg(max_rays=1024)  # per-frame chunk = 2 ray tiles
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf, carve_mode=carve_mode))
         g_seq = run_frames(cfg, frames, model=model)   # XLA hash path
         integ.FORCE_PALLAS_INTERPRET = True
         try:
