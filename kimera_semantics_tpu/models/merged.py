@@ -101,7 +101,12 @@ def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     """Grid-independent bundled prepare for ONE frame (projective-carve
     mode): bundling, sparse (bundle, label) votes, band jobs. Pure in the
     frame — vmappable across a batch (integrate_frames). Returns
-    (band_jobs, sem_pts, pair_drop, origin)."""
+    (band_jobs, sem_pts, pair_drop, origin).
+
+    NB: mirrors the proj-carve slice of _frame_parts (which additionally
+    threads grid state / anti-grazing dests for the sequential path) — the
+    batched-vs-sequential equality test (tests/test_carve.py
+    TestCubeLutBatched) pins the two against each other."""
     from ..ops import carve as carve_ops
     from ..ops import semantic
     from ..ops.reduce import TRASH_KEY, segment_compact_reduce
