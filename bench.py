@@ -406,6 +406,14 @@ def main():
         result["hbm_peak_frac"] = round(gbps / peak_gbps, 3)
     if stage_ms:
         result["stage_ms"] = stage_ms
+        # Per-stage timing blocks the host each stage: on the axon tunnel
+        # every block_until_ready pays the ~21 ms RTT that the async
+        # steady-state loop amortizes away, and standalone stages copy
+        # untouched grid channels (no donation) — upper bound, relative
+        # comparisons only.
+        result["stage_ms_note"] = ("includes per-stage host sync (~21 ms "
+                                   "tunnel RTT) + undonated grid copies; "
+                                   "relative use only")
     if mesh_ms is not None:
         result["mesh_ms"] = round(mesh_ms, 1)
     if mesh_err is not None:

@@ -56,17 +56,23 @@ def _dedup_and_compact(grid, cfg, pts_G, colors, labels, weights, valid,
 def _band_prepare(frame, cfg, intr):
     """Grid-independent banded prepare for ONE frame (projective-carve mode):
     backproject, octave band keep, compact, band jobs. Pure in the frame —
-    vmappable across a batch (integrate_frames)."""
+    vmappable across a batch (integrate_frames). Returns
+    (band_jobs, origin, n_dropped): band keeps beyond the ray budget are
+    counted, not silently lost (the fixed-capacity contract), so max_rays
+    can be sized to the octave-kept density (~1 ray/surface voxel) instead
+    of the pixel count."""
     (pts_C, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
     keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
+    n_dropped = jnp.maximum(
+        0, jnp.sum(keep.astype(jnp.int32)) - cfg.pipeline.max_rays)
     kept, pts_G, colors, labels, weights, is_clearing = common.compact(
         keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
         is_clearing)
     origin_b = jnp.broadcast_to(origin[None, :], pts_G.shape)
     band = carve_ops.band_jobs(origin_b, pts_G, weights, labels, colors,
                                is_clearing, kept, cfg)
-    return band, origin
+    return band, origin, n_dropped
 
 
 def _frame_batches(grid, frame, cfg, intr):
@@ -87,7 +93,8 @@ def _frame_batches(grid, frame, cfg, intr):
     # Octave band selection (deterministic dedup equivalent — ops/carve.py
     # band_octave_keep); clearing rays carry no surface band (their free
     # space is covered by the carve jobs / the projective carve).
-    band, origin = _band_prepare(frame, cfg, intr)
+    band, origin, band_drop = _band_prepare(frame, cfg, intr)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + band_drop)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     if cfg.tsdf.carve_mode == "projective":
         # Free space already carved densely (_maybe_projective_carve).
@@ -178,8 +185,10 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
         for b in range(B):
             f = jax.tree.map(lambda x, _b=b: x[_b], frames)
             grid = _maybe_projective_carve(grid, f, cfg, intr)
-        bands, origins = jax.vmap(
+        bands, origins, band_drops = jax.vmap(
             lambda f: _band_prepare(f, cfg, intr))(frames)
+        grid = dataclasses.replace(
+            grid, overflow=grid.overflow + jnp.sum(band_drops))
         band = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), bands)
         s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)

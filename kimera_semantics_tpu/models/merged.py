@@ -61,6 +61,10 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
     is_first = is_first.at[1:].set(
         (key_hi[1:] != key_hi[:-1]) | (key_lo[1:] != key_lo[:-1]))
     seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    # Bins beyond the bundle budget are dropped and COUNTED (fixed-capacity
+    # contract): n_dropped rides the last return slot.
+    n_bins = jnp.sum((is_first & act).astype(jnp.int32))
+    n_dropped = jnp.maximum(0, n_bins - max_bundles)
     seg = jnp.where(act, seg, max_bundles)  # drop inactive
 
     def segsum(vals, width=None):
@@ -94,7 +98,8 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
             hist[:max_bundles],
             first_idx[:max_bundles],
             dest[:max_bundles],
-            seg_orig)
+            seg_orig,
+            n_dropped)
 
 
 def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
@@ -115,7 +120,7 @@ def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     R = cfg.pipeline.max_rays
     L = cfg.grid.num_labels
     inv = 1.0 / cfg.grid.voxel_size
-    (bvalid, bpoint, bweight, bcolor, _, _, _, bseg) = _bundle(
+    (bvalid, bpoint, bweight, bcolor, _, _, _, bseg, bin_drop) = _bundle(
         pts_G, weights, colors, labels, valid & ~is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
     n_pts = pts_G.shape[0]
@@ -133,7 +138,8 @@ def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     origin_b = jnp.broadcast_to(origin[None, :], bpoint.shape)
     band = carve_ops.band_jobs(origin_b, bpoint, bweight, zlab, bcolor,
                                jnp.zeros((R,), dtype=bool), bvalid, cfg)
-    return band, (sp_ray, sp_lab, sp_valid, pcounts), pair_drop, origin
+    return (band, (sp_ray, sp_lab, sp_valid, pcounts),
+            pair_drop + bin_drop, origin)
 
 
 def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
@@ -151,9 +157,11 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     inv = 1.0 / cfg.grid.voxel_size
 
     # Pass 1: normal rays (voxel_map bins).
-    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest, bseg) = _bundle(
+    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest, bseg,
+     bin_drop) = _bundle(
         pts_G, weights, colors, labels, valid & ~is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + bin_drop)
     # Anti-grazing (_merged.cpp:306-313): dest set = the normal-pass bins;
     # a normal ray may still update its own bin.
     ag = cfg.tsdf.enable_anti_grazing
@@ -249,9 +257,10 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     # Pass 2: clearing rays (clear_map bins) — first point of each bin only
     # (_merged.cpp:282-284): exactly one label per merged ray, so this rides
     # the native one-label-per-ray path (no histogram needed).
-    (cvalid, _, _, _, _, cfirst, _, _) = _bundle(
+    (cvalid, _, _, _, _, cfirst, _, _, cbin_drop) = _bundle(
         pts_G, weights, colors, labels, valid & is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
+    grid = dataclasses.replace(grid, overflow=grid.overflow + cbin_drop)
     n = pts_G.shape[0]
     safe_first = jnp.minimum(cfirst, n - 1)
     cpts, cweights, ccolors, clabels = common.gather_packed(
