@@ -111,7 +111,8 @@ def main():
 
     prep = jax.jit(lambda fr: jax.vmap(
         lambda f: fast._band_prepare(f, cfg, intr))(fr))
-    bands, origins = timeit("prepare: vmapped _band_prepare", prep, fb)
+    bands, origins, _drops = timeit("prepare: vmapped _band_prepare", prep,
+                                    fb)
     band = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), bands)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     print(f"   band R={band.valid.shape[0]} S={s_band} "
