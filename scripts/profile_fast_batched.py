@@ -118,8 +118,17 @@ def main():
     print(f"   band R={band.valid.shape[0]} S={s_band} "
           f"valid={int(jnp.sum(band.valid))}", flush=True)
 
-    expand = jax.jit(lambda j: int_ops.expand_jobs(cfg, j, s_band))
-    st = timeit("expand: dda_job_stream", expand, band)
+    # _Stream is a plain dataclass (not a pytree) — return raw arrays.
+    def _expand(j):
+        st = int_ops.expand_jobs(cfg, j, s_band)
+        return (st.keys, st.local, st.w, st.w_sdf, st.wc_gate,
+                st.step_valid, st.run_key, st.run_idx)
+    outs = timeit("expand: dda_job_stream", jax.jit(_expand), band)
+    import types
+    st = types.SimpleNamespace(
+        keys=outs[0], local=outs[1], w=outs[2], w_sdf=outs[3],
+        wc_gate=outs[4], step_valid=outs[5], run_key=outs[6],
+        run_idx=outs[7])
 
     g = cfg.grid
     alloc_keys = st.run_key.reshape(-1)
