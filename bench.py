@@ -63,7 +63,9 @@ def main():
                             use_const_weight=False),
             semantic=SemanticConfig(semantic_measurement_probability=0.8),
             pipeline=PipelineConfig(
-                max_rays=1024, dedup_table_size=1 << 14,
+                # 64x48 px = 3072 rays max: size the budget to the band-keep
+                # density so the smoke run reports zero dropped_rays.
+                max_rays=4096, dedup_table_size=1 << 14,
                 scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
                 segment_budget=(1 << 14) * max(1, bench_batch),
                 block_budget=128,
@@ -398,6 +400,7 @@ def main():
         "ms_per_frame": round(1000.0 * elapsed / n_frames, 3),
         "blocks_allocated": int(grid.n_blocks),
         "overflow": int(grid.overflow),
+        "dropped_rays": int(grid.dropped_rays),
         "batch": batch,
         "device": str(jax.devices()[0]),
         "hbm_gbps_est": round(gbps, 1),

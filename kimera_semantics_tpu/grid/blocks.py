@@ -48,6 +48,7 @@ from . import hash as bhash
     jax.tree_util.register_dataclass,
     data_fields=[
         "table_keys", "table_slots", "block_coords", "n_blocks", "overflow",
+        "dropped_rays",
         "wsum", "wsdf", "wcolor", "sem_count", "sem_delta", "updated",
         "start_set", "observed_set", "frame_counter",
     ],
@@ -60,7 +61,20 @@ class VoxelGrid:
     table_slots: jnp.ndarray   # (H,) int32
     block_coords: jnp.ndarray  # (B, 3) int32
     n_blocks: jnp.ndarray      # () int32
-    overflow: jnp.ndarray      # () int32 — dropped blocks (capacity contract)
+    overflow: jnp.ndarray      # () int32 — STATE-completeness violations:
+                               # hash capacity/probe exhaustion, segment- and
+                               # block-budget spills. overflow == 0 means every
+                               # update the integration policy produced was
+                               # applied (the fixed-capacity contract).
+    dropped_rays: jnp.ndarray  # () int32 — POLICY-budget input truncation:
+                               # band/bundle keeps or carve jobs beyond the
+                               # static ray budgets (pipeline.max_rays,
+                               # carve_budget, bundle caps). The grid state is
+                               # complete for the rays that were taken; this
+                               # counts input subsampling beyond the documented
+                               # dedup/decimation policy. (ADVICE r2: keep it
+                               # separate so overflow==0 keeps meaning "grid
+                               # state complete".)
     # Voxel channels; trash row at slot index B. TPU layout note: component/
     # label axes lead (SoA) so the voxel axis stays in vector lanes — a
     # minor dim of 3 or L would be padded to 128 lanes by TPU tiling.
@@ -87,6 +101,7 @@ def create(cfg: FusionConfig) -> VoxelGrid:
         block_coords=jnp.zeros((B, 3), dtype=jnp.int32),
         n_blocks=jnp.int32(0),
         overflow=jnp.int32(0),
+        dropped_rays=jnp.int32(0),
         wsum=jnp.zeros((R, V3), dtype=jnp.float32),
         wsdf=jnp.zeros((R, V3), dtype=jnp.float32),
         wcolor=jnp.zeros((3, R, V3), dtype=jnp.float32),

@@ -29,8 +29,13 @@ _DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
 _CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
 
 _FIELDS = ["table_keys", "table_slots", "block_coords", "n_blocks", "overflow",
+           "dropped_rays",
            "wsum", "wsdf", "wcolor", "sem_count", "sem_delta", "updated",
            "start_set", "observed_set", "frame_counter"]
+
+# Fields that older checkpoints may not carry (additive counters); load_grid
+# falls back to the freshly-created default (zero) when absent.
+_OPTIONAL_FIELDS = {"dropped_rays"}
 
 
 def _grid_arrays(grid: VoxelGrid) -> dict:
@@ -93,6 +98,9 @@ def load_grid(path: str, cfg: FusionConfig) -> VoxelGrid:
     ref = gblocks.create(cfg)
     kwargs = {}
     for name in _FIELDS:
+        if name not in arrays and name in _OPTIONAL_FIELDS:
+            kwargs[name] = getattr(ref, name)
+            continue
         arr = arrays[name]
         ref_val = getattr(ref, name)
         ref_shape = tuple(np.asarray(ref_val).shape)

@@ -107,8 +107,12 @@ def gather_packed(idx: jnp.ndarray, *arrays):
             c = _jax.lax.bitcast_convert_type(a2, jnp.float32)
         elif a2.dtype == jnp.bool_:
             c = a2.astype(jnp.float32)
+        elif a2.dtype == jnp.float32:
+            c = a2
         else:
-            c = a2.astype(jnp.float32)
+            raise TypeError(
+                f"gather_packed: unsupported dtype {a2.dtype} (only float32/"
+                "int32/bool round-trip exactly through the packed f32 gather)")
         specs.append((a.ndim, a.dtype, a2.shape[1]))
         cols.append(c)
     packed = jnp.concatenate(cols, axis=1)[idx]

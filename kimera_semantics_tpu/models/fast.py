@@ -45,11 +45,14 @@ def _dedup_and_compact(grid, cfg, pts_G, colors, labels, weights, valid,
         voxel_size_inv=1.0 / cfg.grid.voxel_size,
         subsampling_factor=cfg.tsdf.start_voxel_subsampling_factor,
     )
+    n_dropped = jnp.maximum(
+        0, jnp.sum(keep.astype(jnp.int32)) - cfg.pipeline.max_rays)
     kept, pts_G, colors, labels, weights, is_clearing = common.compact(
         keep, cfg.pipeline.max_rays, pts_G, colors, labels, weights,
         is_clearing)
     grid = dataclasses.replace(grid, start_set=start_set,
-                               frame_counter=counter)
+                               frame_counter=counter,
+                               dropped_rays=grid.dropped_rays + n_dropped)
     return grid, kept, pts_G, colors, labels, weights, is_clearing
 
 
@@ -94,7 +97,8 @@ def _frame_batches(grid, frame, cfg, intr):
     # band_octave_keep); clearing rays carry no surface band (their free
     # space is covered by the carve jobs / the projective carve).
     band, origin, band_drop = _band_prepare(frame, cfg, intr)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + band_drop)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + band_drop)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     if cfg.tsdf.carve_mode == "projective":
         # Free space already carved densely (_maybe_projective_carve).
@@ -103,7 +107,8 @@ def _frame_batches(grid, frame, cfg, intr):
     cjobs = carve_ops.carve_jobs(frame.depth, frame.labels, frame.T_G_C,
                                  intr, cfg, plan)
     cjobs, dropped = carve_ops.compact_jobs(cjobs, cfg.pipeline.carve_budget)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + dropped)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + dropped)
     return grid, [(band, s_band), (cjobs, cfg.pipeline.carve_steps)], origin
 
 
@@ -188,7 +193,7 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
         bands, origins, band_drops = jax.vmap(
             lambda f: _band_prepare(f, cfg, intr))(frames)
         grid = dataclasses.replace(
-            grid, overflow=grid.overflow + jnp.sum(band_drops))
+            grid, dropped_rays=grid.dropped_rays + jnp.sum(band_drops))
         band = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), bands)
         s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)

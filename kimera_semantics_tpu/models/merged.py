@@ -161,7 +161,8 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
      bin_drop) = _bundle(
         pts_G, weights, colors, labels, valid & ~is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + bin_drop)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + bin_drop)
     # Anti-grazing (_merged.cpp:306-313): dest set = the normal-pass bins;
     # a normal ray may still update its own bin.
     ag = cfg.tsdf.enable_anti_grazing
@@ -182,11 +183,12 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     lab_c = jnp.clip(labels, 0, (1 << lab_shift) - 1)
     pair_key = jnp.where(p_valid, (p_ray << lab_shift) | lab_c, TRASH_KEY)
     # 2R pair budget: bundles carry ~1-2 distinct labels each, and the
-    # bundle list itself is capped at R. Drops count as overflow (same
-    # static-capacity contract as the bundle cap).
+    # bundle list itself is capped at R. Drops count as dropped_rays (same
+    # static-capacity input-truncation contract as the bundle cap).
     pk, (pcounts,), pair_drop = segment_compact_reduce(
         pair_key, (jnp.where(p_valid, 1.0, 0.0),), 2 * R, max_run=n_pts)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + pair_drop)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + pair_drop)
     sp_valid = pk != TRASH_KEY
     sp_ray = jnp.where(sp_valid, pk >> lab_shift, 0)
     sp_lab = jnp.where(sp_valid, pk & ((1 << lab_shift) - 1), 0)
@@ -225,7 +227,8 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     cjobs = carve_ops.carve_jobs(frame.depth, frame.labels, frame.T_G_C,
                                  intr, cfg, plan)
     cjobs, dropped = carve_ops.compact_jobs(cjobs, cfg.pipeline.carve_budget)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + dropped)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + dropped)
     return (grid, [(band, s_band), (cjobs, cfg.pipeline.carve_steps)],
             sem_pts, origin, bdest, full_state)
 
@@ -260,7 +263,8 @@ def integrate_frame(grid: VoxelGrid, frame: common.Frame,
     (cvalid, _, _, _, _, cfirst, _, _, cbin_drop) = _bundle(
         pts_G, weights, colors, labels, valid & is_clearing,
         voxel_size_inv=inv, num_labels=L, max_bundles=R)
-    grid = dataclasses.replace(grid, overflow=grid.overflow + cbin_drop)
+    grid = dataclasses.replace(grid,
+                               dropped_rays=grid.dropped_rays + cbin_drop)
     n = pts_G.shape[0]
     safe_first = jnp.minimum(cfirst, n - 1)
     cpts, cweights, ccolors, clabels = common.gather_packed(
@@ -325,8 +329,8 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
                * jnp.int32(R))                      # frame ray offsets
         sem_cat = ((sr + off).reshape(-1), sl.reshape(-1), sv.reshape(-1),
                    sc.reshape(-1))
-        grid = dataclasses.replace(grid,
-                                   overflow=grid.overflow + jnp.sum(drops))
+        grid = dataclasses.replace(
+            grid, dropped_rays=grid.dropped_rays + jnp.sum(drops))
         return integrate_jobs(grid, cfg, [(band, s_band)],
                               sem_points=sem_cat, cube_origin=origins)
 

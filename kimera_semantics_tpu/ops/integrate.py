@@ -134,11 +134,15 @@ def integrate_jobs(
 ) -> VoxelGrid:
     """Apply a frame's job batches to the grid.
 
-    `cube_origin`: when all batches share one camera origin, slot resolution
-    runs through the frame-cube LUT Pallas kernel (ops/pallas_kernels.py
-    slot_resolve_stream) instead of serial hash-lookup gathers — ~15 ms ->
-    ~1 ms per frame on v5e. Multi-origin callers (batched frames, sharded
-    data parallelism) pass None and take the hash path.
+    `cube_origin`: camera origin(s) for the frame-cube LUT Pallas kernel
+    (ops/pallas_kernels.py slot_resolve_stream) — slot resolution against a
+    dense per-camera block cube instead of serial hash-lookup gathers
+    (~15 ms -> ~1 ms per frame on v5e). (3,) = one shared origin; (B, 3) =
+    batched frames, where every stream's ray axis must split into B equal
+    per-frame chunks of whole ray tiles (each chunk resolves against its own
+    frame's cube; violations fall back to the hash path). Sharded callers may
+    also pass origins — ownership filtering rides the cube cells. Pass None
+    to force the hash path.
 
     `shard_id`/`num_shards`: spatial sharding by block-hash ownership —
     entries whose block hashes to another shard are dropped here and applied

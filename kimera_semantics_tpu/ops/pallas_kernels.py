@@ -274,7 +274,7 @@ def _slot_kernel(params_s, cube_ref, runk_ref, runidx_ref, local_ref,
                  k2_ref, key_ref, w_out, wsdf_out, cnt_out, vout, runslot_ref,
                  slot_scr,
                  *, MAXR, side, E, ext, v3, cap, lab_shift, trunc,
-                 gate_near, pad, trash, tiles_per_frame):
+                 gate_near, pad, trash, tiles_per_frame, two_level):
     f32 = jnp.float32
     # Batched streams concatenate B frames along the ray axis in equal
     # chunks, so each ray tile belongs to exactly one frame — its cube was
@@ -291,14 +291,47 @@ def _slot_kernel(params_s, cube_ref, runk_ref, runidx_ref, local_ref,
     cidx = jnp.where(in_c, (bx * side + by) * side + bz, -1)
 
     T = rk.shape[1]
-    cube = cube_ref[0]                                  # (1, pad) f32
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, pad), 1)
-    for m in range(MAXR):
-        # Masked lane-reduction gather: exactly one lane matches (or none).
-        match = iota == cidx[m][:, None]
-        sl = jnp.max(jnp.where(match, jnp.broadcast_to(cube, (T, pad)),
-                               f32(-1.0)), axis=1)      # (T,)
-        slot_scr[m, :] = sl.astype(jnp.int32)
+    if two_level:
+        # Two-level MXU gather (round-3 tail plan): cell index = row * 128 +
+        # lane over the TRANSPOSED cube (128, RSUB). Row selection is a
+        # one-hot MXU contraction (exactly one active term per output, so
+        # any precision is exact given the bf16 hi/lo value split — slots
+        # < 2^17 split exactly); lane selection is a masked cross-sublane
+        # reduce. ~30x fewer VPU ops than the flat (T, pad) lane reduction
+        # (which costs O(T * side^3) compares per run row).
+        cube_t = cube_ref[0]                            # (128, RSUB) f32
+        RSUB = cube_t.shape[1]
+        chi = cube_t.astype(jnp.bfloat16)
+        clo = (cube_t - chi.astype(f32)).astype(jnp.bfloat16)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (RSUB, T), 0)
+        siota = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0)
+        dn = (((1,), (0,)), ((), ()))
+        for m in range(MAXR):
+            hi = cidx[m] >> 7                           # (T,) -1 stays -1
+            lo = cidx[m] & 127
+            oh = (riota == hi[None, :]).astype(jnp.bfloat16)   # (RSUB, T)
+            picked = jax.lax.dot_general(
+                chi, oh, dimension_numbers=dn,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f32)
+            picked = picked + jax.lax.dot_general(
+                clo, oh, dimension_numbers=dn,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f32)             # (128, T)
+            sl = jnp.max(jnp.where(siota == lo[None, :], picked, f32(-2.0)),
+                         axis=0)                        # (T,)
+            sl = jnp.where(cidx[m] >= 0, sl, f32(-1.0))
+            slot_scr[m, :] = sl.astype(jnp.int32)
+    else:
+        cube = cube_ref[0]                              # (1, pad) f32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, pad), 1)
+        for m in range(MAXR):
+            # Masked lane-reduction gather: exactly one lane matches (or
+            # none).
+            match = iota == cidx[m][:, None]
+            sl = jnp.max(jnp.where(match, jnp.broadcast_to(cube, (T, pad)),
+                                   f32(-1.0)), axis=1)  # (T,)
+            slot_scr[m, :] = sl.astype(jnp.int32)
 
     # Broadcast run slots to steps (at most one run row matches per step).
     ridx = runidx_ref[:]                                # (S, T)
@@ -364,20 +397,37 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
     labs2 = jnp.stack([labels.astype(jnp.int32),
                        informative.astype(jnp.int32)])
 
+    # Two-level MXU gather needs the bf16 hi/lo value split to be exact
+    # (slots < 2^17) and the transposed cube's sublane rows to fit one
+    # 128-row tile. Falls back to the flat lane reduction otherwise.
+    two_level = (g.block_capacity + 1 < (1 << 17)) and pad <= 128 * 128
+    if two_level:
+        rsub = max(8, ((pad + 127) // 128 + 7) // 8 * 8)  # sublane-tile mult
+        # cube_t[b, l, r] = cube[b, r*128 + l] (pad to rsub full rows).
+        cube_in = jnp.transpose(
+            jnp.pad(cube_vals, ((0, 0), (0, rsub * 128 - pad)),
+                    constant_values=-1.0).reshape(B, rsub, 128), (0, 2, 1))
+        cube_spec = pl.BlockSpec((1, 128, rsub),
+                                 lambda i, m: (i // tiles_per_frame, 0, 0))
+    else:
+        cube_in = cube_vals[:, None, :]
+        # cube: (B, 1, pad) — the (1, pad) trailing shape matches the array
+        # dims exactly (Mosaic full-dim rule)
+        cube_spec = pl.BlockSpec((1, 1, pad),
+                                 lambda i, m: (i // tiles_per_frame, 0, 0))
+
     kernel = functools.partial(
         _slot_kernel, MAXR=MAXR, side=side, E=E, ext=g.world_extent_blocks,
         v3=g.vps3, cap=g.block_capacity, lab_shift=lab_shift,
         trunc=t.truncation_distance, gate_near=gate_near, pad=pad,
-        trash=np.int32(0x7FFFFFFF), tiles_per_frame=tiles_per_frame)
+        trash=np.int32(0x7FFFFFFF), tiles_per_frame=tiles_per_frame,
+        two_level=two_level)
 
     bs = lambda s: pl.BlockSpec((s, tile), lambda i, m: (0, i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // tile,),
-        in_specs=[pl.BlockSpec((1, 1, pad),
-                               lambda i, m: (i // tiles_per_frame, 0, 0)),
-                  # cube: (B, 1, pad) — the (1, pad) trailing shape matches
-                  # the array dims exactly (Mosaic full-dim rule)
+        in_specs=[cube_spec,
                   bs(MAXR), bs(S), bs(S),                     # runk/idx/local
                   bs(S), bs(S), bs(S), bs(S),                 # w/wsdf/wc/valid
                   bs(2)],                                     # labels/inform
@@ -396,7 +446,7 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, cube_vals[:, None, :], run_key, run_idx, local, w, wsdf, wc,
+    )(params, cube_in, run_key, run_idx, local, w, wsdf, wc,
       step_valid.astype(jnp.int32), labs2)
     return k2, w_m, wsdf_off, cnt, key, vu.astype(bool), run_slots
 

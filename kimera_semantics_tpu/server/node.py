@@ -204,6 +204,22 @@ def _build(args):
     io_vps = args.voxels_per_side if storage_vps != args.voxels_per_side else 0
     cap_scale = (args.voxels_per_side // storage_vps) ** 3
     block_capacity = args.block_capacity * cap_scale
+    # The segment-scatter / cube-LUT fast paths need the combined
+    # (voxel, label) key — ((capacity+1) * vps^3) << ceil(log2(L)) — to fit
+    # int32 (ops/integrate.py). A silently disabled fast path is a 10x+
+    # perf cliff, so clamp the auto-scaled capacity to the key budget and
+    # say so (ADVICE r2).
+    lab_shift = max(1, (max(2, lmap.num_labels) - 1).bit_length())
+    cap_budget = ((2 ** 31 >> lab_shift) // storage_vps ** 3 - 1) // 8 * 8
+    if block_capacity > cap_budget > 0:
+        print(f"warning: block_capacity={block_capacity} (auto-scaled x"
+              f"{cap_scale} for storage tiling) exceeds the int32 "
+              f"(voxel,label) segment-key budget with {lmap.num_labels} "
+              f"labels — clamping to {cap_budget} to keep the "
+              "segment-scatter/cube-LUT fast paths enabled "
+              "(--block-capacity to override the pre-scale value)",
+              file=sys.stderr)
+        block_capacity = cap_budget
     sem_gb = (lmap.num_labels * (block_capacity + 8)
               * storage_vps ** 3 * 4 / 2 ** 30)
     if sem_gb > 8.0:

@@ -173,7 +173,8 @@ class SemanticTsdfServer:
                         "frame": count,
                         "t_wall_s": round(time.perf_counter() - t0, 4),
                         "blocks": int(self.grid.n_blocks),
-                        "overflow": int(self.grid.overflow)}) + "\n")
+                        "overflow": int(self.grid.overflow),
+                        "dropped_rays": int(self.grid.dropped_rays)}) + "\n")
         finally:
             if sink is not None:
                 sink.close()
@@ -347,6 +348,7 @@ class SemanticTsdfServer:
             "frames": self._frames_integrated,
             "blocks": int(self.grid.n_blocks),
             "overflow": int(self.grid.overflow),
+            "dropped_rays": int(self.grid.dropped_rays),
             "observed_voxels": int(np.asarray(
                 (self.grid.wsum[:-1] > 0).sum())),
         }

@@ -58,6 +58,7 @@ def validate_grid(grid: VoxelGrid, cfg: FusionConfig) -> dict:
     nb = int(grid.n_blocks)
     _check(0 <= nb <= cap, f"H1: n_blocks {nb} outside [0, {cap}]")
     _check(int(grid.overflow) >= 0, "H1: negative overflow")
+    _check(int(grid.dropped_rays) >= 0, "H1: negative dropped_rays")
 
     tk = np.asarray(grid.table_keys)
     ts = np.asarray(grid.table_slots)
@@ -115,5 +116,6 @@ def validate_grid(grid: VoxelGrid, cfg: FusionConfig) -> dict:
                "P1: normalized posterior label vectors are not unit-norm")
 
     return {"n_blocks": nb, "overflow": int(grid.overflow),
+            "dropped_rays": int(grid.dropped_rays),
             "observed_voxels": int((wsum > 0).sum()),
             "table_load": float(len(slots) / len(tk))}

@@ -45,6 +45,7 @@ def test_bench_smoke(method):
     assert out["value"] > 0
     assert out["metric"].startswith(method)
     assert out["overflow"] == 0
+    assert out["dropped_rays"] == 0
     assert out["blocks_allocated"] > 0
     assert out["voxel_updates_per_s"] > 0
 

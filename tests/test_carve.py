@@ -85,7 +85,10 @@ class TestDecimatedAccuracy:
         _, frames, _ = dataset
         cfg = make_cfg(carve_budget=64)  # deliberately starved
         g = run_frames(cfg, frames)
-        assert int(g.overflow) > 0
+        # Budget truncation of carve jobs is input subsampling, not grid-state
+        # incompleteness — counted in dropped_rays (grid/blocks.py contract).
+        assert int(g.dropped_rays) > 0
+        assert int(g.overflow) == 0
 
     def test_merged_decimated_runs(self, dataset):
         _, frames, _ = dataset

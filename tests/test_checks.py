@@ -48,8 +48,8 @@ def test_integrated_grid_passes(kind):
 def test_empty_grid_passes():
     cfg = small_cfg()
     stats = checks.validate_grid(blocks.create(cfg), cfg)
-    assert stats == {"n_blocks": 0, "overflow": 0, "observed_voxels": 0,
-                     "table_load": 0.0}
+    assert stats == {"n_blocks": 0, "overflow": 0, "dropped_rays": 0,
+                     "observed_voxels": 0, "table_load": 0.0}
 
 
 def test_corruptions_detected():

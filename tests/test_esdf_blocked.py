@@ -74,6 +74,35 @@ def test_blocked_matches_brute_force_euclidean():
     assert float(err.max()) < v, f"max ESDF error {err.max():.4f} >= voxel"
 
 
+def test_neighbor_tables_match_dict_and_scale():
+    """The vectorized sort/searchsorted table build (VERDICT r2 item 7) must
+    (a) agree with the naive dict construction, (b) build 20k-block tables in
+    well under a second (the dict loops took seconds at this scale)."""
+    import time
+    rng = np.random.RandomState(7)
+    ext = 512
+    # Dense-ish cluster so real neighbors exist at every level.
+    coords = np.unique(rng.randint(-40, 40, size=(20000, 3)).astype(np.int32),
+                       axis=0)
+    nb = len(coords)
+    ks = [1, 2, 4]
+    t0 = time.perf_counter()
+    tables = esdf_ops.neighbor_tables(coords, ks, ext)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"table build took {dt:.2f}s at {nb} blocks"
+    own = {tuple(c): i for i, c in enumerate(coords)}
+    sample = rng.choice(nb, size=500, replace=False)
+    for k in ks:
+        t = tables[k]
+        for a in range(3):
+            for si, sgn in enumerate((1, -1)):
+                off = np.zeros(3, np.int32)
+                off[a] = sgn * k
+                for i in sample:
+                    exp = own.get(tuple(coords[i] + off), nb)
+                    assert t[i, a * 2 + si] == exp, (k, a, si, i)
+
+
 def test_corridor_memory_is_block_sparse():
     """A 100 m corridor (diagonal line of blocks) must cost O(blocks), not
     O(AABB^3): the round-1 dense path would materialize 63^3 = 250k blocks
