@@ -95,15 +95,24 @@ def main():
                             # more accurate than "decimated" at this config
                             # (33.5 vs 21.8 fps B=1; 4.3 vs ~5 mm).
                             carve_mode=os.environ.get("BENCH_CARVE_MODE",
-                                                      "projective")),
+                                                      "projective"),
+                            # "matched" thins band candidates to the
+                            # reference's exact dedup density (config.py
+                            # band_density) — ~2x smaller fast-path streams
+                            band_density=os.environ.get("BENCH_BAND",
+                                                        "octave")),
             semantic=SemanticConfig(semantic_measurement_probability=0.8),
             pipeline=PipelineConfig(
                 max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
                 dedup_table_size=1 << 20,
                 scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
-                # the (voxel,label) segment budget scales with the number of
-                # frames fused per dispatch
-                segment_budget=(1 << 18) * max(1, bench_batch),
+                # The post-reduce scatters walk the FULL static budget
+                # serially (~11 ns/index x 4 channels — measured r3: the
+                # (1<<18)*B budget alone cost ~92 ms/dispatch at B=8), while
+                # unique (voxel,label) segments barely grow with B (fused
+                # frames overlap). Size to the scene, not the stream;
+                # grid.overflow counts any spill.
+                segment_budget=int(os.environ.get("BENCH_SEG", str(1 << 18))),
                 alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
                 block_budget=int(os.environ.get(
                     "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),

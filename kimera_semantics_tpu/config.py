@@ -166,6 +166,20 @@ class TsdfConfig:
     #     ApproxHashSet approximates), with no multi-million-entry
     #     sort/scan stream (models/fast.py _maybe_projective_carve).
     carve_mode: str = "decimated"
+    # Banded-mode ray selection density (ops/carve.py band_octave_keep):
+    #   "octave" (default): keep the center pixel of each k x k group with
+    #     k = floor-pow2(T/d) — CONSERVATIVE: between octaves the kept
+    #     density overshoots the reference's 1-ray-per-dedup-cell rate by
+    #     up to 4x (measured ~2.1x mean at the canonical config), which is
+    #     why the canonical scene needs a ~58k ray budget for zero drops.
+    #   "matched": additionally thin each group's candidate with
+    #     probability (k/(T/d))^2 via a per-group hash salted by the camera
+    #     pose — EXACTLY the reference's expected density (1 per
+    #     voxel/subsampling_factor cell, _fast.cpp:87-91), temporally
+    #     dithered instead of first-come-wins. ~2x smaller band streams;
+    #     a cell may skip a given frame (P~0.3) but coverage converges
+    #     geometrically over frames.
+    band_density: str = "octave"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,7 +66,12 @@ def _band_prepare(frame, cfg, intr):
     of the pixel count."""
     (pts_C, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
-    keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr)
+    # Pose-derived salt for the matched-density thinning hash (temporal
+    # dithering — a cell skipped this frame is picked up on later frames).
+    ob = jax.lax.bitcast_convert_type(origin, jnp.int32)
+    salt = ob[0] ^ (ob[1] << 1) ^ (ob[2] << 2)
+    keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr,
+                                      salt=salt)
     n_dropped = jnp.maximum(
         0, jnp.sum(keep.astype(jnp.int32)) - cfg.pipeline.max_rays)
     kept, pts_G, colors, labels, weights, is_clearing = common.compact(

@@ -270,7 +270,8 @@ def carve_jobs(depth: jnp.ndarray, labels_img: jnp.ndarray,
 
 
 def band_octave_keep(pts_C: jnp.ndarray, valid: jnp.ndarray,
-                     cfg: FusionConfig, intr: PinholeIntrinsics):
+                     cfg: FusionConfig, intr: PinholeIntrinsics,
+                     salt=None):
     """Deterministic octave replacement for the start-voxel dedup
     (decimated mode).
 
@@ -283,13 +284,23 @@ def band_octave_keep(pts_C: jnp.ndarray, valid: jnp.ndarray,
     center pixel of each k x k group wins. Identical selected-ray density,
     deterministic, and O(1) elementwise — no hash-table scatter/gather chain
     (~7 ms/frame on v5e at 307k pixels, measured round 2).
+
+    TsdfConfig.band_density == "matched" (config.py): the floor-pow2 k
+    under-decimates by r^2 = (T/(d*k))^2 in [1, 4) between octaves; each
+    group's single candidate is additionally kept with probability 1/r^2
+    via a per-group hash mixed with `salt` (pose-derived, models/fast.py) —
+    expected density exactly the reference's, temporally dithered. Because
+    each k x k group has exactly ONE candidate (its center pixel), the
+    thinning decision is per-candidate and group-consistent by
+    construction.
     """
     H, W = intr.height, intr.width
     t = cfg.tsdf
     T = (cfg.grid.voxel_size * min(intr.fx, intr.fy)
          / max(t.start_voxel_subsampling_factor, 1e-6))
     d = jnp.linalg.norm(pts_C, axis=-1)
-    kl = jnp.floor(jnp.log2(jnp.float32(T) / jnp.maximum(d, 1e-3)))
+    kexact = jnp.float32(T) / jnp.maximum(d, 1e-3)
+    kl = jnp.floor(jnp.log2(kexact))
     kl = jnp.clip(kl, 0.0, float(int(math.log2(cfg.pipeline.carve_k_max)))
                   ).astype(jnp.int32)
     k = jnp.left_shift(jnp.int32(1), kl)
@@ -300,6 +311,22 @@ def band_octave_keep(pts_C: jnp.ndarray, valid: jnp.ndarray,
     half = jnp.right_shift(k, 1)
     km1 = k - 1
     keep = ((u & km1) == half) & ((v & km1) == half)
+    if t.band_density == "matched":
+        if salt is None:
+            salt = jnp.int32(0)
+        # Residual oversampling of the pow2 floor; >= 1 by construction of
+        # kl (clamped: r2 < 1 beyond the k_max octave must not thin).
+        r2 = jnp.clip((kexact / k.astype(jnp.float32)) ** 2, 1.0, None)
+        gu = jnp.right_shift(u, kl)
+        gv = jnp.right_shift(v, kl)
+        h = (gu * jnp.int32(-1640531527)            # 0x9E3779B9
+             ^ gv * jnp.int32(-2048144789)          # 0x85EBCA6B
+             ^ (kl * jnp.int32(0x27D4EB2F)) ^ salt)
+        h = h ^ (h >> 15)
+        h = h * jnp.int32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        u16 = (h & jnp.int32(0xFFFF)).astype(jnp.float32)
+        keep = keep & (u16 * r2 < jnp.float32(65536.0))
     return valid & keep
 
 

@@ -56,17 +56,20 @@ class MultiHostPipeline:
     device globally, integrates into the sharded grid, optionally meshes."""
 
     def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics,
-                 mesh=None, method: str = "fast"):
+                 mesh=None, method: str = "fast", label_map=None):
         if method not in ("fast", "projective"):
             raise ValueError(f"unknown sharded method {method!r}")
         self.cfg = cfg
         self.intr = intr
+        self.label_map = label_map
         self.mesh = mesh if mesh is not None else sharding.make_mesh()
         self.sgrid = sharding.create_sharded(cfg, self.mesh)
         self.steps = 0
         self._step_fn = (sharding.integrate_frames_sharded_projective
                          if method == "projective"
                          else sharding.integrate_frames_sharded)
+        self.mirror = None      # lazy (ShardMirror + MeshLayerCache)
+        self.mesh_cache = None
 
     @property
     def frames_per_step(self) -> int:
@@ -101,4 +104,39 @@ class MultiHostPipeline:
         return self.sgrid
 
     def merged_grid(self):
+        """Full host-side shard merge (one-shot export; the live mesh loop
+        uses the incremental mirror below instead)."""
         return sharding.merge_shards(self.sgrid, self.cfg)
+
+    # -- incremental meshing (VERDICT r2 item 5) ---------------------------
+
+    def _ensure_mirror(self):
+        if self.mirror is None:
+            from ..server import viz
+            self.mirror = sharding.ShardMirror(self.cfg,
+                                               self.mesh.devices.size)
+            self.mesh_cache = viz.MeshLayerCache()
+
+    def update_mesh(self):
+        """Incremental mesh cycle: sync only shard rows updated since the
+        last call into the host mirror, re-mesh exactly those blocks, and
+        replace them in the MeshLayerCache (voxblox MeshLayer semantics —
+        per-cycle work and device->host traffic scale with updated blocks).
+        Returns the full growing Mesh."""
+        from ..ops import mesh as mesh_ops
+        self._ensure_mirror()
+        self.sgrid = self.mirror.sync(self.sgrid)
+        out = mesh_ops.extract_mesh(self.mirror.grid, self.mirror.cfg,
+                                    self.label_map, only_updated=True,
+                                    return_blocks=True)
+        m, meshed_rows, tri_rows = out
+        self.mesh_cache.update(m, meshed_rows, tri_rows)
+        self.mirror.clear_updated()
+        return self.mesh_cache.full_mesh()
+
+    def full_grid(self):
+        """Complete (all allocated rows) sync of the mirror — final export /
+        save path. Returns (VoxelGrid, merged FusionConfig)."""
+        self._ensure_mirror()
+        self.sgrid = self.mirror.sync(self.sgrid, all_rows=True)
+        return self.mirror.grid, self.mirror.cfg

