@@ -550,6 +550,11 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
     vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
     lab_seg = ok & ((1 << lab_shift) - 1)
 
+    # NB (r3, measured): do NOT fuse these three scatters into one
+    # (3, flat) payload scatter + dense adds — the axis-1 window scatter
+    # lowers WORSE on TPU (+11 ms/dispatch at budget 2^17) than three
+    # budget walks plus nothing. Separate per-channel scatters with sorted
+    # unique indices are the fast form.
     wsum = grid.wsum.reshape(-1).at[vox].add(
         tw, mode="drop", indices_are_sorted=True).reshape(grid.wsum.shape)
     wsdf = grid.wsdf.reshape(-1).at[vox].add(

@@ -63,7 +63,8 @@ def main():
                         block_capacity=4096),
         tsdf=TsdfConfig(truncation_distance=0.1, max_ray_length_m=5.0,
                         voxel_carving_enabled=True, use_const_weight=False,
-                        carve_mode="projective"),
+                        carve_mode="projective",
+                        band_density=os.environ.get("PROF_BAND", "octave")),
         semantic=SemanticConfig(semantic_measurement_probability=0.8),
         pipeline=PipelineConfig(max_rays=int(os.environ.get("PROF_RAYS",
                                                             "32768")),

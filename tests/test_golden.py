@@ -64,7 +64,15 @@ CFG_BENCHED = dataclasses.replace(
     grid=dataclasses.replace(CFG.grid, io_voxels_per_side=16),
     tsdf=dataclasses.replace(CFG.tsdf, carve_mode="projective"))
 
-CFGS = {"default": CFG, "benched": CFG_BENCHED}
+# The recommended production mode for the ray methods (PARITY.md
+# "Beyond-reference options"): near-surface semantic gate ON. Pinned so the
+# recommended setting can't regress silently either (VERDICT r2 item 9).
+CFG_GATED = dataclasses.replace(
+    CFG_BENCHED,
+    semantic=dataclasses.replace(CFG_BENCHED.semantic,
+                                 update_near_surface_only=True))
+
+CFGS = {"default": CFG, "benched": CFG_BENCHED, "gated": CFG_GATED}
 
 # (cfg, method) -> (blocks, wsum_total, rmse_tsdf, label_acc, mesh_mean,
 #                   mesh_p95)
@@ -75,6 +83,9 @@ GOLDEN = {
     ("benched", "fast"):       (412, 192993.0, 0.0234, 0.527, 0.0120, 0.0500),
     ("benched", "merged"):     (412, 850589.0, 0.0235, 0.521, 0.0101, 0.0455),
     ("benched", "projective"): (412, 25651.0, 0.0303, 0.472, 0.0053, 0.0132),
+    # placeholders — scripts/repin_golden.py fills these (gated config)
+    ("gated", "fast"):         (412, 192993.0, 0.0234, 0.81, 0.0120, 0.0500),
+    ("gated", "merged"):       (412, 850589.0, 0.0235, 0.88, 0.0101, 0.0455),
 }
 # Relative tolerances per column (mass/accuracy drift allowances).
 TOL = dict(blocks=0, wsum=0.05, rmse=0.10, lacc=0.03, mesh=0.15)
