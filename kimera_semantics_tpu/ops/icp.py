@@ -46,11 +46,15 @@ def sample_tsdf(grid: VoxelGrid, cfg: FusionConfig, points: jnp.ndarray):
                 block, lin = gblocks.voxel_to_block_local(corner, vps)
                 slots = gblocks.lookup_slots(grid, block, g)
                 keys = slots * v3 + lin
+                # Missing blocks resolve to the trash tile, which holds
+                # GARBAGE on the Pallas RMW path (uninitialized buffers) —
+                # read it as unobserved (weight 0) so out_w masks the sample.
+                ok = slots < cap
                 wgt = ((dx + (1 - 2 * dx) * (1 - frac[..., 0])) *
                        (dy + (1 - 2 * dy) * (1 - frac[..., 1])) *
                        (dz + (1 - 2 * dz) * (1 - frac[..., 2])))
-                out_d = out_d + wgt * dist_flat[keys]
-                out_w = jnp.minimum(out_w, w_flat[keys])
+                out_d = out_d + wgt * jnp.where(ok, dist_flat[keys], 0.0)
+                out_w = jnp.minimum(out_w, jnp.where(ok, w_flat[keys], 0.0))
     return out_d, jnp.where(jnp.isfinite(out_w), out_w, 0.0)
 
 

@@ -147,7 +147,15 @@ def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
 
     dist = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
     sdf = _padded_channel(dist, safe_slots, nbr_slots, V)          # (K,V+1)^3
-    wgt = _padded_channel(grid.wsum, safe_slots, nbr_slots, V)
+    # Missing neighbors resolve to the trash tile, whose rows hold GARBAGE
+    # by contract on the Pallas RMW path (uninitialized output buffers —
+    # zero on a fresh process, recycled HBM otherwise; observed r3 as 13k
+    # phantom triangles at block borders). Gate the weight lattice so trash
+    # rows always read as unobserved — the `observed` corner gate then
+    # suppresses every face that would touch them.
+    row_ok = (jnp.arange(grid.wsum.shape[0]) < cap)[:, None]
+    wgt = _padded_channel(jnp.where(row_ok, grid.wsum, 0.0),
+                          safe_slots, nbr_slots, V)
     cols = [_padded_channel(render_color[c], safe_slots, nbr_slots, V)
             for c in range(3)]
 

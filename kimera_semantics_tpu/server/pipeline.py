@@ -349,6 +349,8 @@ class SemanticTsdfServer:
             "blocks": int(self.grid.n_blocks),
             "overflow": int(self.grid.overflow),
             "dropped_rays": int(self.grid.dropped_rays),
+            # allocated rows only: the trash tile holds garbage by contract
+            # on the Pallas RMW path (uninitialized buffers)
             "observed_voxels": int(np.asarray(
-                (self.grid.wsum[:-1] > 0).sum())),
+                (self.grid.wsum[:int(self.grid.n_blocks)] > 0).sum())),
         }

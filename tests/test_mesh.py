@@ -181,3 +181,48 @@ class TestNormals:
         rv2, _, _, rn2 = ply_io.read_ply(path2, with_normals=True)
         np.testing.assert_array_equal(rv2, m.vertices)
         assert rn2 is None
+
+
+class TestTrashRowPoison:
+    """The grid's trash tile holds GARBAGE by contract on the Pallas RMW
+    path (uninitialized buffers — r3 found 13k phantom border triangles and
+    ICP reading unobserved space when recycled HBM left nonzero values).
+    Readers must never trust it: poisoning the trash rows must change
+    nothing observable."""
+
+    def _poison(self, g):
+        import dataclasses
+        cap = g.wsum.shape[0] - 8
+        poison = lambda a: a.at[..., cap:, :].set(7.7e5)
+        # wsdf NEGATIVE: dist = clamp(wsdf/wsum) = -trunc, i.e. "inside
+        # surface" — the adversarial garbage that fabricates zero crossings
+        # (positive garbage would silently produce no faces).
+        return dataclasses.replace(
+            g, wsum=poison(g.wsum), wsdf=g.wsdf.at[..., cap:, :].set(-7.7e5),
+            sem_count=poison(g.sem_count), sem_delta=poison(g.sem_delta),
+            wcolor=poison(g.wcolor))
+
+    def _grid(self):
+        cfg = make_cfg()
+        return cfg, sphere_grid(cfg, radius=1.0)
+
+    def test_mesh_ignores_trash_rows(self):
+        cfg, g = self._grid()
+        lm = LabelColorMap.random()
+        clean = mesh_ops.extract_mesh(g, cfg, label_map=lm)
+        dirty = mesh_ops.extract_mesh(self._poison(g), cfg, label_map=lm)
+        assert clean.num_triangles == dirty.num_triangles
+        np.testing.assert_array_equal(clean.vertices, dirty.vertices)
+
+    def test_icp_masks_trash_rows(self):
+        import jax.numpy as jnp
+        from kimera_semantics_tpu.ops import icp as icp_ops
+        cfg, g = self._grid()
+        # Sample points straddling allocated and unallocated space.
+        rng = np.random.RandomState(3)
+        pts = jnp.asarray(rng.uniform(-3, 3, size=(512, 3)).astype(np.float32))
+        d0, w0 = icp_ops.sample_tsdf(g, cfg, pts)
+        d1, w1 = icp_ops.sample_tsdf(self._poison(g), cfg, pts)
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(d0 * (w0 > 0)),
+                                      np.asarray(d1 * (w1 > 0)))
