@@ -44,7 +44,10 @@ def main():
     for cfgname, cfg in CFGS.items():
         for method in ("fast", "merged", "projective"):
             g = integrate(cfg, method, frames, ds.intr)
-            errs = sim_eval.compare_to_world(g, cfg, world)
+            band = (cfg.tsdf.truncation_distance
+                    if cfg.semantic.update_near_surface_only else None)
+            errs = sim_eval.compare_to_world(g, cfg, world,
+                                             surface_band=band)
             m = mesh_ops.extract_mesh(g, cfg, label_map=lm)
             me = sim_eval.mesh_surface_error(m.vertices, world)
             wsum_total = float(jnp.sum(g.wsum[:int(g.n_blocks)]))
