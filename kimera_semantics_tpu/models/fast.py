@@ -157,6 +157,30 @@ def _maybe_projective_carve(grid: VoxelGrid, frame: common.Frame,
                                   intr, plan, region="carve")
 
 
+def _projective_carve_batched(grid: VoxelGrid, frames: common.Frame,
+                              cfg: FusionConfig, intr: PinholeIntrinsics
+                              ) -> VoxelGrid:
+    """B frames' dense free-space carves with ONE batched allocation
+    (models/projective.py allocate_from_atlases_batched) — replaces the B
+    sequential _maybe_projective_carve chains in the batched integrators
+    (the per-frame alloc chain is op-count-bound, docs/DESIGN.md r3)."""
+    from ..ops import mip as mip_ops
+    from . import projective as proj_model
+    plan = mip_ops.make_plan(intr.height, intr.width,
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
+    atlases = jax.vmap(
+        lambda d, l, c: mip_ops.build_atlas(d, l, c, plan))(
+            frames.depth, frames.labels, frames.colors)
+    grid, fc, fs, fr = proj_model.allocate_from_atlases_batched(
+        grid, atlases, frames.T_G_C, cfg, intr, plan)
+    B = frames.depth.shape[0]
+    for b in range(B):
+        grid = proj_model.apply_frame(grid, atlases[b], frames.T_G_C[b],
+                                      fc[b], fs[b], fr[b], cfg, intr, plan,
+                                      region="carve")
+    return grid
+
+
 class FastSemanticTsdfIntegrator:
     """Object-style API mirroring the reference class (factory-compatible)."""
 
@@ -188,13 +212,11 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     B = frames.depth.shape[0]
     if (cfg.tsdf.carve_mode == "projective"
             and cfg.tsdf.voxel_carving_enabled):
-        # Dense carves chain through the hash table (sequential); the band
-        # prepare is grid-independent — ONE vmapped prepare over the batch
-        # (B x fewer op launches than a per-frame loop; bitwise-identical
-        # per-frame math).
-        for b in range(B):
-            f = jax.tree.map(lambda x, _b=b: x[_b], frames)
-            grid = _maybe_projective_carve(grid, f, cfg, intr)
+        # Dense carves with ONE batched allocation; the band prepare is
+        # grid-independent — ONE vmapped prepare over the batch (B x fewer
+        # op launches than a per-frame loop; bitwise-identical per-frame
+        # math).
+        grid = _projective_carve_batched(grid, frames, cfg, intr)
         bands, origins, band_drops = jax.vmap(
             lambda f: _band_prepare(f, cfg, intr))(frames)
         grid = dataclasses.replace(

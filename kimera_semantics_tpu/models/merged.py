@@ -313,13 +313,11 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     R = cfg.pipeline.max_rays
     if (cfg.tsdf.carve_mode == "projective"
             and cfg.tsdf.voxel_carving_enabled):
-        # Sequential dense carves (hash-table chaining), ONE vmapped
+        # Batched dense carves (one union allocation), ONE vmapped
         # bundling/vote prepare across the batch (see models/fast.py
         # integrate_frames).
-        from .fast import _maybe_projective_carve
-        for b in range(B):
-            f = jax.tree.map(lambda x, _b=b: x[_b], frames)
-            grid = _maybe_projective_carve(grid, f, cfg, intr)
+        from .fast import _projective_carve_batched
+        grid = _projective_carve_batched(grid, frames, cfg, intr)
         bands, sems_v, drops, origins = jax.vmap(
             lambda f: _bundle_prepare(f, cfg, intr))(frames)
         band = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), bands)

@@ -105,6 +105,11 @@ def main(only=None):
         lambda g, f: projective.integrate_frame(g, f, cfg_p, INTR),
         grid_struct(cfg_p), frame_struct())
 
+    entries["projective_b8"] = lambda: check(
+        "projective.integrate_frames B=8",
+        lambda g, f: projective.integrate_frames(g, f, cfg_p, INTR),
+        grid_struct(cfg_p), frame_struct(batch=8))
+
     cfg_f = bench_cfg(carve_mode="projective")
     entries["fast"] = lambda: check(
         "fast.integrate_frame (projective carve)",

@@ -144,6 +144,36 @@ def main():
     print(f"{'atlas+alloc (donated)':<24} {dt*1000:8.3f} ms/frame",
           flush=True)
 
+    # Alloc sub-stages: candidate block-DDA alone vs the frame-list insert.
+    @jax.jit
+    def cands(f):
+        atlas = mip_ops.build_atlas(f.depth, f.labels, f.colors, plan)
+        return proj.candidates_from_atlas(atlas, f.T_G_C, cfg, intr, plan)
+    run("atlas+candidates", cands)
+    keys0, act0 = jax.block_until_ready(cands(frames[0]))
+
+    from kimera_semantics_tpu.grid import hash as bhash
+    gc = cfg.grid
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def ins(tk, ts, bc, nb, keys, act):
+        return bhash.insert_frame_list(
+            tk, ts, bc, nb, keys.reshape(-1), act.reshape(-1),
+            gc.table_size, gc.block_capacity, gc.world_extent_blocks,
+            cfg.pipeline.block_budget)
+    g2 = blocks.create(cfg)
+    state = (g2.table_keys, g2.table_slots, g2.block_coords, g2.n_blocks)
+    out = ins(*state, keys0, act0)
+    jax.block_until_ready(out[0])
+    state = out[:4]
+    t0 = time.perf_counter()
+    for _ in range(n - 1):
+        out = ins(*state, keys0, act0)
+        state = out[:4]
+    jax.block_until_ready(out[0])
+    dt = (time.perf_counter() - t0) / (n - 1)
+    print(f"{'insert_frame_list':<24} {dt*1000:8.3f} ms/frame", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -381,8 +381,19 @@ class TestBatchedProjective:
         g_bat = proj_model.integrate_frames(blocks.create(cfg), batched, cfg,
                                             INTR)
         assert int(g_bat.n_blocks) == int(g_seq.n_blocks) > 0
-        for name in ("wsum", "wsdf", "sem_count", "sem_delta", "wcolor"):
+        # Compare per-coordinate: the batched union allocation assigns slot
+        # ids in a different (union-hash) order than sequential insertion —
+        # the per-voxel state keyed by block coords must be identical.
+        coords = np.asarray(g_seq.block_coords)[:int(g_seq.n_blocks)]
+        ss = blocks.lookup_slots(g_seq, jnp.asarray(coords), cfg.grid)
+        sb = blocks.lookup_slots(g_bat, jnp.asarray(coords), cfg.grid)
+        for name in ("wsum", "wsdf", "sem_count"):
             np.testing.assert_allclose(
-                np.asarray(getattr(g_bat, name)),
-                np.asarray(getattr(g_seq, name)), rtol=1e-6, atol=1e-6,
-                err_msg=name)
+                np.asarray(getattr(g_bat, name))[np.asarray(sb)],
+                np.asarray(getattr(g_seq, name))[np.asarray(ss)],
+                rtol=1e-6, atol=1e-6, err_msg=name)
+        for name in ("sem_delta", "wcolor"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_bat, name))[:, np.asarray(sb)],
+                np.asarray(getattr(g_seq, name))[:, np.asarray(ss)],
+                rtol=1e-6, atol=1e-6, err_msg=name)
