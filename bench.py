@@ -47,6 +47,7 @@ def main():
     from kimera_semantics_tpu.models import fast
 
     bench_batch = int(os.environ.get("BENCH_BATCH", "1"))
+    bench_method = os.environ.get("BENCH_METHOD", "projective")
     # BENCH_SMOKE=1: tiny geometry so the whole driver (arg plumbing, warmup,
     # timing loop, update counter, mesh tail, JSON output) runs in seconds on
     # CPU — exercised by tests/test_bench_smoke.py. Numbers are meaningless.
@@ -96,14 +97,25 @@ def main():
                             # (33.5 vs 21.8 fps B=1; 4.3 vs ~5 mm).
                             carve_mode=os.environ.get("BENCH_CARVE_MODE",
                                                       "projective"),
-                            # "matched" thins band candidates to the
-                            # reference's exact dedup density (config.py
-                            # band_density) — ~2x smaller fast-path streams
-                            band_density=os.environ.get("BENCH_BAND",
-                                                        "octave")),
+                            # fast defaults to "matched": the reference's
+                            # exact dedup density (config.py band_density) —
+                            # ~2x smaller band streams and the measured
+                            # zero-drop operating point (BENCH_METHODS_r03);
+                            # BENCH_BAND=octave selects the conservative
+                            # keep (needs BENCH_RAYS=57344 for zero drops)
+                            band_density=os.environ.get(
+                                "BENCH_BAND",
+                                "matched" if bench_method == "fast"
+                                else "octave")),
             semantic=SemanticConfig(semantic_measurement_probability=0.8),
             pipeline=PipelineConfig(
-                max_rays=int(os.environ.get("BENCH_RAYS", "32768")),
+                # fast's default ray budget covers the matched-density band
+                # keeps with headroom (max 25.0k on the bench sequence —
+                # zero dropped_rays); projective/merged don't read it the
+                # same way (merged: bundle budget, plenty at 32768).
+                max_rays=int(os.environ.get(
+                    "BENCH_RAYS",
+                    "28672" if bench_method == "fast" else "32768")),
                 dedup_table_size=1 << 20,
                 scatter_mode=os.environ.get("BENCH_SCATTER", "segment"),
                 # The post-reduce scatters walk the FULL static budget
@@ -111,8 +123,11 @@ def main():
                 # (1<<18)*B budget alone cost ~92 ms/dispatch at B=8), while
                 # unique (voxel,label) segments barely grow with B (fused
                 # frames overlap). Size to the scene, not the stream;
-                # grid.overflow counts any spill.
-                segment_budget=int(os.environ.get("BENCH_SEG", str(1 << 18))),
+                # grid.overflow counts any spill. Defaults = the measured
+                # zero-overflow operating points (BENCH_METHODS_r03).
+                segment_budget=int(os.environ.get(
+                    "BENCH_SEG",
+                    "98304" if bench_method == "fast" else str(1 << 17))),
                 alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
                 block_budget=int(os.environ.get(
                     "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),
@@ -141,7 +156,7 @@ def main():
     # The projective integrator is this framework's flagship speed path
     # (models/projective.py); "fast"/"merged" are the reference-parity
     # ray-centric integrators, selectable for comparison.
-    method = os.environ.get("BENCH_METHOD", "projective")
+    method = bench_method
     batch = bench_batch
     if method == "merged" and batch > 1:
         # Batched merged path (models/merged.py integrate_frames) — needs a

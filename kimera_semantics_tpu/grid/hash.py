@@ -218,85 +218,6 @@ def unique_keys(keys: jnp.ndarray, active: jnp.ndarray, budget: int):
     return uk, jnp.maximum(0, n_uniq - budget)
 
 
-def _frame_list_from_keys(table_keys, table_slots, keys, active,
-                          table_size: int, capacity: int, extent: int,
-                          budget: int):
-    """Group-aligned touched-block list for ONE frame against an
-    already-updated table (the pure tail of insert_frame_list, split out so
-    insert_frame_lists_batched can vmap it). Returns
-    (fcoords, fslots, freal, n_dropped)."""
-    import numpy as np
-    trash = np.int32(0x7FFFFFFF)
-    k = jnp.where(active, keys, trash)
-    sk = jnp.sort(k)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]]) & (sk != trash)
-    n_uniq = jnp.sum(is_first.astype(jnp.int32))
-    uk = jnp.sort(jnp.where(is_first, sk, trash))[:budget]
-    dropped = jnp.maximum(0, n_uniq - budget)
-    slots_u = lookup(table_keys, table_slots, uk, table_size)
-    real_u = (uk != trash) & (slots_u >= 0)
-    big = jnp.int32(1 << 30)
-    s_sort = jnp.where(real_u, slots_u, big)
-    order = jnp.argsort(s_sort)
-    s = s_sort[order]
-    coords_u = jnp.where(real_u[:, None],
-                         unpack_block_key(uk, extent), 0)[order]
-    isreal = s < big
-    grp = s // 8
-    newg = isreal & jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), grp[1:] != grp[:-1]])
-    grank = jnp.cumsum(newg.astype(jnp.int32)) - 1
-    pos = jnp.where(isreal, grank * 8 + s % 8, budget)
-    group_overflow = jnp.sum((pos >= budget) & isreal)
-    pos = jnp.minimum(pos, budget)
-    n_tiles = budget // 8
-    trash_group = capacity // 8
-    tile_groups = jnp.full((n_tiles,), trash_group, jnp.int32)
-    tile_groups = tile_groups.at[pos // 8].set(grp, mode="drop")
-    row = jnp.arange(budget, dtype=jnp.int32) % 8
-    fslots = jnp.repeat(tile_groups, 8) * 8 + row
-    freal = jnp.zeros((budget,), dtype=bool).at[pos].set(isreal, mode="drop")
-    fcoords = jnp.zeros((budget, 3), jnp.int32).at[pos].set(coords_u,
-                                                            mode="drop")
-    return fcoords, fslots, freal, dropped + group_overflow
-
-
-@partial(jax.jit, static_argnames=("table_size", "capacity", "extent",
-                                   "budget"))
-def insert_frame_lists_batched(table_keys: jnp.ndarray,
-                               table_slots: jnp.ndarray,
-                               block_coords: jnp.ndarray,
-                               n_blocks: jnp.ndarray,
-                               keys: jnp.ndarray, active: jnp.ndarray,
-                               table_size: int, capacity: int, extent: int,
-                               budget: int):
-    """Batched allocation for B frames: ONE union insert over all frames'
-    candidate keys + a vmapped per-frame group-aligned list build.
-
-    Replaces B sequential insert_frame_list calls in the batched
-    integrators — the flagship is op-count-bound (docs/DESIGN.md r3
-    roofline: the per-frame alloc chain was ~0.9 ms of a 2.29 ms frame), so
-    B small sort/probe/rank chains collapse into one big sort + one probe
-    loop + one vmapped tail. Slot ids assign in union-hash order instead of
-    per-frame insertion order — externally invariant (state is keyed by
-    block coords; tests compare through lookup_slots).
-
-    keys/active: (B, N). Returns (table_keys, table_slots, block_coords,
-    n_blocks, overflow, fcoords (B, budget, 3), fslots (B, budget),
-    freal (B, budget)). Unlike the sequential form, per-frame budget spills
-    still ALLOCATE their blocks (they are only dropped from that frame's
-    list); spills count in overflow either way."""
-    tk, ts, bc, nb, ov = insert_compacted(
-        table_keys, table_slots, block_coords, n_blocks,
-        keys.reshape(-1), active.reshape(-1), table_size, capacity, extent)
-    fcoords, fslots, freal, drops = jax.vmap(
-        lambda k_b, a_b: _frame_list_from_keys(
-            tk, ts, k_b.reshape(-1), a_b.reshape(-1), table_size, capacity,
-            extent, budget))(keys, active)
-    return (tk, ts, bc, nb, ov + jnp.sum(drops), fcoords, fslots, freal)
-
-
 @partial(jax.jit, static_argnames=("table_size", "capacity", "extent",
                                    "budget"))
 def insert_frame_list(table_keys: jnp.ndarray, table_slots: jnp.ndarray,

@@ -160,24 +160,14 @@ def _maybe_projective_carve(grid: VoxelGrid, frame: common.Frame,
 def _projective_carve_batched(grid: VoxelGrid, frames: common.Frame,
                               cfg: FusionConfig, intr: PinholeIntrinsics
                               ) -> VoxelGrid:
-    """B frames' dense free-space carves with ONE batched allocation
-    (models/projective.py allocate_from_atlases_batched) — replaces the B
-    sequential _maybe_projective_carve chains in the batched integrators
-    (the per-frame alloc chain is op-count-bound, docs/DESIGN.md r3)."""
-    from ..ops import mip as mip_ops
-    from . import projective as proj_model
-    plan = mip_ops.make_plan(intr.height, intr.width,
-                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
-    atlases = jax.vmap(
-        lambda d, l, c: mip_ops.build_atlas(d, l, c, plan))(
-            frames.depth, frames.labels, frames.colors)
-    grid, fc, fs, fr = proj_model.allocate_from_atlases_batched(
-        grid, atlases, frames.T_G_C, cfg, intr, plan)
+    """B frames' dense free-space carves, sequentially on-device (the
+    hash-allocation state chains through). A union-insert + vmapped-list
+    batched allocation was tried here and measured SLOWER (docs/DESIGN.md
+    r3 negative results) — the sequential chain is the fast form."""
     B = frames.depth.shape[0]
     for b in range(B):
-        grid = proj_model.apply_frame(grid, atlases[b], frames.T_G_C[b],
-                                      fc[b], fs[b], fr[b], cfg, intr, plan,
-                                      region="carve")
+        f = jax.tree.map(lambda x, _b=b: x[_b], frames)
+        grid = _maybe_projective_carve(grid, f, cfg, intr)
     return grid
 
 

@@ -170,31 +170,6 @@ def _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg: FusionConfig):
     return keys, bvalid
 
 
-def allocate_from_atlases_batched(grid: VoxelGrid, atlases, T_all,
-                                  cfg: FusionConfig, intr: PinholeIntrinsics,
-                                  plan):
-    """Batched allocation for B frames: vmapped candidate DDA + ONE union
-    hash insert + vmapped per-frame group-aligned lists
-    (grid/hash.py insert_frame_lists_batched — r3: the per-frame alloc
-    chain is the flagship's op-count bottleneck, docs/DESIGN.md roofline).
-
-    atlases: (B, 4, AH, AW); T_all: (B, 4, 4). Returns
-    (grid, fcoords (B, K, 3), fslots (B, K), freal (B, K))."""
-    keys, act = jax.vmap(
-        lambda at, T: candidates_from_atlas(at, T, cfg, intr, plan))(
-            atlases, T_all)
-    g = cfg.grid
-    B = keys.shape[0]
-    tk, ts, bc, nb, ov, fc, fs, fr = bhash.insert_frame_lists_batched(
-        grid.table_keys, grid.table_slots, grid.block_coords, grid.n_blocks,
-        keys.reshape(B, -1), act.reshape(B, -1), g.table_size,
-        g.block_capacity, g.world_extent_blocks, cfg.pipeline.block_budget)
-    grid = dataclasses.replace(
-        grid, table_keys=tk, table_slots=ts, block_coords=bc, n_blocks=nb,
-        overflow=grid.overflow + ov)
-    return grid, fc, fs, fr
-
-
 def insert_candidates(grid: VoxelGrid, keys, active, cfg: FusionConfig,
                       shard=None):
     """The insert half of allocation: ownership-filter + frame-list insert.
@@ -334,22 +309,25 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
                      cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
     """Batched multi-frame update: B frames in one jit dispatch.
 
-    frames: a Frame whose arrays carry a leading batch axis (B, ...). Atlas
-    builds and the allocation chain run BATCHED (vmapped candidates + one
-    union hash insert + vmapped frame lists — the alloc chain is the
-    op-count bottleneck, docs/DESIGN.md r3 roofline); the per-frame Pallas
-    sample/apply kernels then run back to back. Slot assignment order
-    differs from sequential integration (union-hash order) — the per-coord
-    voxel state is identical."""
+    frames: a Frame whose arrays carry a leading batch axis (B, ...). The
+    frames are integrated sequentially on-device (allocation state chains
+    through the hash table), amortizing host dispatch and letting XLA
+    pipeline the B x (atlas, alloc, sample, apply) stages.
+
+    NB (r3, measured on v5e): batching the allocation (vmapped candidates
+    + ONE union hash insert + vmapped per-frame lists) was tried and is
+    SLOWER (projective B=8 408 -> 339 fps) — the union sort plus vmapped
+    list tails cost more than B small sequential chains. Sequential is the
+    fast form; see docs/DESIGN.md negative results."""
     B = frames.depth.shape[0]
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
-    atlases = jax.vmap(
-        lambda d, l, c: mip_ops.build_atlas(d, l, c, plan))(
-            frames.depth, frames.labels, frames.colors)
-    grid, fc, fs, fr = allocate_from_atlases_batched(
-        grid, atlases, frames.T_G_C, cfg, intr, plan)
     for b in range(B):
-        grid = apply_frame(grid, atlases[b], frames.T_G_C[b], fc[b], fs[b],
-                           fr[b], cfg, intr, plan)
+        f = jax.tree.map(lambda x: x[b], frames)
+        atlas = mip_ops.build_atlas(f.depth, f.labels, f.colors, plan)
+        grid, fcoords, fslots, freal = allocate_from_atlas(grid, atlas,
+                                                           f.T_G_C, cfg, intr,
+                                                           plan)
+        grid = apply_frame(grid, atlas, f.T_G_C, fcoords, fslots, freal, cfg,
+                           intr, plan)
     return grid
