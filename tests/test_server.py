@@ -311,3 +311,50 @@ class TestObservability:
             capsys.readouterr().out.strip().splitlines()[-1])
         # carving observes free-space voxels along rays -> strictly more
         assert carved_on["observed_voxels"] > carved_off["observed_voxels"]
+
+
+class TestShardedCLI:
+    """--devices N product path (VERDICT r2 item 5): the batch CLI runs D
+    data-parallel shards end-to-end on the virtual mesh, produces a correct
+    mesh via the incremental ShardMirror cycle, and exports a loadable map."""
+
+    def test_cli_devices_batch(self, tmp_path, capsys):
+        import json as _json
+        import jax
+        import pytest as _pytest
+        if len(jax.devices()) < 4:
+            _pytest.skip("needs >= 4 virtual devices")
+        from kimera_semantics_tpu.io import rosbag as rb
+        from kimera_semantics_tpu.server import node
+        intr = PinholeIntrinsics(fx=40.0, fy=40.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        lmap = LabelColorMap.random(21)
+        ds = SyntheticDataset(num_frames=4, intr=intr, label_map=lmap)
+        bag = rb.write_dataset_bag(str(tmp_path / "s.bag"), ds)
+        common = ["--voxel-size", "0.25", "--voxels-per-side", "8",
+                  "--block-capacity", "256", "--truncation", "0.5",
+                  "--max-ray-length", "8.0", "--max-rays", "1280",
+                  "--mesh-out", str(tmp_path / "sm.ply")]
+        node.main(["batch", bag, "--devices", "4", "--map-out",
+                   str(tmp_path / "sm.ksdv")] + common)
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["devices"] == 4 and out["frames"] == 4
+        assert out["blocks"] > 10 and out["triangles"] > 50
+        assert out["overflow"] == 0
+
+        # Reference run: same frames single-device; block sets must agree.
+        node.main(["batch", bag] + common)
+        single = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["blocks"] == single["blocks"]
+
+        # The exported map loads back at the merged capacity.
+        import dataclasses as _dc
+        from kimera_semantics_tpu.io import serial as serial_io
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.25, voxels_per_side=8,
+                            block_capacity=256 * 4),
+            tsdf=TsdfConfig(truncation_distance=0.5, max_ray_length_m=8.0),
+            pipeline=PipelineConfig(max_rays=1280,
+                                    dedup_table_size=1 << 20))
+        g = serial_io.load_grid(str(tmp_path / "sm.ksdv"), cfg)
+        assert int(g.n_blocks) == out["blocks"]
