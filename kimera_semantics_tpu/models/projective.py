@@ -146,23 +146,55 @@ def _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg: FusionConfig):
     subsampled ray set. Returns (keys (S, R) int32, bvalid (S, R) bool).
     Split out so the sharded path can run it ONCE per device (own frame) and
     all-gather compact key lists instead of re-running the DDA for every
-    frame on every shard (weak-scaling fix, VERDICT r1 item 2)."""
+    frame on every shard (weak-scaling fix, VERDICT r1 item 2).
+
+    On TPU the walk runs through the Pallas DDA kernel at BLOCK granularity
+    (a FusionConfig view with voxel_size=block_size, vps=1): the alloc chain
+    is op-count-bound (docs/DESIGN.md r3 roofline — the unrolled XLA walk is
+    ~120 fused ops of 4.8k-lane work), and one kernel replaces all of them.
+    Both paths consume identical world-unit ray extents, so the emitted
+    block sets agree bit-for-bit (tests/test_projective.py pins it)."""
+    import dataclasses as dc
+    import math
+
     g, t = cfg.grid, cfg.tsdf
     valid, is_clearing = tsdf_ops.point_validity(pts_C, t)
     valid = valid & px_valid & sem_ops.dynamic_label_mask(labels, cfg.semantic)
     pts_G = transforms.apply(T_G_C, pts_C)
     origin = transforms.translation(T_G_C)
 
-    start_s, end_s = raycast.setup_rays(
+    # World-unit extents (voxel_size=1.0): both branches scale by
+    # 1/block_size themselves with the same op order.
+    start_w, end_w = raycast.setup_rays(
         jnp.broadcast_to(origin, pts_G.shape), pts_G, is_clearing,
-        voxel_size=g.block_size,
+        voxel_size=1.0,
         truncation_distance=t.truncation_distance,
         max_ray_length_m=t.max_ray_length_m,
         voxel_carving_enabled=t.voxel_carving_enabled)
-    import math
     S = int(math.ceil(1.7321 * (t.max_ray_length_m + t.truncation_distance)
                       / g.block_size)) + 3
-    bvox, bvalid = raycast.traverse_soa(start_s.T, end_s.T, S)
+    R = pts_G.shape[0]
+
+    # Gate through ops.integrate._use_pallas so the Mosaic pre-flight
+    # (scripts/check_mosaic.py patches that gate) exports this kernel too.
+    from ..ops import integrate as int_ops
+    use_kernel = int_ops._use_pallas(cfg) or FORCE_PALLAS_INTERPRET
+    if use_kernel:
+        from ..ops import pallas_kernels
+        TILE = pallas_kernels.TILE
+        Rp = ((R + TILE - 1) // TILE) * TILE
+        pad = Rp - R
+        p2 = lambda a: jnp.pad(a, ((0, pad), (0, 0))).T       # (3, Rp)
+        cfg_b = dc.replace(cfg, grid=dc.replace(
+            g, voxel_size=g.block_size, voxels_per_side=1))
+        keys, _, _, _, _, step_valid, _, _ = pallas_kernels.dda_job_stream(
+            cfg_b, S, p2(jnp.broadcast_to(origin, pts_G.shape)), p2(pts_G),
+            p2(start_w), p2(end_w), jnp.ones((Rp,), jnp.float32),
+            jnp.pad(valid, (0, pad)), interpret=FORCE_PALLAS_INTERPRET)
+        return keys, step_valid
+
+    inv = 1.0 / g.block_size
+    bvox, bvalid = raycast.traverse_soa(start_w.T * inv, end_w.T * inv, S)
     bx, by, bz = bvox[:, 0], bvox[:, 1], bvox[:, 2]             # (S, R)
     bvalid = bvalid & valid[None, :]
     bvalid = bvalid & bhash.in_bounds_soa(bx, by, bz, g.world_extent_blocks)

@@ -397,3 +397,37 @@ class TestBatchedProjective:
                 np.asarray(getattr(g_bat, name))[:, np.asarray(sb)],
                 np.asarray(getattr(g_seq, name))[:, np.asarray(ss)],
                 rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+class TestCandidateKernel:
+    def test_block_dda_kernel_matches_xla(self):
+        """The Pallas block-granularity candidate walk (alloc pre-pass) must
+        emit exactly the XLA walk's valid block-key set."""
+        from kimera_semantics_tpu.core import camera as cam, transforms
+        cfg = cfg_small()
+        ds = SyntheticDataset(num_frames=1, intr=INTR,
+                              label_map=LabelColorMap.random())
+        f = ds.frame(0)
+        stride = cfg.pipeline.alloc_stride
+        depth = f.depth[::stride, ::stride]
+        labels = f.labels[::stride, ::stride].reshape(-1)
+        import math as _math
+        sub = cam.PinholeIntrinsics(
+            fx=INTR.fx / stride, fy=INTR.fy / stride,
+            cx=INTR.cx / stride, cy=INTR.cy / stride,
+            width=int(_math.ceil(INTR.width / stride)),
+            height=int(_math.ceil(INTR.height / stride)))
+        pts_C, px_valid = cam.backproject(depth, sub)
+
+        kx, vx = proj_model._candidate_keys(pts_C, labels, px_valid,
+                                            f.T_G_C, cfg)
+        proj_model.FORCE_PALLAS_INTERPRET = True
+        try:
+            kp, vp = proj_model._candidate_keys(pts_C, labels, px_valid,
+                                                f.T_G_C, cfg)
+        finally:
+            proj_model.FORCE_PALLAS_INTERPRET = False
+        a = np.unique(np.asarray(kx)[np.asarray(vx)])
+        b = np.unique(np.asarray(kp)[np.asarray(vp)])
+        np.testing.assert_array_equal(a, b)
+        assert len(a) > 5
