@@ -307,7 +307,14 @@ def _run_sharded(args, cfg, lmap, ds, streaming: bool):
                              label_map=lmap)
     writer = (viz.LiveMeshWriter(args.live_mesh, args.live_mesh_keep)
               if args.live_mesh else None)
-    mesh_every = 5 if streaming else 0
+    streamer = (viz.MeshHTTPStreamer(args.live_port)
+                if args.live_port >= 0 else None)
+    if streamer is not None:
+        print(f"live mesh: http://127.0.0.1:{streamer.port}/",
+              file=sys.stderr)
+    # Single-device stream mode meshes every 5 FRAMES; a sharded step
+    # consumes d frames, so convert to steps (>= every step at d >= 5).
+    mesh_every = max(1, 5 // d) if streaming else 0
     count, batch = 0, []
     t0 = time.perf_counter()
     stream = iter(ds)
@@ -331,6 +338,10 @@ def _run_sharded(args, cfg, lmap, ds, streaming: bool):
             m = pipe.update_mesh()
             if writer is not None:
                 writer.write(m)
+            if streamer is not None:
+                streamer.publish(m, version=pipe.mesh_cache.version,
+                                 blocks=pipe.mesh_cache.num_blocks,
+                                 frames=count)
     if batch:
         print(f"warning: dropped {len(batch)} trailing frames (stream not "
               f"divisible by --devices {d})", file=sys.stderr)
