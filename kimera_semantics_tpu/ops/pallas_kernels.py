@@ -455,7 +455,11 @@ def slot_resolve_stream(cfg: FusionConfig, cube_vals, cam_block,
 # Fused projective sample + update-term kernel (models/projective.py).
 # ---------------------------------------------------------------------------
 
-PROJ_BPS = 8  # blocks per grid step (full sublane tiles for the voxel math)
+import os as _os
+# Blocks per sampler grid step (full sublane tiles for the voxel math).
+# The apply stage is per-step-overhead-bound (docs/DESIGN.md r3 roofline);
+# env override for A/B measurement.
+PROJ_BPS = int(_os.environ.get("KSD_PROJ_BPS", "8"))
 
 
 def _proj_kernel(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
