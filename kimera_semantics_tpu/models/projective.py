@@ -177,7 +177,12 @@ def _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg: FusionConfig):
 
     # Gate through ops.integrate._use_pallas so the Mosaic pre-flight
     # (scripts/check_mosaic.py patches that gate) exports this kernel too.
+    # Interpret mode must follow EITHER module's test hook: the ray-path
+    # suites flip ops.integrate.FORCE_PALLAS_INTERPRET, which makes
+    # _use_pallas true on CPU — running the kernel non-interpreted there
+    # raises ("Only interpret mode is supported on CPU backend").
     from ..ops import integrate as int_ops
+    interp = FORCE_PALLAS_INTERPRET or int_ops.FORCE_PALLAS_INTERPRET
     use_kernel = int_ops._use_pallas(cfg) or FORCE_PALLAS_INTERPRET
     if use_kernel:
         from ..ops import pallas_kernels
@@ -190,7 +195,7 @@ def _candidate_keys(pts_C, labels, px_valid, T_G_C, cfg: FusionConfig):
         keys, _, _, _, _, step_valid, _, _ = pallas_kernels.dda_job_stream(
             cfg_b, S, p2(jnp.broadcast_to(origin, pts_G.shape)), p2(pts_G),
             p2(start_w), p2(end_w), jnp.ones((Rp,), jnp.float32),
-            jnp.pad(valid, (0, pad)), interpret=FORCE_PALLAS_INTERPRET)
+            jnp.pad(valid, (0, pad)), interpret=interp)
         return keys, step_valid
 
     inv = 1.0 / g.block_size
