@@ -181,6 +181,18 @@ class TsdfConfig:
     #     geometrically over frames.
     band_density: str = "octave"
 
+    def __post_init__(self):
+        # carve.py only special-cases "matched"; catch typos ("match") that
+        # would otherwise silently fall back to octave behavior.
+        if self.band_density not in ("octave", "matched"):
+            raise ValueError(
+                f"band_density={self.band_density!r} not in "
+                "{'octave', 'matched'}")
+        if self.carve_mode not in ("decimated", "full", "projective"):
+            raise ValueError(
+                f"carve_mode={self.carve_mode!r} not in "
+                "{'decimated', 'full', 'projective'}")
+
 
 @dataclasses.dataclass(frozen=True)
 class SemanticConfig:

@@ -56,7 +56,7 @@ def _dedup_and_compact(grid, cfg, pts_G, colors, labels, weights, valid,
     return grid, kept, pts_G, colors, labels, weights, is_clearing
 
 
-def _band_prepare(frame, cfg, intr):
+def _band_prepare(frame, cfg, intr, frame_idx=None):
     """Grid-independent banded prepare for ONE frame (projective-carve mode):
     backproject, octave band keep, compact, band jobs. Pure in the frame —
     vmappable across a batch (integrate_frames). Returns
@@ -66,10 +66,15 @@ def _band_prepare(frame, cfg, intr):
     of the pixel count."""
     (pts_C, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
-    # Pose-derived salt for the matched-density thinning hash (temporal
-    # dithering — a cell skipped this frame is picked up on later frames).
+    # Salt for the matched-density thinning hash (temporal dithering — a
+    # cell skipped this frame is picked up on later frames). Pose alone is
+    # NOT enough: a stationary/purely-rotating camera would repeat the same
+    # salt and drop the SAME pixel groups forever, so the per-frame counter
+    # (threaded through the grid) is mixed in to keep the dither moving.
     ob = jax.lax.bitcast_convert_type(origin, jnp.int32)
     salt = ob[0] ^ (ob[1] << 1) ^ (ob[2] << 2)
+    if frame_idx is not None:
+        salt = salt ^ (jnp.int32(frame_idx) * jnp.int32(-1640531527))
     keep = carve_ops.band_octave_keep(pts_C, valid & ~is_clearing, cfg, intr,
                                       salt=salt)
     n_dropped = jnp.maximum(
@@ -100,10 +105,13 @@ def _frame_batches(grid, frame, cfg, intr):
 
     # Octave band selection (deterministic dedup equivalent — ops/carve.py
     # band_octave_keep); clearing rays carry no surface band (their free
-    # space is covered by the carve jobs / the projective carve).
-    band, origin, band_drop = _band_prepare(frame, cfg, intr)
+    # space is covered by the carve jobs / the projective carve). The
+    # frame counter feeds the thinning salt and advances one per frame.
+    band, origin, band_drop = _band_prepare(frame, cfg, intr,
+                                            frame_idx=grid.frame_counter)
     grid = dataclasses.replace(grid,
-                               dropped_rays=grid.dropped_rays + band_drop)
+                               dropped_rays=grid.dropped_rays + band_drop,
+                               frame_counter=grid.frame_counter + 1)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     if cfg.tsdf.carve_mode == "projective":
         # Free space already carved densely (_maybe_projective_carve).
@@ -202,15 +210,19 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     B = frames.depth.shape[0]
     if (cfg.tsdf.carve_mode == "projective"
             and cfg.tsdf.voxel_carving_enabled):
-        # Dense carves with ONE batched allocation; the band prepare is
-        # grid-independent — ONE vmapped prepare over the batch (B x fewer
-        # op launches than a per-frame loop; bitwise-identical per-frame
-        # math).
+        # Sequential per-frame dense carves (a batched union allocation was
+        # measured slower — docs/DESIGN.md r3 negative results); the band
+        # prepare is grid-independent — ONE vmapped prepare over the batch
+        # (B x fewer op launches than a per-frame loop; bitwise-identical
+        # per-frame math, incl. the per-frame salt index).
         grid = _projective_carve_batched(grid, frames, cfg, intr)
+        fidx = grid.frame_counter + jnp.arange(B, dtype=jnp.int32)
         bands, origins, band_drops = jax.vmap(
-            lambda f: _band_prepare(f, cfg, intr))(frames)
+            lambda f, i: _band_prepare(f, cfg, intr, frame_idx=i))(
+                frames, fidx)
         grid = dataclasses.replace(
-            grid, dropped_rays=grid.dropped_rays + jnp.sum(band_drops))
+            grid, dropped_rays=grid.dropped_rays + jnp.sum(band_drops),
+            frame_counter=grid.frame_counter + B)
         band = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), bands)
         s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)

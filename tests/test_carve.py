@@ -147,6 +147,31 @@ class TestBandOctave:
                                     salt=jnp.int32(7))
         assert bool(jnp.any(k1 != k2))
 
+    def test_matched_dither_moves_for_static_pose(self, dataset):
+        """ADVICE r3 (medium): with an UNCHANGED camera pose the thinning
+        salt must still vary frame to frame (grid.frame_counter is mixed
+        in), or the same pixel groups would be dropped forever and the
+        documented geometric coverage convergence would fail exactly for
+        stationary cameras."""
+        _, frames, _ = dataset
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf, band_density="matched"))
+        f = frames[0]
+        b0, _, _ = fast._band_prepare(f, cfg, INTR, frame_idx=jnp.int32(0))
+        b1, _, _ = fast._band_prepare(f, cfg, INTR, frame_idx=jnp.int32(1))
+        # Same frame, same pose — different frame index => different band
+        # winners (compare the kept endpoint sets).
+        e0 = np.sort(np.asarray(b0.end[b0.valid][:, 0]))
+        e1 = np.sort(np.asarray(b1.end[b1.valid][:, 0]))
+        assert e0.shape != e1.shape or not np.allclose(e0, e1)
+        # And the integrator threads the counter: one frame advances it
+        # (integrate_frame donates the grid — read the counter first).
+        g = blocks.create(cfg)
+        fc0 = int(g.frame_counter)
+        g2 = fast.integrate_frame(g, f, cfg, INTR)
+        assert int(g2.frame_counter) == fc0 + 1
+
 
 class TestCubeLut:
     def test_cube_path_matches_hash_path(self, dataset):
