@@ -142,12 +142,15 @@ def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
             pair_drop + bin_drop, origin)
 
 
-def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
+def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics,
+                 apply_proj_carve: bool = True):
     """Pass-1 bundling + sparse semantic votes + free-space batches for one
     frame (the banded carve modes). Returns (grid, batches, sem_pts, origin,
     bdest, full_path_state): `batches` is the integrate_jobs list (band
     [, carve jobs]); under carve_mode == "projective" the dense free-space
-    carve has ALREADY been applied to `grid`. full_path_state carries what
+    carve has ALREADY been applied to `grid` — unless `apply_proj_carve` is
+    False (sharded callers run their ownership-filtered dense carve
+    themselves, parallel/sharding.py). full_path_state carries what
     the non-banded voxblox-extent path needs (see integrate_frame)."""
     (_, pts_G, origin, colors, labels, weights, valid,
      is_clearing) = common.prepare_points(frame, intr, cfg)
@@ -215,8 +218,9 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics):
                                jnp.zeros((R,), dtype=bool), bvalid, cfg)
     s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
     if proj_carve:
-        from .fast import _maybe_projective_carve
-        grid = _maybe_projective_carve(grid, frame, cfg, intr)
+        if apply_proj_carve:
+            from .fast import _maybe_projective_carve
+            grid = _maybe_projective_carve(grid, frame, cfg, intr)
         return grid, [(band, s_band)], sem_pts, origin, bdest, full_state
     # Octave-decimated form (ops/carve.py): bundles march only their
     # truncation band (carrying the histogram votes); free space —
@@ -313,9 +317,9 @@ def integrate_frames(grid: VoxelGrid, frames: common.Frame,
     R = cfg.pipeline.max_rays
     if (cfg.tsdf.carve_mode == "projective"
             and cfg.tsdf.voxel_carving_enabled):
-        # Batched dense carves (one union allocation), ONE vmapped
-        # bundling/vote prepare across the batch (see models/fast.py
-        # integrate_frames).
+        # Sequential per-frame dense carves (batched union allocation was
+        # measured slower, docs/DESIGN.md), ONE vmapped bundling/vote
+        # prepare across the batch (see models/fast.py integrate_frames).
         from .fast import _projective_carve_batched
         grid = _projective_carve_batched(grid, frames, cfg, intr)
         bands, sems_v, drops, origins = jax.vmap(

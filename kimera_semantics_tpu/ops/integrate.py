@@ -129,6 +129,7 @@ def integrate_jobs(
     num_shards: int = 1,
     ag_dest_voxels: Optional[jnp.ndarray] = None,  # (M, 3) anti-grazing dest
     ag_own_bundle: bool = False,  # batch-0 jobs may update their own dest
+    ag_frames: int = 1,  # dest list/job axes split into this many frames
     sem_points: Optional[tuple] = None,  # votes riding batch 0 (see below)
     cube_origin: Optional[jnp.ndarray] = None,  # (3,) camera origin (cube LUT)
 ) -> VoxelGrid:
@@ -152,7 +153,11 @@ def integrate_jobs(
     (_merged.cpp:306-313): traversed voxels that are *destination* voxels of
     other ray bundles are skipped; with `ag_own_bundle` a batch-0 job may
     still update its own destination voxel (normal pass; clearing rays and
-    carve jobs never do).
+    carve jobs never do). `ag_frames > 1` (sharded merged): the dest list
+    and every stream's job axis are concatenations of ag_frames equal
+    per-frame chunks; masking is per frame (frame b's steps are masked only
+    by frame b's dests — the sequential reference semantics) via an int32
+    per-voxel frame bitmask (ag_frames <= 32).
 
     `sem_points`: weighted per-(job, label) semantic votes riding batch 0's
     geometry — the merged integrator's histogram-per-bundle semantics in
@@ -294,17 +299,48 @@ def integrate_jobs(
         dblock, dlin = gblocks.voxel_to_block_local(ag_dest_voxels, vps)
         dslots = gblocks.lookup_slots(grid, dblock, g)
         dkey = jnp.where(dslots < cap, dslots * v3 + dlin, n_flat)
-        dest_mask = jnp.zeros((n_flat + 1,), dtype=bool).at[dkey].set(
-            True, mode="drop")
-        for bi, st in enumerate(streams):
-            hit = dest_mask[st.key]
-            if ag_own_bundle and bi == 0:
-                hit = hit & (st.key != dkey[None, :st.key.shape[1]])
-            st.step_valid = st.step_valid & ~hit
-            st.w = jnp.where(st.step_valid, st.w, 0.0)
-            st.w_sdf = jnp.where(st.step_valid, st.w_sdf, 0.0)
-            st.wc_gate = jnp.where(st.step_valid, st.wc_gate, 0.0)
-            st.key = jnp.where(st.step_valid, st.key, cap * v3 + st.local)
+        if ag_frames > 1:
+            # Multi-frame streams (sharded merged, parallel/sharding.py):
+            # the reference's rule is PER FRAME — frame b's rays are masked
+            # only by frame b's own bundle destinations (sequential
+            # semantics). Every stream's job axis and the dest list split
+            # into ag_frames equal chunks (the all_gather concatenation), so
+            # a per-voxel frame *bitmask* applies each chunk's dests to
+            # exactly its own chunk's traversal steps. Bundle dests are
+            # unique voxels within a frame (bins ARE dest voxels), so the
+            # scatter-add below is an exact bitwise OR.
+            assert ag_frames <= 32, "anti-grazing frame bitmask is int32"
+            M = dkey.shape[0]
+            dframe = jnp.arange(M, dtype=jnp.int32) // (M // ag_frames)
+            bits = jnp.zeros((n_flat + 1,), dtype=jnp.int32).at[dkey].add(
+                jnp.left_shift(jnp.int32(1), dframe), mode="drop")
+            for bi, st in enumerate(streams):
+                R_s = st.key.shape[1]
+                jframe = (jnp.arange(R_s, dtype=jnp.int32)
+                          // (R_s // ag_frames))
+                hit = jnp.not_equal(
+                    jnp.right_shift(bits[st.key], jframe[None, :]) & 1, 0)
+                if ag_own_bundle and bi == 0:
+                    hit = hit & (st.key != dkey[None, :R_s])
+                st.step_valid = st.step_valid & ~hit
+                st.w = jnp.where(st.step_valid, st.w, 0.0)
+                st.w_sdf = jnp.where(st.step_valid, st.w_sdf, 0.0)
+                st.wc_gate = jnp.where(st.step_valid, st.wc_gate, 0.0)
+                st.key = jnp.where(st.step_valid, st.key,
+                                   cap * v3 + st.local)
+        else:
+            dest_mask = jnp.zeros((n_flat + 1,), dtype=bool).at[dkey].set(
+                True, mode="drop")
+            for bi, st in enumerate(streams):
+                hit = dest_mask[st.key]
+                if ag_own_bundle and bi == 0:
+                    hit = hit & (st.key != dkey[None, :st.key.shape[1]])
+                st.step_valid = st.step_valid & ~hit
+                st.w = jnp.where(st.step_valid, st.w, 0.0)
+                st.w_sdf = jnp.where(st.step_valid, st.w_sdf, 0.0)
+                st.wc_gate = jnp.where(st.step_valid, st.wc_gate, 0.0)
+                st.key = jnp.where(st.step_valid, st.key,
+                                   cap * v3 + st.local)
 
     # --- 5. Scatter-add ---------------------------------------------------
     lk = make_likelihood_cached(cfg)

@@ -57,7 +57,7 @@ class MultiHostPipeline:
 
     def __init__(self, cfg: FusionConfig, intr: PinholeIntrinsics,
                  mesh=None, method: str = "fast", label_map=None):
-        if method not in ("fast", "projective"):
+        if method not in ("fast", "merged", "projective"):
             raise ValueError(f"unknown sharded method {method!r}")
         self.cfg = cfg
         self.intr = intr
@@ -65,9 +65,12 @@ class MultiHostPipeline:
         self.mesh = mesh if mesh is not None else sharding.make_mesh()
         self.sgrid = sharding.create_sharded(cfg, self.mesh)
         self.steps = 0
-        self._step_fn = (sharding.integrate_frames_sharded_projective
-                         if method == "projective"
-                         else sharding.integrate_frames_sharded)
+        if method == "projective":
+            self._step_fn = sharding.integrate_frames_sharded_projective
+        else:
+            from functools import partial as _partial
+            self._step_fn = _partial(sharding.integrate_frames_sharded,
+                                     method=method)
         self.mirror = None      # lazy (ShardMirror + MeshLayerCache)
         self.mesh_cache = None
 

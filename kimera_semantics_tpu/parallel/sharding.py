@@ -56,15 +56,42 @@ def create_sharded(cfg: FusionConfig, mesh: Mesh):
     return init()
 
 
-@partial(jax.jit, static_argnames=("cfg", "intr", "mesh"))
+@partial(jax.jit, static_argnames=("cfg", "intr", "mesh", "method"))
 def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
-                             intr: PinholeIntrinsics, mesh: Mesh):
-    """One data-parallel step: D frames (leading axis) into D grid shards."""
+                             intr: PinholeIntrinsics, mesh: Mesh,
+                             method: str = "fast"):
+    """One data-parallel step: D frames (leading axis) into D grid shards.
+
+    `method`: "fast" (default) or "merged". The merged integrator
+    (VERDICT r3 missing #1) bundles each device's own frame
+    (models/merged.py _frame_parts — bundling is grid-independent), then
+    all-gathers the merged band jobs AND the sparse (bundle, label) vote
+    stream (ray indices offset by the source shard so they address the
+    concatenated band stream). Anti-grazing stays globally consistent by
+    gathering every frame's bundle-destination voxels
+    (_merged.cpp:306-313): each shard masks the gathered dest set against
+    the traversal steps it owns — a dest voxel is masked exactly on the one
+    shard where its updates would land. Requires a banded carve mode for
+    merged (carve_mode full's two-pass ray batches are a single-device
+    path)."""
     d = mesh.devices.size
     R = cfg.pipeline.max_rays
+    ag = cfg.tsdf.enable_anti_grazing
 
+    if method not in ("fast", "merged"):
+        raise ValueError(f"integrate_frames_sharded: method={method!r}")
+    if method == "merged" and not (
+            cfg.tsdf.carve_mode in ("decimated", "projective")
+            and cfg.tsdf.voxel_carving_enabled):
+        raise ValueError("sharded merged integration needs a banded "
+                         "carve mode (decimated/projective)")
+
+    # The merged integrator disables the dense projective carve under
+    # anti-grazing (dest masking cannot ride the dense kernel —
+    # models/merged.py _frame_parts); it falls back to decimated carve jobs.
     proj_carve = (cfg.tsdf.carve_mode == "projective"
-                  and cfg.tsdf.voxel_carving_enabled)
+                  and cfg.tsdf.voxel_carving_enabled
+                  and not (method == "merged" and ag))
     if proj_carve:
         from ..ops import mip as mip_ops
         plan = mip_ops.make_plan(intr.height, intr.width,
@@ -83,18 +110,35 @@ def integrate_frames_sharded(sgrid, frames: common.Frame, cfg: FusionConfig,
             grid = _sharded_dense_apply(grid, frame, my, d, cfg, intr,
                                         plan, key_budget, region="carve")
 
+        # Job replication across shards: one all_gather over ICI per batch
+        # kind (~R x 32 B per device). Every shard then applies the update
+        # entries whose blocks it owns (ownership filter in integrate_jobs).
+        gather = lambda x: jax.lax.all_gather(x, AXIS).reshape(
+            (-1,) + x.shape[1:])
+
+        if method == "merged":
+            from ..models.merged import _frame_parts
+            grid, batches, sem_pts, _, bdest, _ = _frame_parts(
+                grid, frame, cfg, intr, apply_proj_carve=False)
+            sr, sl, sv, sc = sem_pts
+            # Global ray indices into the concatenated band stream.
+            sem_cat = (gather(sr + my * jnp.int32(R)), gather(sl),
+                       gather(sv), gather(sc))
+            batches_g = [(jax.tree.map(gather, jobs), S)
+                         for jobs, S in batches]
+            grid = integrate_jobs(
+                grid, cfg, batches_g, shard_id=my, num_shards=d,
+                sem_points=sem_cat,
+                ag_dest_voxels=gather(bdest) if ag else None,
+                ag_own_bundle=True, ag_frames=d if ag else 1)
+            return jax.tree.map(lambda x: x[None], grid)
+
         # Same per-frame job construction as single-device fast
         # (models/fast.py): octave-decimated band+carve batches by default,
         # voxblox-extent full traversal under carve_mode == "full" (with the
         # per-shard start-voxel approx set threaded through grid state).
         from ..models.fast import _frame_batches
         grid, batches, _ = _frame_batches(grid, frame, cfg, intr)
-
-        # Job replication across shards: one all_gather over ICI per batch
-        # kind (~R x 32 B per device). Every shard then applies the update
-        # entries whose blocks it owns (ownership filter in integrate_jobs).
-        gather = lambda x: jax.lax.all_gather(x, AXIS).reshape(
-            (-1,) + x.shape[1:])
         batches_g = [(jax.tree.map(gather, jobs), S) for jobs, S in batches]
         grid = integrate_jobs(grid, cfg, batches_g,
                               shard_id=my, num_shards=d)
@@ -179,12 +223,19 @@ class ShardMirror:
         nbs = np.asarray(sgrid.n_blocks)                  # (D,)
         chans = (sgrid.block_coords, sgrid.wsum, sgrid.wsdf, sgrid.sem_count,
                  sgrid.wcolor, sgrid.sem_delta)
+        # addressable_shards list order is NOT guaranteed to follow the
+        # leading-axis shard index — key each buffer by its .index slice
+        # (every channel is stacked (D, ...) and sharded on axis 0, so the
+        # logical shard s owns rows slice(s, s+1)).
+        by_idx = [
+            {(sh.index[0].start or 0): sh.data for sh in c.addressable_shards}
+            for c in chans]
         for s in range(self.d):
             alloc = np.arange(cap) < int(nbs[s])
             rows = np.where((alloc if all_rows else (upd[s] & alloc)))[0]
             if not len(rows):
                 continue
-            local = [c.addressable_shards[s].data[0] for c in chans]
+            local = [m[s][0] for m in by_idx]
             for i in range(0, len(rows), self.chunk):
                 part = rows[i:i + self.chunk]
                 padded = np.full(self.chunk, cap, np.int32)

@@ -294,9 +294,9 @@ def _run_sharded(args, cfg, lmap, ds, streaming: bool):
     from . import viz
 
     d = args.devices
-    if args.method not in ("fast", "projective"):
+    if args.method not in ("fast", "merged", "projective"):
         raise SystemExit("--devices sharding supports --method "
-                         "fast|projective (merged bundles are per-frame)")
+                         "fast|merged|projective")
     if len(jax.devices()) < d:
         raise SystemExit(
             f"--devices {d} needs >= {d} JAX devices; found "
@@ -492,9 +492,9 @@ def cmd_sim_eval(args):
         from ..ops import mesh as mesh_ops
         from ..parallel import sharding as shard_mod
         from ..parallel.multihost import MultiHostPipeline
-        if args.method not in ("fast", "projective"):
+        if args.method not in ("fast", "merged", "projective"):
             raise SystemExit("--devices sharding supports --method "
-                             "fast|projective")
+                             "fast|merged|projective")
         pipe = MultiHostPipeline(cfg, intr,
                                  shard_mod.make_mesh(args.devices),
                                  method=args.method, label_map=lmap)

