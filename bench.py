@@ -269,6 +269,61 @@ def main():
             me = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
             mesh_err = me
 
+    # Steady-state serving cycles (VERDICT r3 item 4): per-cycle incremental
+    # mesh cost with a WARM MeshLayerCache at the reference's cadence
+    # (launch/kimera_semantics.launch:131 meshes every 1 s; at the
+    # reference's ~10 fps that is every ~10 frames — frame-equivalent
+    # cadence), plus the batch-ESDF tail (kimera_semantics_rosbag.cpp:
+    # 153-167). First cycle/first ESDF pass carry the compile and are
+    # untimed.
+    import dataclasses as _dc
+    bench_cycles = int(os.environ.get("BENCH_CYCLES", "0" if smoke else "5"))
+    mesh_cycle = esdf_batch_ms = None
+    if bench_cycles:
+        from kimera_semantics_tpu.ops import mesh as mesh_ops
+        from kimera_semantics_tpu.server import viz as viz_mod
+        cadence = int(os.environ.get("BENCH_CADENCE", "10"))
+        cache = viz_mod.MeshLayerCache()
+        m0, mr0, tr0 = mesh_ops.extract_mesh(grid, cfg, label_map=label_map,
+                                             only_updated=False,
+                                             return_blocks=True)
+        cache.update(m0, mr0, tr0)
+        grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
+        cyc_ms, cyc_blocks = [], []
+        gi = 0
+        per_group = batch if batch > 1 else 1
+        for c in range(bench_cycles + 1):          # cycle 0 = compile, untimed
+            for _ in range(max(1, cadence // per_group)):
+                grid = step(grid, groups[gi % len(groups)])
+                gi += 1
+            jax.block_until_ready(grid.wsum)
+            t1 = time.perf_counter()
+            mC, mrC, trC = mesh_ops.extract_mesh(grid, cfg,
+                                                 label_map=label_map,
+                                                 only_updated=True,
+                                                 return_blocks=True)
+            cache.update(mC, mrC, trC)
+            dt = time.perf_counter() - t1
+            grid = _dc.replace(grid,
+                               updated=jnp.zeros(grid.updated.shape, bool))
+            if c:
+                cyc_ms.append(1000.0 * dt)
+                cyc_blocks.append(int(len(mrC)))
+        mesh_cycle = {
+            "mesh_cycle_ms": round(float(np.mean(cyc_ms)), 1),
+            "mesh_cycle_ms_max": round(float(np.max(cyc_ms)), 1),
+            "mesh_cycle_blocks": int(np.mean(cyc_blocks)),
+            "mesh_cadence_frames": cadence,
+        }
+        # Batch ESDF (block-sparse JFA) on the final grid.
+        from kimera_semantics_tpu.ops import esdf as esdf_ops
+        res = esdf_ops.compute_esdf_blocked(grid, cfg, max_dist=2.0)
+        jax.block_until_ready(res.distance)        # compile pass, untimed
+        t1 = time.perf_counter()
+        res = esdf_ops.compute_esdf_blocked(grid, cfg, max_dist=2.0)
+        jax.block_until_ready(res.distance)
+        esdf_batch_ms = 1000.0 * (time.perf_counter() - t1)
+
     # Honest per-method update counting (VERDICT r1 item 5/8): the ray
     # integrators' unit of work is a valid (ray, step) DDA stream entry; the
     # projective integrator's is touched-block-rows x vps^3 dense voxel
@@ -441,6 +496,15 @@ def main():
         result["stage_ms_note"] = ("includes per-stage host sync (~21 ms "
                                    "tunnel RTT) + undonated grid copies; "
                                    "relative use only")
+    if mesh_cycle is not None:
+        result.update(mesh_cycle)
+        # Does the incremental mesh keep up with the stream? Compare one
+        # cycle's cost against the integration time of `cadence` frames.
+        result["mesh_keeps_up"] = bool(
+            mesh_cycle["mesh_cycle_ms"]
+            < mesh_cycle["mesh_cadence_frames"] * 1000.0 * elapsed / n_frames)
+    if esdf_batch_ms is not None:
+        result["esdf_batch_ms"] = round(esdf_batch_ms, 1)
     if mesh_ms is not None:
         result["mesh_ms"] = round(mesh_ms, 1)
     if mesh_err is not None:

@@ -54,3 +54,15 @@ def test_bench_smoke_batched():
     out = _run_bench({"BENCH_METHOD": "projective", "BENCH_BATCH": "2",
                       "BENCH_FRAMES": "4"})
     assert out["batch"] == 2 and out["value"] > 0
+
+
+def test_bench_smoke_cycles():
+    """Serving-cycle section (VERDICT r3 item 4): incremental mesh cycle +
+    batch-ESDF timings ride the bench output."""
+    out = _run_bench({"BENCH_METHOD": "projective", "BENCH_CYCLES": "2",
+                      "BENCH_CADENCE": "2", "BENCH_FRAMES": "4",
+                      "BENCH_COUNT": "0"})
+    assert out["mesh_cycle_ms"] > 0
+    assert out["esdf_batch_ms"] > 0
+    assert out["mesh_cadence_frames"] == 2
+    assert "mesh_keeps_up" in out
