@@ -7,6 +7,21 @@ __graft_entry__.dryrun_multichip.
 
 import os
 
+# XLA:CPU JIT maps ~3 anonymous regions per compiled executable (code +
+# rodata + rw); a full-suite process compiles thousands of executables and
+# crosses the default vm.max_map_count (65530), after which mmap fails and
+# the process SEGFAULTS inside whatever allocates next (observed r4: crashes
+# in the jax compilation-cache read/write paths at ~61% of the suite, only
+# in long single-process runs). Raise the limit when the container allows
+# it (we run as root); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 262144:
+            _f.seek(0)
+            _f.write("262144")
+except (OSError, ValueError):
+    pass
+
 # Force CPU: the session env pins JAX_PLATFORMS to the real TPU tunnel, which
 # must not be grabbed by unit tests (bench.py uses it instead).
 os.environ["JAX_PLATFORMS"] = "cpu"
