@@ -131,10 +131,19 @@ def gather_packed(idx: jnp.ndarray, *arrays):
 def compact(order_mask: jnp.ndarray, max_out: int, *arrays):
     """Pack entries where order_mask is True into the first `max_out` slots.
 
-    Static-shape compaction: stable argsort on ~mask keeps original ordering of
-    the kept entries. Returns (kept_mask (max_out,), gathered arrays...).
-    Entries beyond max_out are dropped (fixed ray budget, SURVEY 7).
+    Static-shape compaction with the exact stable-argsort permutation, but
+    one lax.sort operand instead of two: (drop flag, index) pack into a
+    single int32 (flag in bit 30, index below — any N < 2^30), so ascending
+    sort puts kept entries first in original order at ~half the argsort
+    cost (r4, the prepare stage's dominant op at 307k pixels). Returns
+    (kept_mask (max_out,), gathered arrays...). Entries beyond max_out are
+    dropped (fixed ray budget, SURVEY 7).
     """
-    order = jnp.argsort(~order_mask, stable=True)[:max_out]
-    kept = order_mask[order]
+    n = order_mask.shape[0]
+    assert n < (1 << 30), "packed compact needs index + flag to fit int32"
+    iota = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(order_mask, iota, iota | jnp.int32(1 << 30))
+    sk = jax.lax.sort(packed)[:max_out]
+    kept = sk < jnp.int32(1 << 30)
+    order = sk & jnp.int32((1 << 30) - 1)
     return (kept,) + gather_packed(order, *arrays)

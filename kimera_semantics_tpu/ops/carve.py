@@ -331,8 +331,16 @@ def band_octave_keep(pts_C: jnp.ndarray, valid: jnp.ndarray,
 
 
 def compact_jobs(jobs: JobBatch, budget: int):
-    """Pack valid jobs into a static budget. Returns (jobs, n_dropped)."""
-    order = jnp.argsort(~jobs.valid, stable=True)[:budget]
+    """Pack valid jobs into a static budget. Returns (jobs, n_dropped).
+
+    Same packed single-operand sort as models/common.py compact (stable
+    argsort permutation at ~half the cost)."""
+    n = jobs.valid.shape[0]
+    assert n < (1 << 30)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(jobs.valid, iota, iota | jnp.int32(1 << 30))
+    sk = jax.lax.sort(packed)[:budget]
+    order = sk & jnp.int32((1 << 30) - 1)
     take = lambda a: a[order]
     n_valid = jnp.sum(jobs.valid.astype(jnp.int32))
     dropped = jnp.maximum(0, n_valid - budget)
@@ -340,4 +348,4 @@ def compact_jobs(jobs: JobBatch, budget: int):
         origin=take(jobs.origin), point=take(jobs.point),
         start=take(jobs.start), end=take(jobs.end),
         weight=take(jobs.weight), label=take(jobs.label),
-        color=take(jobs.color), valid=jobs.valid[order]), dropped
+        color=take(jobs.color), valid=sk < jnp.int32(1 << 30)), dropped
