@@ -231,6 +231,20 @@ class PipelineConfig:
     segment_budget: int = 1 << 18  # "segment" mode: static cap on unique
                                  # (voxel, label) segments per frame; spills
                                  # are counted in grid.overflow
+    staged_apply: bool = True    # "segment" mode on TPU: apply the reduced
+                                 # segments through the aliased Pallas RMW
+                                 # kernel via compact group-aligned staging
+                                 # (ops/integrate.py _staged_segment_apply).
+                                 # r4 finding: after any hash-probe
+                                 # while_loop program runs, XLA grid-sized
+                                 # scatters cost ~operand-bytes/100GB/s on
+                                 # this runtime (sem_delta alone ~17.8
+                                 # ms/frame); the staged path is immune.
+                                 # False = the plain XLA scatter tail.
+    sem_label_ranks: int = 4     # staged apply: max distinct labels a voxel
+                                 # can receive per frame (per-voxel label
+                                 # ranks; rank >= this drops the vote and
+                                 # counts it in grid.overflow)
     stream_active_fraction: float = 0.75  # "segment" mode: post-sort slice —
                                  # padded streams are ~50% trash, so the scan
                                  # and compaction sort run on this fraction

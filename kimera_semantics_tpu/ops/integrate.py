@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import ColorMode, FusionConfig
@@ -582,6 +583,52 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
                                jnp.concatenate(cnts)), B,
         max_run=n_jobs_total, active_frac=frac)
 
+    # Merged-integrator per-point votes: reduce to (voxel, label) sums first
+    # (shared by both apply forms below).
+    pvotes = None
+    if sem_points is not None:
+        pr, pl_, pv, pc = sem_points
+        st0 = streams[0]
+        keyT = st0.key.T                                     # (R, S) copy
+        updT = st0.sem_upd.T      # = valid_upd (& band gate if enabled)
+        pkey = keyT[pr]                                      # (P, S)
+        pupd = updT[pr] & (pv & semantic.informative(pl_))[:, None]
+        plab = jnp.clip(pl_, 0, (1 << lab_shift) - 1)[:, None].astype(
+            jnp.int32)
+        k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
+        pcnt = jnp.where(pupd, pc[:, None], 0.0)
+        n_pts = pkey.shape[0]
+        okp, (tpcnt,), n_drop_p = segment_compact_reduce(
+            k2p.reshape(-1), (pcnt.reshape(-1),), B, max_run=n_pts,
+            active_frac=frac)
+        n_drop = n_drop + n_drop_p
+        pvotes = (okp, tpcnt)
+
+    with_color = cfg.semantic.color_mode == ColorMode.COLOR
+    csegs = None
+    if with_color:
+        # Color channels keyed by voxel only (labels irrelevant): a second
+        # sort pair carrying the three gated color sums.
+        kv = jnp.concatenate(
+            [jnp.where(st.valid_upd, st.key, TRASH_KEY).reshape(-1)
+             for st in streams])
+        chans = tuple(jnp.concatenate(
+            [(st.wc_gate * st.colors[None, :, c]).reshape(-1)
+             for st in streams]) for c in range(3))
+        okc, tcol, n_drop_c = segment_compact_reduce(kv, chans, B,
+                                                     max_run=n_jobs_total,
+                                                     active_frac=frac)
+        n_drop = n_drop + n_drop_c
+        csegs = (okc, tcol)
+
+    v3_tiled = (g.vps3 % 128 == 0
+                and (g.vps3 <= 8192 or g.vps3 % 8192 == 0)
+                and cfg.pipeline.block_budget % 8 == 0)
+    if cfg.pipeline.staged_apply and v3_tiled and _use_pallas(cfg):
+        return _staged_segment_apply(
+            grid, cfg, ok, (tw, tsdf_s, tcnt), touched_slots, lab_shift, lk,
+            n_drop, pvotes=pvotes, csegs=csegs)
+
     seg_valid = ok != TRASH_KEY
     vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)    # drop at n_flat
     lab_seg = ok & ((1 << lab_shift) - 1)
@@ -604,29 +651,12 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
         tcnt * lk.delta, mode="drop",
         unique_indices=True).reshape(grid.sem_delta.shape)
 
-    if sem_points is not None:
+    if pvotes is not None:
         # Per-point semantic votes riding batch 0's geometry (merged
-        # integrator, _merged.cpp:254-285 — see integrate_jobs doc).
-        # Row-gather the (R, S)-transposed stream by each point's bundle ray
-        # (row gathers carry their payload ~free; a lane-dim gather of the
-        # (S, R) layout would serialize), then run the same (voxel, label)
-        # segment reduction on the (P, S) point stream. With per-job `labels`
-        # uninformative the batch-0 cnt above is all zeros, so sem_count/
-        # sem_delta receive only the point votes.
-        st0 = streams[0]
-        pr, pl, pv, pc = sem_points
-        keyT = st0.key.T                                     # (R, S) copy
-        updT = st0.sem_upd.T      # = valid_upd (& band gate if enabled)
-        pkey = keyT[pr]                                      # (P, S)
-        pupd = updT[pr] & (pv & semantic.informative(pl))[:, None]
-        plab = jnp.clip(pl, 0, (1 << lab_shift) - 1)[:, None].astype(jnp.int32)
-        k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
-        pcnt = jnp.where(pupd, pc[:, None], 0.0)
-        n_pts = pkey.shape[0]
-        okp, (tpcnt,), n_drop_p = segment_compact_reduce(
-            k2p.reshape(-1), (pcnt.reshape(-1),), B, max_run=n_pts,
-            active_frac=frac)
-        n_drop = n_drop + n_drop_p
+        # integrator, _merged.cpp:254-285 — reduced to (voxel, label) sums
+        # above). With per-job `labels` uninformative the batch-0 cnt above
+        # is all zeros, so sem_count/sem_delta receive only the point votes.
+        okp, tpcnt = pvotes
         pvalid = okp != TRASH_KEY
         pvox = jnp.where(pvalid, okp >> lab_shift, n_flat)
         plab_seg = okp & ((1 << lab_shift) - 1)
@@ -639,18 +669,8 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
             unique_indices=True).reshape(grid.sem_delta.shape)
 
     wcolor = grid.wcolor
-    if cfg.semantic.color_mode == ColorMode.COLOR:
-        # Color channels keyed by voxel only (labels irrelevant): a second
-        # sort pair carrying the three gated color sums.
-        kv = jnp.concatenate(
-            [jnp.where(st.valid_upd, st.key, TRASH_KEY).reshape(-1)
-             for st in streams])
-        chans = tuple(jnp.concatenate(
-            [(st.wc_gate * st.colors[None, :, c]).reshape(-1)
-             for st in streams]) for c in range(3))
-        okc, tcol, n_drop_c = segment_compact_reduce(kv, chans, B,
-                                                     max_run=n_jobs_total,
-                                                     active_frac=frac)
+    if csegs is not None:
+        okc, tcol = csegs
         cvalid = okc != TRASH_KEY
         cvox = jnp.where(cvalid, okc, n_flat)
         for c in range(3):
@@ -658,13 +678,154 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
                 tcol[c], mode="drop",
                 indices_are_sorted=True).reshape(grid.wsum.shape)
             wcolor = wcolor.at[c].set(ch)
-        n_drop = n_drop + n_drop_c
 
     updated = grid.updated.at[touched_slots].set(True, mode="drop")
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
         sem_delta=sem_delta, updated=updated,
         overflow=grid.overflow + n_drop)
+
+
+def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
+                          n_drop, pvotes=None, csegs=None):
+    """Apply compacted (voxel, label) segments via the aliased Pallas RMW
+    kernel instead of XLA grid scatters.
+
+    Motivation (r4, measured — scripts/profile_{scatter,semd}_r4.py): once
+    any hash-probe while_loop program (grid/hash.py lookup/insert) has
+    executed on this TPU runtime, every later XLA scatter in the process
+    runs in a slow mode costing roughly operand-bytes / 100 GB/s — the
+    (L, rows, V3) sem_delta scatter alone is ~17.8 ms/frame, making the
+    reduce+scatter stage 22.5 of fast-B=1's 26.5 ms. The Pallas
+    aliased-RMW path is immune (the flagship applies the full grid in
+    ~1.3 ms), so the band apply stages compact deltas on the frame's
+    touched-row domain (block_budget rows, group-aligned exactly like
+    grid/hash.py insert_frame_list) and rides block_rmw_add:
+
+      1. segments arrive sorted by (voxel << lab_shift | label), i.e. by
+         slot: rank slot TILE GROUPS (slot // 8) in appearance order ->
+         row pos = group_rank * 8 + slot % 8 (vector ops, no hash probes);
+      2. scatters into the small staging buffers build dense deltas —
+         w/wsdf/cnt as a packed (budget, 4) row scatter into
+         (block_budget * V3, 4), semantic votes as ONE scatter into a dense
+         (L * block_budget * V3) staging keyed by (label, row) — exact for
+         any per-voxel label multiplicity (slow-mode scatter cost scales
+         with THESE operands, not the 1.4 GB grid);
+      3. ONE aliased block_rmw_add (sem_dense mode) applies everything.
+
+    Blocks beyond the block_budget row list are dropped and counted in
+    grid.overflow (the same fixed-capacity contract as the flagship's
+    frame list).
+
+    `pvotes`/`csegs`: the merged integrator's reduced (voxel, label) vote
+    sums and the COLOR-mode per-voxel color sums — they join the same
+    staging (their voxels ride batch-0 geometry, so their tile groups are
+    already ranked).
+    """
+    from .pallas_kernels import block_rmw_add
+    from .reduce import TRASH_KEY
+
+    g, t = cfg.grid, cfg.tsdf
+    v3, cap, L = g.vps3, g.block_capacity, g.num_labels
+    n_flat = (cap + 1) * v3
+    Kb = cfg.pipeline.block_budget
+    n_tiles = Kb // 8
+    trash_group = cap // 8
+    trunc = t.truncation_distance
+    tw, tsdf_s, tcnt = sums
+
+    seg_valid = ok != TRASH_KEY
+    vox = jnp.where(seg_valid, ok >> lab_shift, n_flat)
+    lab = ok & ((1 << lab_shift) - 1)
+    slot = vox // v3
+    local = vox % v3
+    grp = slot // 8
+
+    # 1. Tile-group ranking over the sorted segment list.
+    newg = seg_valid & jnp.concatenate(
+        [jnp.ones((1,), bool), grp[1:] != grp[:-1]])
+    grank = jnp.cumsum(newg.astype(jnp.int32)) - 1
+    pos = jnp.where(seg_valid, grank * 8 + slot % 8, Kb)
+    group_overflow = jnp.sum(((pos >= Kb) & seg_valid).astype(jnp.int32))
+    rvox = jnp.where(pos < Kb, pos * v3 + local, Kb * v3)  # OOB => dump row
+    tile_idx = jnp.where(newg & (grank < n_tiles), grank, n_tiles)
+    tile_groups = jnp.full((n_tiles,), trash_group, jnp.int32).at[
+        tile_idx].set(grp, mode="drop")
+    row = jnp.arange(Kb, dtype=jnp.int32) % 8
+    fslots = jnp.repeat(tile_groups, 8) * 8 + row
+
+    # Group -> rank LUT for the vote/color side lists (their voxels ride the
+    # same streams, so their groups are present unless budget-dropped).
+    glut = jnp.full((cap // 8 + 2,), n_tiles, jnp.int32).at[
+        jnp.where(newg & (grank < n_tiles), grp, cap // 8 + 1)].set(
+        grank, mode="drop")
+
+    # 2. Staging scatters (fresh zero buffers, group-aligned row domain).
+    wsdf_val = tsdf_s - trunc * tw
+    pay0 = jnp.stack([tw, wsdf_val, tcnt, jnp.zeros_like(tw)], axis=1)
+    st0 = jnp.zeros((Kb * v3 + 1, 4), jnp.float32).at[rvox].add(
+        pay0, mode="drop", indices_are_sorted=True)
+    sem_idx = jnp.where((pos < Kb) & seg_valid & (lab < L),
+                        lab * (Kb * v3) + rvox, L * (Kb * v3))
+    st_sem = jnp.zeros((L * Kb * v3 + 1,), jnp.float32).at[sem_idx].add(
+        tcnt, mode="drop")
+
+    vote_drop = jnp.int32(0)
+    if pvotes is not None:
+        okp, tpcnt = pvotes
+        pvalid = okp != TRASH_KEY
+        pvox = jnp.where(pvalid, okp >> lab_shift, n_flat)
+        plab = okp & ((1 << lab_shift) - 1)
+        pslot = pvox // v3
+        pg = glut[jnp.minimum(pslot // 8, cap // 8 + 1)]
+        ppos = jnp.where(pvalid & (pg < n_tiles), pg * 8 + pslot % 8, Kb)
+        prvox = ppos * v3 + pvox % v3
+        vote_drop = jnp.sum((pvalid & (tpcnt > 0)
+                             & (ppos >= Kb)).astype(jnp.int32))
+        psem_idx = jnp.where((ppos < Kb) & pvalid & (plab < L),
+                             plab * (Kb * v3) + prvox, L * (Kb * v3))
+        st_sem = st_sem.at[psem_idx].add(tpcnt, mode="drop")
+        # Vote counts also land in sem_count (via the kernel's d_cnt), same
+        # as the unstaged tail: stage them into st0's cnt column.
+        vpay = jnp.stack([jnp.zeros_like(tpcnt), jnp.zeros_like(tpcnt),
+                          tpcnt, jnp.zeros_like(tpcnt)], axis=1)
+        st0 = st0.at[jnp.where(ppos < Kb, prvox, Kb * v3)].add(
+            vpay, mode="drop", indices_are_sorted=True)
+
+    d_w = st0[:Kb * v3, 0].reshape(Kb, v3)
+    d_wsdf = st0[:Kb * v3, 1].reshape(Kb, v3)
+    d_cnt = st0[:Kb * v3, 2].reshape(Kb, v3)
+    d_sem = st_sem[:L * Kb * v3].reshape(L, Kb, v3)
+
+    color_drop = jnp.int32(0)
+    if csegs is not None:
+        okc, tcol = csegs
+        cvalid = okc != TRASH_KEY
+        cvox = jnp.where(cvalid, okc, n_flat)
+        cslot = cvox // v3
+        cg = glut[jnp.minimum(cslot // 8, cap // 8 + 1)]
+        cpos = jnp.where(cvalid & (cg < n_tiles), cg * 8 + cslot % 8, Kb)
+        crvox = jnp.where(cpos < Kb, cpos * v3 + cvox % v3, Kb * v3)
+        color_drop = jnp.sum((cvalid & (cpos >= Kb)).astype(jnp.int32))
+        cpay = jnp.stack([tcol[0], tcol[1], tcol[2],
+                          jnp.zeros_like(tcol[0])], axis=1)
+        stc = jnp.zeros((Kb * v3 + 1, 4), jnp.float32).at[crvox].add(
+            cpay, mode="drop", indices_are_sorted=True)
+        d_wc = jnp.transpose(stc[:Kb * v3, :3].reshape(Kb, v3, 3), (0, 2, 1))
+    else:
+        d_wc = jnp.zeros((Kb, 3, v3), jnp.float32)
+
+    wsum, wsdf, sem_count, sem_delta, wcolor = block_rmw_add(
+        grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta, grid.wcolor,
+        fslots, d_w, d_wsdf, d_cnt, None, d_wc, lk_delta=lk.delta,
+        interpret=FORCE_PALLAS_INTERPRET, d_sem=d_sem)
+
+    updated = grid.updated.at[touched_slots].set(True, mode="drop")
+    return dataclasses.replace(
+        grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
+        sem_delta=sem_delta, updated=updated,
+        overflow=(grid.overflow + n_drop + group_overflow + vote_drop
+                  + color_drop))
 
 
 _LIKELIHOOD_CACHE = {}

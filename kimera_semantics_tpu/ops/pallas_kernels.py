@@ -673,10 +673,12 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
 # Blockwise read-modify-write accumulation (projective integrator apply).
 # ---------------------------------------------------------------------------
 
-def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_labsem, d_wc,
                 in_w, in_wsdf, in_cnt, in_sem, in_wc,
                 out_w, out_wsdf, out_cnt, out_sem, out_wc,
-                *, lk_delta, num_labels, trash_group):
+                *, lk_delta, num_labels, trash_group, sem_dense=False):
+    d_lab = None if sem_dense else d_labsem
+    d_sem = d_labsem if sem_dense else None
     """One touched tile GROUP per grid step.
 
     The frame list is group-aligned (grid/hash.py insert_frame_list): delta
@@ -695,16 +697,23 @@ def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_lab, d_wc,
         out_wsdf[:] = in_wsdf[:] + d_wsdf[:]
         cnt = d_cnt[:]
         out_cnt[:] = in_cnt[:] + cnt
-        labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1), 0)
-        out_sem[:] = in_sem[:] + jnp.where(labiota == d_lab[:][None],
-                                           cnt[None] * lk_delta, 0.0)
+        if d_lab is not None:
+            # One label per voxel (projective sampler): expand on the fly.
+            labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1),
+                                               0)
+            out_sem[:] = in_sem[:] + jnp.where(labiota == d_lab[:][None],
+                                               cnt[None] * lk_delta, 0.0)
+        else:
+            # Dense per-(label, row) vote counts (staged segment apply,
+            # ops/integrate.py): exact for any label multiplicity per voxel.
+            out_sem[:] = in_sem[:] + d_sem[:] * lk_delta
         out_wc[:] = in_wc[:] + d_wc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("lk_delta", "interpret"))
 def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
                   d_w, d_wsdf, d_cnt, d_lab, d_wc, lk_delta,
-                  interpret=False):
+                  interpret=False, d_sem=None):
     """grid_channel[slots[k]] += delta[k] for K touched-list rows, in place.
 
     Constraints this design routes around (measured / Mosaic rules):
@@ -729,6 +738,8 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     K, V3 = d_w.shape
     L = sem_delta.shape[0]
     assert K % 8 == 0
+    sem_dense = d_sem is not None
+    d_labsem = d_sem if sem_dense else d_lab
     # color delta to channel-major (XLA transpose — cheap at (K, 3, V3))
     d_wc = jnp.transpose(d_wc, (1, 0, 2))
     # Per-tile group ids; row 0 of each tile carries the tile's slot.
@@ -759,7 +770,9 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
         grid=(K // 8, V3 // Vt),
         in_specs=[
             pl.BlockSpec((8, Vt), by_tile), pl.BlockSpec((8, Vt), by_tile),
-            pl.BlockSpec((8, Vt), by_tile), pl.BlockSpec((8, Vt), by_tile),
+            pl.BlockSpec((8, Vt), by_tile),
+            (pl.BlockSpec((L, 8, Vt), by_tile3) if sem_dense
+             else pl.BlockSpec((8, Vt), by_tile)),
             pl.BlockSpec((3, 8, Vt), by_tile3),
             pl.BlockSpec((8, Vt), by_group), pl.BlockSpec((8, Vt), by_group),
             pl.BlockSpec((8, Vt), by_group),
@@ -779,11 +792,11 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     # operands are (groups, 5 deltas, 5 grid channels) -> channels at 6..10.
     return pl.pallas_call(
         functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L,
-                          trash_group=trash_group),
+                          trash_group=trash_group, sem_dense=sem_dense),
         grid_spec=grid_spec, out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(groups, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+    )(groups, d_w, d_wsdf, d_cnt, d_labsem, d_wc,
       wsum, wsdf, sem_count, sem_delta, wcolor)

@@ -79,6 +79,154 @@ def main():
     print(f"backend={jax.devices()[0].platform} cap={cap} v3={v3} "
           f"B={B} nseg={nseg}", flush=True)
 
+    # Optional HBM ballast: hold N GB of live arrays to reproduce the heavy
+    # pipeline process's allocator state (r4 finding: the same scatter is
+    # 250x slower in the real process than in a light one).
+    ballast_gb = float(os.environ.get("BALLAST_GB", "0"))
+    ballast = []
+    while ballast_gb > 0:
+        chunk = min(ballast_gb, 0.5)
+        ballast.append(jnp.ones((int(chunk * (1 << 28)),), jnp.float32))
+        ballast_gb -= chunk
+    if ballast:
+        jax.block_until_ready(ballast[-1])
+        print(f"ballast: {sum(b.nbytes for b in ballast)/2**30:.2f} GiB",
+              flush=True)
+
+    # WARM_PALLAS=1: run one trivial Pallas kernel with the pipeline's
+    # raised scoped-vmem limit first (tests whether executing such a kernel
+    # flips per-device state that slows later XLA scatters).
+    if os.environ.get("WARM_PALLAS", "0") == "1":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _add(x_ref, y_ref, o_ref):
+            o_ref[:] = x_ref[:] + y_ref[:]
+        x = jnp.ones((8, 128), jnp.float32)
+        o = pl.pallas_call(
+            _add, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024))(x, x)
+        jax.block_until_ready(o)
+        print("warm: trivial pallas kernel (100MB vmem limit) ran",
+              flush=True)
+
+    # WARM_MODE: run one isolated pipeline piece first, to find which one
+    # flips the process into the slow-scatter regime.
+    wm = os.environ.get("WARM_MODE", "")
+    if wm:
+        import dataclasses as dc
+        from kimera_semantics_tpu.grid import blocks as gblocks
+        from kimera_semantics_tpu.grid import hash as bhash
+        from profile_reduce_r4 import bench_cfg as rcfg, INTR as RINTR
+        cfgp = rcfg()
+        if wm == "grid":
+            gr = gblocks.create(cfgp)
+            jax.block_until_ready(gr.sem_delta)
+            del gr
+        elif wm == "dda":
+            from kimera_semantics_tpu.ops import pallas_kernels as pk
+            R = cfgp.pipeline.max_rays
+            S = cfgp.pipeline.resolved_band_steps(cfgp.grid, cfgp.tsdf)
+            z3 = jnp.zeros((3, R), jnp.float32)
+            o = pk.dda_job_stream(cfgp, S, z3, z3 + 1.0, z3, z3 + 1.0,
+                                  jnp.ones((R,), jnp.float32),
+                                  jnp.ones((R,), bool))
+            jax.block_until_ready(o[0])
+        elif wm == "sorts":
+            ks = jnp.arange(143360, dtype=jnp.int32) % 997
+            sk = jnp.sort(ks)
+            is_first = jnp.concatenate(
+                [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+            uk = jnp.sort(jnp.where(is_first, sk, jnp.int32(0x7FFFFFFF)))
+            jax.block_until_ready(uk)
+        elif wm == "lookup":
+            gr = gblocks.create(cfgp)
+            uk = jnp.arange(4096, dtype=jnp.int32)
+            sl = bhash.lookup(gr.table_keys, gr.table_slots, uk,
+                              cfgp.grid.table_size)
+            jax.block_until_ready(sl)
+            del gr
+        elif wm == "raceset":
+            tkeys = jnp.full((cfgp.grid.table_size,), -1, jnp.int32)
+            ks = jnp.arange(512, dtype=jnp.int32)
+            idx = bhash.mix(ks) & (cfgp.grid.table_size - 1)
+            out = tkeys.at[jnp.where(ks >= 0, idx, cfgp.grid.table_size)
+                           ].set(ks, mode="drop")
+            jax.block_until_ready(out)
+        elif wm == "whileset":
+            # while_loop WITH a scatter inside, one round (static-ish trip)
+            tkeys = jnp.full((cfgp.grid.table_size,), -1, jnp.int32)
+            ks = jnp.arange(512, dtype=jnp.int32)
+
+            @jax.jit
+            def f(tkeys, ks):
+                idx = bhash.mix(ks) & (cfgp.grid.table_size - 1)
+
+                def cond(st):
+                    return st[2] < 2
+
+                def body(st):
+                    tk, ix, r = st
+                    tk = tk.at[ix].set(ks, mode="drop")
+                    ix = (ix + 1) & (cfgp.grid.table_size - 1)
+                    return tk, ix, r + 1
+                return jax.lax.while_loop(cond, body,
+                                          (tkeys, idx, jnp.int32(0)))
+            out = f(tkeys, ks)
+            jax.block_until_ready(out[0])
+        elif wm == "probe":
+            gr = gblocks.create(cfgp)
+            uk = jnp.arange(512, dtype=jnp.int32)
+            tk, ts2, bc, nb, ov = bhash.insert(
+                gr.table_keys, gr.table_slots, gr.block_coords, gr.n_blocks,
+                uk, uk >= 0, cfgp.grid.table_size, cfgp.grid.block_capacity,
+                cfgp.grid.world_extent_blocks)
+            jax.block_until_ready(tk)
+            del gr
+        elif wm == "insert":
+            gr = gblocks.create(cfgp)
+            ks = jnp.arange(143360, dtype=jnp.int32) % 997
+            tk, ts2, bc, nb, ov = bhash.insert_compacted(
+                gr.table_keys, gr.table_slots, gr.block_coords, gr.n_blocks,
+                ks, ks >= 0, cfgp.grid.table_size, cfgp.grid.block_capacity,
+                cfgp.grid.world_extent_blocks)
+            jax.block_until_ready(tk)
+            del gr
+        elif wm == "carve":
+            from kimera_semantics_tpu.core.color import LabelColorMap
+            from kimera_semantics_tpu.io.dataset import SyntheticDataset
+            from kimera_semantics_tpu.models import fast as fast_mod
+            lmap = LabelColorMap.random(21)
+            ds = SyntheticDataset(num_frames=2, intr=RINTR, label_map=lmap)
+            gr = gblocks.create(cfgp)
+            cf = jax.jit(
+                lambda g, f: fast_mod._maybe_projective_carve(g, f, cfgp,
+                                                              RINTR),
+                donate_argnums=(0,))
+            gr = cf(gr, ds.frame(0))
+            jax.block_until_ready(gr.wsum)
+            del gr
+        print(f"warm: mode={wm} ran", flush=True)
+
+    # WARM_PIPE=1: run two real fast-pipeline frames first (the heavy
+    # process's prelude) at the bench config.
+    if os.environ.get("WARM_PIPE", "0") == "1":
+        from kimera_semantics_tpu.core.color import LabelColorMap
+        from kimera_semantics_tpu.io.dataset import SyntheticDataset
+        from kimera_semantics_tpu.grid import blocks as gblocks
+        from kimera_semantics_tpu.models import fast as fast_mod
+        from profile_reduce_r4 import bench_cfg as rcfg, INTR as RINTR
+        cfgp = rcfg()
+        lmap = LabelColorMap.random(21)
+        ds = SyntheticDataset(num_frames=3, intr=RINTR, label_map=lmap)
+        gr = gblocks.create(cfgp)
+        for i in range(2):
+            gr = fast_mod.integrate_frame(gr, ds.frame(i), cfgp, RINTR)
+        jax.block_until_ready(gr.wsum)
+        del gr
+        print("warm: 2 real fast frames ran", flush=True)
+
     # Synthetic but realistic segment list: nseg live segments over ~460
     # touched slots, sorted ascending, trash beyond.
     rng = np.random.default_rng(0)
