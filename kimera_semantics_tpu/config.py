@@ -241,10 +241,18 @@ class PipelineConfig:
                                  # this runtime (sem_delta alone ~17.8
                                  # ms/frame); the staged path is immune.
                                  # False = the plain XLA scatter tail.
-    sem_label_ranks: int = 4     # staged apply: max distinct labels a voxel
-                                 # can receive per frame (per-voxel label
-                                 # ranks; rank >= this drops the vote and
-                                 # counts it in grid.overflow)
+    sem_stage_mode: str = "packed"  # staged apply's semantic staging:
+                                 # "packed" = P label-rank planes holding
+                                 # (count*32 + label) packed f32 (one 8 MB
+                                 # plane per rank — slow-mode scatter cost
+                                 # scales with the staging operand, so small
+                                 # wins); votes past rank P-1 drop and count
+                                 # in grid.overflow. "dense" = full
+                                 # (L, rows, V3) staging — exact for any
+                                 # label multiplicity, ~L/P x the staging
+                                 # bytes.
+    sem_stage_ranks: int = 8     # "packed" mode: max distinct labels a
+                                 # voxel can receive per frame
     stream_active_fraction: float = 0.75  # "segment" mode: post-sort slice —
                                  # padded streams are ~50% trash, so the scan
                                  # and compaction sort run on this fraction

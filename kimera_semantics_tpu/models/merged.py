@@ -102,6 +102,82 @@ def _bundle(points_G, weights, colors, labels, active, *, voxel_size_inv: float,
             n_dropped)
 
 
+def _bundle_scan(points_G, weights, colors, labels, active, *,
+                 voxel_size_inv: float, max_bundles: int):
+    """Scan-form bundling for the banded paths (no histogram, no
+    original-order bin map): sort by destination voxel, segmented-scan the
+    weighted sums, compact segment heads with the packed 1-operand sort.
+
+    Replaces _bundle's `.at[seg].add/.set` segment scatters for the banded
+    prepare: in the slow-scatter runtime regime (ops/integrate.py
+    _staged_segment_apply rationale) those four 307k-index scatters cost
+    ~12 ms/frame; scans and gathers are unaffected (~3-4 ns/element).
+
+    Returns (valid, point, weight, color, seg_sorted, lab_sorted,
+    act_sorted, contrib_sorted, dest, n_dropped): per-bundle reductions in
+    bin rank order (rank = first-appearance order in the voxel-sorted
+    stream, exactly _bundle's segment ids), plus the SORTED-ORDER per-point
+    (bin, label, gates) streams for the sparse vote build — votes reduce to
+    identical (bin, label) sums from sorted order, so the original-order
+    scatter map is never materialized.
+    """
+    from ..ops.reduce import segmented_scan_sums
+
+    n = points_G.shape[0]
+    vox = point_to_voxel(points_G, voxel_size_inv)
+    c = jnp.clip(vox + (1 << 14), 0, (1 << 15) - 1)
+    key_hi = (c[..., 0] << 15) | c[..., 1]
+    key_lo = c[..., 2]
+    key_hi = jnp.where(active, key_hi, jnp.int32(0x7FFFFFFF))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_hi, key_lo, perm = jax.lax.sort((key_hi, key_lo, idx), num_keys=2)
+
+    w, pg, col, lab, act, vox_p = common.gather_packed(
+        perm, jnp.where(active, weights, 0.0), points_G, colors, labels,
+        active, vox)
+    contrib = w > _EPS_WEIGHT
+    wc = jnp.where(contrib, w, 0.0)
+
+    is_first = jnp.ones((n,), dtype=bool)
+    is_first = is_first.at[1:].set(
+        (key_hi[1:] != key_hi[:-1]) | (key_lo[1:] != key_lo[:-1]))
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    n_bins = jnp.sum((is_first & act).astype(jnp.int32))
+    n_dropped = jnp.maximum(0, n_bins - max_bundles)
+
+    # Inclusive segmented prefix sums; segment totals sit at the last
+    # element of each segment.
+    scans = segmented_scan_sums(
+        is_first, (wc, wc * pg[:, 0], wc * pg[:, 1], wc * pg[:, 2],
+                   wc * col[:, 0], wc * col[:, 1], wc * col[:, 2]))
+    is_end = jnp.concatenate([is_first[1:], jnp.ones((1,), bool)])
+
+    # Compact the segment END positions to bin rank order (packed 1-op
+    # sort): ends appear in stream order == ascending seg rank.
+    assert n < (1 << 30)
+    packed = jnp.where(is_end & act, idx, idx | jnp.int32(1 << 30))
+    order_e = jax.lax.sort(packed)[:max_bundles]
+    if order_e.shape[0] < max_bundles:   # fewer points than the bundle cap
+        order_e = jnp.pad(order_e, (0, max_bundles - order_e.shape[0]),
+                          constant_values=1 << 30)
+    bin_ok = order_e < jnp.int32(1 << 30)
+    order_e = order_e & jnp.int32((1 << 30) - 1)
+    sums = common.gather_packed(order_e, *scans)
+    wsum = jnp.where(bin_ok, sums[0], 0.0)
+    valid = wsum > _EPS_WEIGHT
+    denom = jnp.maximum(wsum[:, None], 1e-12)
+    point = jnp.stack(sums[1:4], axis=-1) / denom
+    colorb = jnp.stack(sums[4:7], axis=-1) / denom
+    # Destination voxel: constant within a segment — read it at the end.
+    (dest,) = common.gather_packed(order_e, vox_p.astype(jnp.float32))
+    # Invalid bins: far out-of-range coords (anti-grazing lookups miss,
+    # matching _bundle's empty-segment value).
+    dest = jnp.where(bin_ok[:, None], jnp.round(dest).astype(jnp.int32),
+                     -(1 << 14))
+    return (valid, point, wsum, colorb, seg, lab, act, contrib, dest,
+            n_dropped)
+
+
 def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     """Grid-independent bundled prepare for ONE frame (projective-carve
     mode): bundling, sparse (bundle, label) votes, band jobs. Pure in the
@@ -120,14 +196,16 @@ def _bundle_prepare(frame, cfg: FusionConfig, intr: PinholeIntrinsics):
     R = cfg.pipeline.max_rays
     L = cfg.grid.num_labels
     inv = 1.0 / cfg.grid.voxel_size
-    (bvalid, bpoint, bweight, bcolor, _, _, _, bseg, bin_drop) = _bundle(
+    (bvalid, bpoint, bweight, bcolor, seg_s, lab_s, act_s, contrib_s, _,
+     bin_drop) = _bundle_scan(
         pts_G, weights, colors, labels, valid & ~is_clearing,
-        voxel_size_inv=inv, num_labels=L, max_bundles=R)
+        voxel_size_inv=inv, max_bundles=R)
     n_pts = pts_G.shape[0]
-    p_ray = jnp.minimum(bseg, R - 1)
-    p_valid = ((bseg < R) & bvalid[p_ray] & semantic.informative(labels))
+    p_ray = jnp.minimum(seg_s, R - 1)
+    p_valid = (act_s & contrib_s & (seg_s < R) & bvalid[p_ray]
+               & semantic.informative(lab_s))
     lab_shift = max(1, (L - 1).bit_length())
-    lab_c = jnp.clip(labels, 0, (1 << lab_shift) - 1)
+    lab_c = jnp.clip(lab_s, 0, (1 << lab_shift) - 1)
     pair_key = jnp.where(p_valid, (p_ray << lab_shift) | lab_c, TRASH_KEY)
     pk, (pcounts,), pair_drop = segment_compact_reduce(
         pair_key, (jnp.where(p_valid, 1.0, 0.0),), 2 * R, max_run=n_pts)
@@ -159,11 +237,13 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics,
     L = cfg.grid.num_labels
     inv = 1.0 / cfg.grid.voxel_size
 
-    # Pass 1: normal rays (voxel_map bins).
-    (bvalid, bpoint, bweight, bcolor, bhist, _, bdest, bseg,
-     bin_drop) = _bundle(
+    # Pass 1: normal rays (voxel_map bins) — scan-form bundling (the
+    # `.at[seg]` scatter form costs ~12 ms/frame in the slow-scatter
+    # runtime regime; see _bundle_scan).
+    (bvalid, bpoint, bweight, bcolor, seg_s, lab_s, act_s, contrib_s,
+     bdest, bin_drop) = _bundle_scan(
         pts_G, weights, colors, labels, valid & ~is_clearing,
-        voxel_size_inv=inv, num_labels=L, max_bundles=R)
+        voxel_size_inv=inv, max_bundles=R)
     grid = dataclasses.replace(grid,
                                dropped_rays=grid.dropped_rays + bin_drop)
     # Anti-grazing (_merged.cpp:306-313): dest set = the normal-pass bins;
@@ -179,11 +259,11 @@ def _frame_parts(grid, frame, cfg: FusionConfig, intr: PinholeIntrinsics,
     from ..ops import semantic
     from ..ops.reduce import TRASH_KEY, segment_compact_reduce
     n_pts = pts_G.shape[0]
-    p_ray = jnp.minimum(bseg, R - 1)
-    p_valid = ((bseg < R) & bvalid[p_ray]
-               & semantic.informative(labels))
+    p_ray = jnp.minimum(seg_s, R - 1)
+    p_valid = (act_s & contrib_s & (seg_s < R) & bvalid[p_ray]
+               & semantic.informative(lab_s))
     lab_shift = max(1, (L - 1).bit_length())
-    lab_c = jnp.clip(labels, 0, (1 << lab_shift) - 1)
+    lab_c = jnp.clip(lab_s, 0, (1 << lab_shift) - 1)
     pair_key = jnp.where(p_valid, (p_ray << lab_shift) | lab_c, TRASH_KEY)
     # 2R pair budget: bundles carry ~1-2 distinct labels each, and the
     # bundle list itself is capped at R. Drops count as dropped_rays (same

@@ -177,6 +177,15 @@ def integrate_jobs(
     vps, v3, cap, L = g.voxels_per_side, g.vps3, g.block_capacity, g.num_labels
     ext = g.world_extent_blocks
 
+    # The staged RMW apply's row staging is sized to ONE frame's touched
+    # blocks (block_budget, the flagship's frame-list contract). Batched
+    # multi-frame dispatches (cube_origin (B, 3)) and sharded multi-frame
+    # concatenations (ag_frames > 1) can touch far more blocks than the
+    # budget, so they keep the plain scatter tail (whose cost is amortized
+    # over the B frames of the dispatch).
+    staged_ok = ((cube_origin is None or cube_origin.ndim == 1)
+                 and ag_frames == 1)
+
     streams = [expand_jobs(cfg, jobs, S) for jobs, S in batches]
 
     use_segment = cfg.pipeline.scatter_mode == "segment"
@@ -262,7 +271,8 @@ def integrate_jobs(
         touched_slots = jnp.concatenate(touched)
         return _segment_scatter_apply(
             grid, cfg, streams, touched_slots, lab_shift,
-            make_likelihood_cached(cfg), sem_points=sem_points)
+            make_likelihood_cached(cfg), sem_points=sem_points,
+            staged_ok=staged_ok)
 
     if have_runs:
         lut = bhash.lookup(grid.table_keys, grid.table_slots, alloc_keys,
@@ -348,7 +358,7 @@ def integrate_jobs(
     if use_segment:
         return _segment_scatter_apply(
             grid, cfg, streams, touched_slots, lab_shift, lk,
-            sem_points=sem_points)
+            sem_points=sem_points, staged_ok=staged_ok)
     return _plain_scatter_apply(grid, cfg, streams, touched_slots, lk,
                                 sem_points=sem_points)
 
@@ -521,7 +531,7 @@ def _plain_scatter_apply(grid, cfg, streams, touched_slots, lk,
 
 
 def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
-                           sem_points=None):
+                           sem_points=None, staged_ok=True):
     """"segment" scatter mode: reduce the concatenated (S, R) update streams
     to their unique (voxel, label) segments before touching the grid.
 
@@ -624,7 +634,8 @@ def _segment_scatter_apply(grid, cfg, streams, touched_slots, lab_shift, lk,
     v3_tiled = (g.vps3 % 128 == 0
                 and (g.vps3 <= 8192 or g.vps3 % 8192 == 0)
                 and cfg.pipeline.block_budget % 8 == 0)
-    if cfg.pipeline.staged_apply and v3_tiled and _use_pallas(cfg):
+    if staged_ok and cfg.pipeline.staged_apply and v3_tiled \
+            and _use_pallas(cfg):
         return _staged_segment_apply(
             grid, cfg, ok, (tw, tsdf_s, tcnt), touched_slots, lab_shift, lk,
             n_drop, pvotes=pvotes, csegs=csegs)
@@ -765,10 +776,37 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
     pay0 = jnp.stack([tw, wsdf_val, tcnt, jnp.zeros_like(tw)], axis=1)
     st0 = jnp.zeros((Kb * v3 + 1, 4), jnp.float32).at[rvox].add(
         pay0, mode="drop", indices_are_sorted=True)
-    sem_idx = jnp.where((pos < Kb) & seg_valid & (lab < L),
-                        lab * (Kb * v3) + rvox, L * (Kb * v3))
-    st_sem = jnp.zeros((L * Kb * v3 + 1,), jnp.float32).at[sem_idx].add(
-        tcnt, mode="drop")
+
+    packed = cfg.pipeline.sem_stage_mode == "packed"
+    P = cfg.pipeline.sem_stage_ranks if packed else L
+    rank_drop = jnp.int32(0)
+
+    def label_ranks(vx, valid, cnt, lb):
+        """Per-voxel rank among nonzero-cnt pairs of a (voxel,label)-sorted
+        list (packed mode): rank = #preceding same-voxel nonzero pairs."""
+        has = valid & (cnt > 0.0) & (lb < L)
+        hi = has.astype(jnp.int32)
+        c = jnp.cumsum(hi)
+        newv = jnp.concatenate([jnp.ones((1,), bool), vx[1:] != vx[:-1]])
+        base = jax.lax.cummax(jnp.where(newv, c - hi, jnp.int32(-1)))
+        return jnp.where(has, c - hi - base, -1), has
+
+    if packed:
+        # P rank planes of (count * 32 + label) packed f32: each (rank,
+        # voxel) slot has exactly ONE contributor, so the add-to-zero
+        # scatter IS a set and the packing survives. Exact while
+        # count < 2^19 (product < 2^24).
+        rank, has = label_ranks(vox, seg_valid, tcnt, lab)
+        rank_drop = jnp.sum((rank >= P).astype(jnp.int32))
+        pidx = jnp.where(has & (rank >= 0) & (rank < P) & (pos < Kb),
+                         rank * (Kb * v3) + rvox, P * (Kb * v3))
+        st_sem = jnp.zeros((P * Kb * v3 + 1,), jnp.float32).at[pidx].add(
+            tcnt * 32.0 + lab.astype(jnp.float32), mode="drop")
+    else:
+        sem_idx = jnp.where((pos < Kb) & seg_valid & (lab < L),
+                            lab * (Kb * v3) + rvox, P * (Kb * v3))
+        st_sem = jnp.zeros((P * Kb * v3 + 1,), jnp.float32).at[sem_idx].add(
+            tcnt, mode="drop")
 
     vote_drop = jnp.int32(0)
     if pvotes is not None:
@@ -782,9 +820,21 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
         prvox = ppos * v3 + pvox % v3
         vote_drop = jnp.sum((pvalid & (tpcnt > 0)
                              & (ppos >= Kb)).astype(jnp.int32))
-        psem_idx = jnp.where((ppos < Kb) & pvalid & (plab < L),
-                             plab * (Kb * v3) + prvox, L * (Kb * v3))
-        st_sem = st_sem.at[psem_idx].add(tpcnt, mode="drop")
+        if packed:
+            # Vote ranks are independent of the main pairs: votes only
+            # appear when per-job labels are uninformative (cnt == 0), so
+            # the main list occupies no rank slots.
+            prank, phas = label_ranks(pvox, pvalid, tpcnt, plab)
+            rank_drop = rank_drop + jnp.sum((prank >= P).astype(jnp.int32))
+            ppidx = jnp.where(phas & (prank >= 0) & (prank < P)
+                              & (ppos < Kb),
+                              prank * (Kb * v3) + prvox, P * (Kb * v3))
+            st_sem = st_sem.at[ppidx].add(
+                tpcnt * 32.0 + plab.astype(jnp.float32), mode="drop")
+        else:
+            psem_idx = jnp.where((ppos < Kb) & pvalid & (plab < L),
+                                 plab * (Kb * v3) + prvox, P * (Kb * v3))
+            st_sem = st_sem.at[psem_idx].add(tpcnt, mode="drop")
         # Vote counts also land in sem_count (via the kernel's d_cnt), same
         # as the unstaged tail: stage them into st0's cnt column.
         vpay = jnp.stack([jnp.zeros_like(tpcnt), jnp.zeros_like(tpcnt),
@@ -795,7 +845,7 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
     d_w = st0[:Kb * v3, 0].reshape(Kb, v3)
     d_wsdf = st0[:Kb * v3, 1].reshape(Kb, v3)
     d_cnt = st0[:Kb * v3, 2].reshape(Kb, v3)
-    d_sem = st_sem[:L * Kb * v3].reshape(L, Kb, v3)
+    d_sem = st_sem[:P * Kb * v3].reshape(P, Kb, v3)
 
     color_drop = jnp.int32(0)
     if csegs is not None:
@@ -818,14 +868,15 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
     wsum, wsdf, sem_count, sem_delta, wcolor = block_rmw_add(
         grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta, grid.wcolor,
         fslots, d_w, d_wsdf, d_cnt, None, d_wc, lk_delta=lk.delta,
-        interpret=FORCE_PALLAS_INTERPRET, d_sem=d_sem)
+        interpret=FORCE_PALLAS_INTERPRET, d_sem=d_sem,
+        sem_packed_ranks=P if packed else 0)
 
     updated = grid.updated.at[touched_slots].set(True, mode="drop")
     return dataclasses.replace(
         grid, wsum=wsum, wsdf=wsdf, wcolor=wcolor, sem_count=sem_count,
         sem_delta=sem_delta, updated=updated,
-        overflow=(grid.overflow + n_drop + group_overflow + vote_drop
-                  + color_drop))
+        overflow=(grid.overflow + n_drop + group_overflow + rank_drop
+                  + vote_drop + color_drop))
 
 
 _LIKELIHOOD_CACHE = {}

@@ -676,9 +676,7 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
 def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_labsem, d_wc,
                 in_w, in_wsdf, in_cnt, in_sem, in_wc,
                 out_w, out_wsdf, out_cnt, out_sem, out_wc,
-                *, lk_delta, num_labels, trash_group, sem_dense=False):
-    d_lab = None if sem_dense else d_labsem
-    d_sem = d_labsem if sem_dense else None
+                *, lk_delta, num_labels, trash_group, sem_mode="onehot"):
     """One touched tile GROUP per grid step.
 
     The frame list is group-aligned (grid/hash.py insert_frame_list): delta
@@ -697,23 +695,35 @@ def _rmw_kernel(groups_ref, d_w, d_wsdf, d_cnt, d_labsem, d_wc,
         out_wsdf[:] = in_wsdf[:] + d_wsdf[:]
         cnt = d_cnt[:]
         out_cnt[:] = in_cnt[:] + cnt
-        if d_lab is not None:
+        labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1), 0)
+        if sem_mode == "onehot":
             # One label per voxel (projective sampler): expand on the fly.
-            labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1),
-                                               0)
-            out_sem[:] = in_sem[:] + jnp.where(labiota == d_lab[:][None],
+            out_sem[:] = in_sem[:] + jnp.where(labiota == d_labsem[:][None],
                                                cnt[None] * lk_delta, 0.0)
-        else:
+        elif sem_mode == "dense":
             # Dense per-(label, row) vote counts (staged segment apply,
             # ops/integrate.py): exact for any label multiplicity per voxel.
-            out_sem[:] = in_sem[:] + d_sem[:] * lk_delta
+            out_sem[:] = in_sem[:] + d_labsem[:] * lk_delta
+        else:  # "packed": P planes of (count * 32 + label) packed f32
+            # (staged segment apply — per-voxel label ranks; exact while
+            # count < 2^19: both factors integral, product < 2^24).
+            sem = in_sem[:]
+            P = d_labsem.shape[0]
+            for r in range(P):
+                v = d_labsem[r]
+                cr = jnp.floor(v * (1.0 / 32.0))
+                lr = (v - 32.0 * cr).astype(jnp.int32)
+                sem = sem + jnp.where(labiota == lr[None],
+                                      cr[None] * lk_delta, 0.0)
+            out_sem[:] = sem
         out_wc[:] = in_wc[:] + d_wc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("lk_delta", "interpret"))
+@functools.partial(jax.jit, static_argnames=("lk_delta", "interpret",
+                                             "sem_packed_ranks"))
 def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
                   d_w, d_wsdf, d_cnt, d_lab, d_wc, lk_delta,
-                  interpret=False, d_sem=None):
+                  interpret=False, d_sem=None, sem_packed_ranks=0):
     """grid_channel[slots[k]] += delta[k] for K touched-list rows, in place.
 
     Constraints this design routes around (measured / Mosaic rules):
@@ -738,8 +748,16 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     K, V3 = d_w.shape
     L = sem_delta.shape[0]
     assert K % 8 == 0
-    sem_dense = d_sem is not None
-    d_labsem = d_sem if sem_dense else d_lab
+    if d_sem is not None:
+        # (L, K, V3) dense vote counts or (P, K, V3) packed rank planes —
+        # distinguished by dtype/shape at the caller via sem_mode.
+        d_labsem = d_sem
+        sem_mode = "dense" if d_sem.shape[0] == L else "packed"
+        if d_sem.shape[0] == L and sem_packed_ranks == L:
+            sem_mode = "packed"  # P == L: explicit override
+    else:
+        d_labsem = d_lab
+        sem_mode = "onehot"
     # color delta to channel-major (XLA transpose — cheap at (K, 3, V3))
     d_wc = jnp.transpose(d_wc, (1, 0, 2))
     # Per-tile group ids; row 0 of each tile carries the tile's slot.
@@ -771,8 +789,8 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
         in_specs=[
             pl.BlockSpec((8, Vt), by_tile), pl.BlockSpec((8, Vt), by_tile),
             pl.BlockSpec((8, Vt), by_tile),
-            (pl.BlockSpec((L, 8, Vt), by_tile3) if sem_dense
-             else pl.BlockSpec((8, Vt), by_tile)),
+            (pl.BlockSpec((d_labsem.shape[0], 8, Vt), by_tile3)
+             if sem_mode != "onehot" else pl.BlockSpec((8, Vt), by_tile)),
             pl.BlockSpec((3, 8, Vt), by_tile3),
             pl.BlockSpec((8, Vt), by_group), pl.BlockSpec((8, Vt), by_group),
             pl.BlockSpec((8, Vt), by_group),
@@ -792,7 +810,7 @@ def block_rmw_add(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
     # operands are (groups, 5 deltas, 5 grid channels) -> channels at 6..10.
     return pl.pallas_call(
         functools.partial(_rmw_kernel, lk_delta=lk_delta, num_labels=L,
-                          trash_group=trash_group, sem_dense=sem_dense),
+                          trash_group=trash_group, sem_mode=sem_mode),
         grid_spec=grid_spec, out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(

@@ -22,7 +22,8 @@ from kimera_semantics_tpu.config import (ColorMode, FusionConfig, GridConfig,
 from kimera_semantics_tpu.grid import blocks
 
 
-def make_cfg(staged, color_mode=ColorMode.SEMANTIC):
+def make_cfg(staged, color_mode=ColorMode.SEMANTIC,
+             sem_stage_mode="dense", sem_stage_ranks=8):
     return FusionConfig(
         grid=GridConfig(voxel_size=0.25, voxels_per_side=8,
                         block_capacity=64),
@@ -31,7 +32,9 @@ def make_cfg(staged, color_mode=ColorMode.SEMANTIC):
         semantic=SemanticConfig(color_mode=color_mode),
         pipeline=PipelineConfig(max_rays=16, dedup_table_size=1 << 10,
                                 max_steps=32, block_budget=64,
-                                staged_apply=staged),
+                                staged_apply=staged,
+                                sem_stage_mode=sem_stage_mode,
+                                sem_stage_ranks=sem_stage_ranks),
     )
 
 
@@ -97,6 +100,22 @@ def test_staged_matches_plain_with_votes():
     g_staged = _run(make_cfg(True), sem_points=sem_points)
     g_plain = _run(make_cfg(False), sem_points=sem_points)
     _compare(g_staged, g_plain, make_cfg(True))
+
+
+def test_packed_ranks_match_dense_when_wide_enough():
+    """Packed rank staging with P = L is exact (covers any multiplicity)."""
+    g_packed = _run(make_cfg(True, sem_stage_mode="packed",
+                             sem_stage_ranks=21))
+    g_plain = _run(make_cfg(False))
+    _compare(g_packed, g_plain, make_cfg(True))
+
+
+def test_packed_rank_overflow_counted():
+    """Votes past rank P-1 drop and count in overflow (P=1 forces it:
+    near-origin voxels see every ray's label under full carving)."""
+    g1 = _run(make_cfg(True, sem_stage_mode="packed", sem_stage_ranks=1))
+    g_plain = _run(make_cfg(False))
+    assert int(g1.overflow) > int(g_plain.overflow)
 
 
 def test_block_budget_overflow_counted():
