@@ -253,6 +253,11 @@ class PipelineConfig:
                                  # bytes.
     sem_stage_ranks: int = 8     # "packed" mode: max distinct labels a
                                  # voxel can receive per frame
+    meta_kernel: bool = True     # projective apply: compute the per-block
+                                 # patch meta in the one-step Pallas kernel
+                                 # (pallas_kernels.block_meta) instead of
+                                 # the ~0.7 ms XLA small-op chain; needs
+                                 # block_budget % 128 == 0 (else falls back)
     stream_active_fraction: float = 0.75  # "segment" mode: post-sort slice —
                                  # padded streams are ~50% trash, so the scan
                                  # and compaction sort run on this fraction

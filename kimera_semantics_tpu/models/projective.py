@@ -265,13 +265,20 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
         from ..ops import pallas_kernels
         from ..ops.integrate import make_likelihood_cached
         T_C_G = transforms.inverse(T_G_C)
-        lvl, u0l, v0, u0a = proj_ops.block_patch_meta(
-            fcoords, T_C_G, intr, plan, g.block_size)
-        meta = jnp.stack(
-            [v0, u0a, real.astype(jnp.int32), lvl, u0l,
-             fcoords[:, 0], fcoords[:, 1], fcoords[:, 2]], axis=1)
         tflat = jnp.zeros((1, 128), jnp.float32).at[0, :12].set(
             T_C_G[:3, :4].reshape(-1))
+        if cfg.pipeline.meta_kernel and fcoords.shape[0] % 128 == 0:
+            # One-grid-step Pallas meta (r4): replaces the ~0.7 ms XLA
+            # small-op chain (pallas_kernels.block_meta docstring).
+            meta = pallas_kernels.block_meta(
+                fcoords, real, tflat, intr, plan, g.block_size,
+                interpret=FORCE_PALLAS_INTERPRET)
+        else:
+            lvl, u0l, v0, u0a = proj_ops.block_patch_meta(
+                fcoords, T_C_G, intr, plan, g.block_size)
+            meta = jnp.stack(
+                [v0, u0a, real.astype(jnp.int32), lvl, u0l,
+                 fcoords[:, 0], fcoords[:, 1], fcoords[:, 2]], axis=1)
         with_color = cfg.semantic.color_mode == ColorMode.COLOR
         d_w, d_wsdf, d_cnt, d_lab, d_wc = (
             pallas_kernels.projective_sample_update(

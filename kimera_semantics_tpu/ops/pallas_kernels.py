@@ -250,6 +250,118 @@ def max_runs(cfg: FusionConfig, S: int | None = None) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _block_meta_kernel(tcg_ref, coords_ref, real_ref, meta_ref, *,
+                       intr, plan, block_size):
+    """Per-block mip level + aligned patch origins, fully vectorized.
+
+    The XLA form (ops/projective.py block_patch_meta) is ~30 small ops over
+    (K, 8, 3) arrays — ~0.7 ms/frame of pure op-count overhead in the
+    flagship chain (r3 attribution). Here the whole computation is one grid
+    step of (1, K) vector math: 8 statically-unrolled corner projections,
+    comparison-ladder level selection (bit-identical to the XLA form — both
+    use exact power-of-two compares), and static where-chains in place of
+    vector-by-vector shifts. Output (8, K) int32 rows
+    [v0, u0_atlas, real, lvl, u0_level, bx, by, bz] — transposed by the
+    wrapper into the sampler's (K, 8) scalar-prefetch meta.
+    """
+    f32 = jnp.float32
+    FL = plan.full_level
+    T = tcg_ref[:]                                      # (1, 128) f32
+
+    def tc(j):
+        return T[:, j:j + 1]
+
+    bx = coords_ref[0:1, :]
+    by = coords_ref[1:2, :]
+    bz = coords_ref[2:3, :]
+    bs = f32(block_size)
+    big = f32(1e9)
+    zeps = f32(1e-3)
+    umin = jnp.full(bx.shape, big, f32)
+    vmin = jnp.full(bx.shape, big, f32)
+    umax = jnp.full(bx.shape, -big, f32)
+    vmax = jnp.full(bx.shape, -big, f32)
+    n_front = jnp.zeros(bx.shape, jnp.int32)
+    for c in range(8):
+        ox, oy, oz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+        x = (bx + ox).astype(f32) * bs
+        y = (by + oy).astype(f32) * bs
+        z = (bz + oz).astype(f32) * bs
+        pX = tc(0) * x + tc(1) * y + tc(2) * z + tc(3)
+        pY = tc(4) * x + tc(5) * y + tc(6) * z + tc(7)
+        pZ = tc(8) * x + tc(9) * y + tc(10) * z + tc(11)
+        zsafe = jnp.maximum(pZ, zeps)
+        u = f32(intr.fx) * pX / zsafe + f32(intr.cx)
+        v = f32(intr.fy) * pY / zsafe + f32(intr.cy)
+        front = pZ > zeps
+        umin = jnp.minimum(umin, jnp.where(front, u, big))
+        umax = jnp.maximum(umax, jnp.where(front, u, -big))
+        vmin = jnp.minimum(vmin, jnp.where(front, v, big))
+        vmax = jnp.maximum(vmax, jnp.where(front, v, -big))
+        n_front = n_front + front.astype(jnp.int32)
+    all_front = n_front == 8
+
+    # Division, not reciprocal-multiply: must be bit-identical to the XLA
+    # form at level boundaries (the parity test compares block-for-block).
+    need = jnp.maximum((umax - umin) / f32(plan.col_threshold),
+                       (vmax - vmin) / f32(plan.row_threshold))
+    lvl = jnp.zeros(bx.shape, jnp.int32)
+    for l in range(FL):
+        lvl = lvl + (need > f32(1 << l)).astype(jnp.int32)
+    bbox_ok = all_front & (need <= f32(1 << FL))
+    lvl = jnp.where(bbox_ok, lvl, FL)
+
+    # Static chains over the <= FL+1 levels (vector-by-vector shifts and
+    # gathered level offsets are both awkward in Mosaic).
+    off_l = jnp.zeros(bx.shape, jnp.int32)
+    vmin_i = jnp.floor(vmin).astype(jnp.int32)
+    umin_i = jnp.floor(umin).astype(jnp.int32)
+    vmin_l = jnp.zeros(bx.shape, jnp.int32)
+    umin_l = jnp.zeros(bx.shape, jnp.int32)
+    for l in range(FL + 1):
+        sel = lvl == l
+        off_l = jnp.where(sel, jnp.int32(plan.offsets[l]), off_l)
+        vmin_l = jnp.where(sel, jnp.right_shift(vmin_i, l) - 1, vmin_l)
+        umin_l = jnp.where(sel, jnp.right_shift(umin_i, l) - 1, umin_l)
+    vmin_l = jnp.where(bbox_ok, vmin_l, 0)
+    umin_l = jnp.where(bbox_ok, umin_l, 0)
+    v0 = jnp.clip(jnp.floor_divide(vmin_l, 8) * 8, 0,
+                  plan.atlas_height - plan.row_window)
+    u0a = jnp.clip(jnp.floor_divide(off_l + umin_l, 128) * 128, 0,
+                   plan.atlas_width - plan.col_window)
+
+    meta_ref[0:1, :] = v0
+    meta_ref[1:2, :] = u0a
+    meta_ref[2:3, :] = real_ref[:]
+    meta_ref[3:4, :] = lvl
+    meta_ref[4:5, :] = u0a - off_l
+    meta_ref[5:6, :] = bx
+    meta_ref[6:7, :] = by
+    meta_ref[7:8, :] = bz
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "plan", "block_size",
+                                             "interpret"))
+def block_meta(fcoords, freal, T_C_G_flat, intr, plan, block_size,
+               interpret=False):
+    """Pallas form of ops/projective.py block_patch_meta + the meta stack:
+    returns the (K, 8) int32 scalar-prefetch meta for
+    projective_sample_update. Bit-identical level/origin selection to the
+    XLA form (tests/test_projective.py pins it)."""
+    K = fcoords.shape[0]
+    assert K % 128 == 0, "meta kernel lanes must tile by 128"
+    coords_T = fcoords.T                                 # (3, K)
+    real = freal.astype(jnp.int32)[None, :]
+    kernel = functools.partial(_block_meta_kernel, intr=intr, plan=plan,
+                               block_size=block_size)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, K), jnp.int32),
+        interpret=interpret,
+    )(T_C_G_flat, coords_T, real)
+    return out.T
+
+
 def cube_geometry(cfg: FusionConfig):
     """Static cube extent: blocks within max_ray + trunc (+1 slack) of the
     camera block. Returns (E, side, padded lane count)."""

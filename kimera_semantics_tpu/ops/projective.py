@@ -100,8 +100,13 @@ def block_patch_meta_rows(block_coords: jnp.ndarray, Rk: jnp.ndarray,
 
     need = jnp.maximum((umax - umin) / plan.col_threshold,
                        (vmax - vmin) / plan.row_threshold)
-    lvl = jnp.ceil(jnp.log2(jnp.maximum(need, 1.0)))
-    lvl = jnp.clip(lvl, 0, plan.full_level).astype(jnp.int32)
+    # ceil(log2(max(need, 1))) via power-of-two comparisons: exact integer
+    # arithmetic on exact constants — bit-identical between this XLA form
+    # and the Pallas meta kernel (pallas_kernels.block_meta), where a
+    # library log2's last-ulp behavior could otherwise flip a level.
+    lvl = jnp.zeros(need.shape, jnp.int32)
+    for l in range(plan.full_level):
+        lvl = lvl + (need > jnp.float32(1 << l)).astype(jnp.int32)
     # bbox-origin placement is only containment-safe when the bbox truly
     # fits the window at the chosen level; an all-front block hugging the
     # camera plane can need more than the full level provides — it takes

@@ -431,3 +431,38 @@ class TestCandidateKernel:
         b = np.unique(np.asarray(kp)[np.asarray(vp)])
         np.testing.assert_array_equal(a, b)
         assert len(a) > 5
+
+
+def test_block_meta_kernel_matches_xla():
+    """pallas_kernels.block_meta (interpret) == block_patch_meta + stack,
+    block-for-block (level boundaries included — both sides use the same
+    comparison-ladder level selection)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kimera_semantics_tpu.core import transforms
+    from kimera_semantics_tpu.ops import mip as mip_ops
+    from kimera_semantics_tpu.ops import pallas_kernels
+    from kimera_semantics_tpu.ops import projective as proj_ops
+
+    cfg = cfg_small()
+    intr = INTR
+    plan = mip_ops.make_plan(intr.height, intr.width,
+                             cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
+    rng = np.random.RandomState(2)
+    K = 128
+    fcoords = jnp.asarray(rng.randint(-6, 6, (K, 3)).astype(np.int32))
+    freal = jnp.asarray(rng.rand(K) > 0.3)
+    T_G_C = jnp.asarray(np.array(
+        [[1, 0, 0, 0.2], [0, 0, -1, 0.1], [0, 1, 0, -0.4], [0, 0, 0, 1]],
+        np.float32))
+    T_C_G = transforms.inverse(T_G_C)
+    tflat = jnp.zeros((1, 128), jnp.float32).at[0, :12].set(
+        T_C_G[:3, :4].reshape(-1))
+
+    lvl, u0l, v0, u0a = proj_ops.block_patch_meta(
+        fcoords, T_C_G, intr, plan, cfg.grid.block_size)
+    ref = jnp.stack([v0, u0a, freal.astype(jnp.int32), lvl, u0l,
+                     fcoords[:, 0], fcoords[:, 1], fcoords[:, 2]], axis=1)
+    got = pallas_kernels.block_meta(fcoords, freal, tflat, intr, plan,
+                                    cfg.grid.block_size, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
