@@ -258,6 +258,11 @@ class PipelineConfig:
                                  # (pallas_kernels.block_meta) instead of
                                  # the ~0.7 ms XLA small-op chain; needs
                                  # block_budget % 128 == 0 (else falls back)
+    fused_apply: bool = True     # projective apply: ONE aliased Pallas
+                                 # kernel fusing sample + RMW
+                                 # (pallas_kernels.projective_apply_fused)
+                                 # when vps^3 <= 8192; False = the two-
+                                 # kernel sample -> block_rmw_add chain
     stream_active_fraction: float = 0.75  # "segment" mode: post-sort slice —
                                  # padded streams are ~50% trash, so the scan
                                  # and compaction sort run on this fraction

@@ -280,15 +280,29 @@ def apply_frame(grid: VoxelGrid, atlas, T_G_C, fcoords, fslots, freal,
                 [v0, u0a, real.astype(jnp.int32), lvl, u0l,
                  fcoords[:, 0], fcoords[:, 1], fcoords[:, 2]], axis=1)
         with_color = cfg.semantic.color_mode == ColorMode.COLOR
-        d_w, d_wsdf, d_cnt, d_lab, d_wc = (
-            pallas_kernels.projective_sample_update(
-                meta, tflat, atlas, cfg, intr, plan, with_color=with_color,
-                interpret=FORCE_PALLAS_INTERPRET, region=region))
-        wsum, wsdf, sem_count, sem_delta, wcolor = pallas_kernels.block_rmw_add(
-            grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta, grid.wcolor,
-            fslots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
-            lk_delta=make_likelihood_cached(cfg).delta,
-            interpret=FORCE_PALLAS_INTERPRET)
+        if (cfg.pipeline.fused_apply and g.vps3 <= 8192
+                and pallas_kernels.PROJ_BPS == 8):
+            # One aliased kernel: sample + RMW fused (r4) — no (K, V3)
+            # delta round trip, one launch.
+            wsum, wsdf, sem_count, sem_delta, wcolor = (
+                pallas_kernels.projective_apply_fused(
+                    grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta,
+                    grid.wcolor, fslots, meta, tflat, atlas, cfg, intr,
+                    plan, lk_delta=make_likelihood_cached(cfg).delta,
+                    with_color=with_color,
+                    interpret=FORCE_PALLAS_INTERPRET, region=region))
+        else:
+            d_w, d_wsdf, d_cnt, d_lab, d_wc = (
+                pallas_kernels.projective_sample_update(
+                    meta, tflat, atlas, cfg, intr, plan,
+                    with_color=with_color,
+                    interpret=FORCE_PALLAS_INTERPRET, region=region))
+            wsum, wsdf, sem_count, sem_delta, wcolor = (
+                pallas_kernels.block_rmw_add(
+                    grid.wsum, grid.wsdf, grid.sem_count, grid.sem_delta,
+                    grid.wcolor, fslots, d_w, d_wsdf, d_cnt, d_lab, d_wc,
+                    lk_delta=make_likelihood_cached(cfg).delta,
+                    interpret=FORCE_PALLAS_INTERPRET))
     else:
         d = proj_ops.voxel_deltas(fcoords, real, atlas, T_G_C, intr,
                                   plan, cfg, _sample_mode(cfg),

@@ -781,6 +781,106 @@ def projective_sample_update(meta, T_C_G_flat, atlas, cfg, intr, plan,
     )(meta, T_C_G_flat, meta, atlas[0], atlas[1], atlas[2], atlas[3])
 
 
+def _proj_fused_kernel(groups_ref, meta_s, tcg_ref, metav_ref, atlas_d,
+                       atlas_l, atlas_rg, atlas_b,
+                       in_w, in_wsdf, in_cnt, in_sem, in_wc,
+                       out_w, out_wsdf, out_cnt, out_sem, out_wc,
+                       w_s, wsdf_s, cnt_s, lab_s, wc_s,
+                       samp, e_scratch, rc_scratch,
+                       *, cfg, intr, plan, with_color, region, lk_delta,
+                       num_labels, trash_group):
+    """Fused sample + aliased RMW: one grid step per touched 8-block tile
+    group. The sample phase is exactly _proj_tile (writing VMEM scratch
+    instead of HBM delta arrays); the apply phase is the rmw kernel's
+    aligned add. Kills the five (K, V3) delta arrays' HBM round trip and
+    the second kernel launch (r4 flagship item)."""
+    i = pl.program_id(0)
+
+    @pl.when(groups_ref[i] != trash_group)
+    def _body():
+        _proj_tile(meta_s, tcg_ref, metav_ref, atlas_d, atlas_l, atlas_rg,
+                   atlas_b, w_s, wsdf_s, cnt_s, lab_s, wc_s,
+                   samp, e_scratch, rc_scratch, i=i, cfg=cfg, intr=intr,
+                   plan=plan, with_color=with_color, region=region)
+        out_w[:] = in_w[:] + w_s[:]
+        out_wsdf[:] = in_wsdf[:] + wsdf_s[:]
+        cnt = cnt_s[:]
+        out_cnt[:] = in_cnt[:] + cnt
+        labiota = jax.lax.broadcasted_iota(jnp.int32, (num_labels, 1, 1), 0)
+        out_sem[:] = in_sem[:] + jnp.where(labiota == lab_s[:][None],
+                                           cnt[None] * lk_delta, 0.0)
+        if with_color:
+            for c in range(3):
+                out_wc[c, :, :] = in_wc[c, :, :] + wc_s[:, c, :]
+        else:
+            out_wc[:] = in_wc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "intr", "plan", "with_color",
+                                    "interpret", "region", "lk_delta"))
+def projective_apply_fused(wsum, wsdf, sem_count, sem_delta, wcolor, slots,
+                           meta, T_C_G_flat, atlas, cfg, intr, plan,
+                           lk_delta, with_color=False, interpret=False,
+                           region="all"):
+    """grid_channel[slots] += sample(meta, atlas) in ONE aliased kernel.
+
+    Drop-in replacement for projective_sample_update + block_rmw_add when
+    V3 <= 8192 (no lane split) and PROJ_BPS == 8 (tile == row group).
+    `slots` is the group-aligned frame list (grid/hash.py
+    insert_frame_list); trash tiles skip the body and land in the grid's
+    trash tile group, exactly the rmw kernel's contract."""
+    K = meta.shape[0]
+    V3 = cfg.grid.vps3
+    L = sem_delta.shape[0]
+    ROWS = plan.row_window
+    assert PROJ_BPS == 8 and K % 8 == 0 and V3 <= 8192
+    groups = slots[::8] // 8
+    trash_group = (wsum.shape[0] - 8) // 8
+
+    kernel = functools.partial(
+        _proj_fused_kernel, cfg=cfg, intr=intr, plan=plan,
+        with_color=with_color, region=region, lk_delta=lk_delta,
+        num_labels=L, trash_group=trash_group)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    by_group = pl.BlockSpec((8, V3), lambda i, g, m: (g[i], 0))
+    by_group3 = lambda C: pl.BlockSpec((C, 8, V3),
+                                       lambda i, g, m: (0, g[i], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K // 8,),
+        in_specs=[full(),                                   # T_C_G
+                  pl.BlockSpec((8, 8), lambda i, g, m: (i, 0)),   # metav
+                  full(), full(), full(), full(),           # atlas channels
+                  by_group, by_group, by_group,             # channels in
+                  by_group3(L), by_group3(3)],
+        out_specs=[by_group, by_group, by_group,
+                   by_group3(L), by_group3(3)],
+        scratch_shapes=[
+            pltpu.VMEM((8, V3), jnp.float32),               # w
+            pltpu.VMEM((8, V3), jnp.float32),               # wsdf
+            pltpu.VMEM((8, V3), jnp.float32),               # cnt
+            pltpu.VMEM((8, V3), jnp.int32),                 # lab
+            pltpu.VMEM((8, 3, V3), jnp.float32),            # wc
+            pltpu.VMEM(((4 if with_color else 2) * 8, V3), jnp.float32),
+            pltpu.VMEM((ROWS, V3), jnp.float32),
+            pltpu.VMEM((2 * 8, V3), jnp.int32),
+        ],
+    )
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                  for x in (wsum, wsdf, sem_count, sem_delta, wcolor)]
+    # Operands: (groups, meta, tcg, metav, atlas x4, channels x5) — the
+    # channels sit at operand indices 8..12.
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(groups, meta, T_C_G_flat, meta, atlas[0], atlas[1], atlas[2], atlas[3],
+      wsum, wsdf, sem_count, sem_delta, wcolor)
+
+
 # ---------------------------------------------------------------------------
 # Blockwise read-modify-write accumulation (projective integrator apply).
 # ---------------------------------------------------------------------------

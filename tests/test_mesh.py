@@ -226,3 +226,29 @@ class TestTrashRowPoison:
         np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
         np.testing.assert_array_equal(np.asarray(d0 * (w0 > 0)),
                                       np.asarray(d1 * (w1 > 0)))
+
+
+def test_compact_tris_matches_mask_select():
+    """Device-side triangle compaction == the host mask select, order
+    included (r4 serving fetch path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kimera_semantics_tpu.ops.mesh import _compact_tris
+
+    rng = np.random.RandomState(0)
+    K, V3 = 2, 64
+    tv = rng.randn(K, V3, 5, 3, 3).astype(np.float32)
+    tc = rng.rand(K, V3, 5, 3, 3).astype(np.float32) * 255
+    tm = rng.rand(K, V3, 5) > 0.9
+    packed, cnt = _compact_tris(jnp.asarray(tv), jnp.asarray(tc),
+                                jnp.asarray(tm), budget=256)
+    cnt = int(cnt)
+    assert cnt == int(tm.sum())
+    packed = np.asarray(packed)[:cnt]
+    m = tm.reshape(-1)
+    np.testing.assert_array_equal(packed[:, 0:9],
+                                  tv.reshape(-1, 9)[m])
+    np.testing.assert_array_equal(packed[:, 9:18],
+                                  tc.reshape(-1, 9)[m])
+    idx = np.ascontiguousarray(packed[:, 18]).view(np.int32)
+    np.testing.assert_array_equal(idx, np.where(m)[0])
