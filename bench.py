@@ -264,6 +264,12 @@ def main():
         tm = time.perf_counter()
         mesh = mesh_ops.extract_mesh(grid, cfg, label_map=label_map)
         mesh_ms = 1000.0 * (time.perf_counter() - tm)
+        # Warm full extract: the first call above pays the MC + compaction
+        # jit compiles (VERDICT r3: "one cold full-extract including
+        # compile is not a serving number").
+        tm = time.perf_counter()
+        mesh = mesh_ops.extract_mesh(grid, cfg, label_map=label_map)
+        mesh_warm_ms = 1000.0 * (time.perf_counter() - tm)
         mesh_tris = int(mesh.num_triangles)
         if mesh_tris:
             me = sim_eval.mesh_surface_error(mesh.vertices, ds.world)
@@ -507,6 +513,7 @@ def main():
         result["esdf_batch_ms"] = round(esdf_batch_ms, 1)
     if mesh_ms is not None:
         result["mesh_ms"] = round(mesh_ms, 1)
+        result["mesh_warm_ms"] = round(mesh_warm_ms, 1)
     if mesh_err is not None:
         result["mesh_error_mean_m"] = round(mesh_err["mean"], 5)
         result["mesh_error_p95_m"] = round(mesh_err["p95"], 5)

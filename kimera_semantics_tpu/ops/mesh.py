@@ -240,8 +240,8 @@ def _compact_tris(tv, tc, tm, budget, with_normals=False, tn=None):
     A 32-block MC batch materializes ~48 MB of (K, V3, 5, 3, 3) triangle
     buffers, ~99% of them invalid; fetching them through the axon tunnel
     dominated the serving mesh cycle (~1.5 s/batch measured). Pack the
-    valid triangles to a static budget with the 1-operand sorted compaction
-    (stable — identical triangle order to the host mask select) and fetch
+    valid triangles to a static budget with a stable binary-key sort
+    (identical triangle order to the host mask select) and fetch
     (budget, 19/28) instead: verts 9, colors 9 [, normals 9], and the flat
     triangle index bitcast into the last lane (grid-row recovery host-side).
     Returns (packed, n_valid); n_valid > budget means the caller must fall
@@ -251,14 +251,19 @@ def _compact_tris(tv, tc, tm, budget, with_normals=False, tn=None):
     n = m.shape[0]
     assert n < (1 << 30)
     iota = jnp.arange(n, dtype=jnp.int32)
-    order = jax.lax.sort(jnp.where(m, iota, iota | jnp.int32(1 << 30)))
-    order = order[:budget]
-    idx = order & jnp.int32((1 << 30) - 1)
+    # 2-operand sort on a BINARY key, not the packed 1-operand form: at
+    # this stream size (batch x V3 x 5 ~ 655k) an all-unique packed key
+    # hits lax.sort's mostly-unique cliff (~200x — measured as 296 s for a
+    # 15-batch full extract); the two-valued key stays duplicate-heavy.
+    flag = (~m).astype(jnp.int32)
+    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
+    idx = order[:budget]
+    valid = sflag[:budget] == 0
     cols = [tv.reshape(n, 9)[idx], tc.reshape(n, 9)[idx]]
     if with_normals:
         cols.append(tn.reshape(n, 9)[idx])
     cols.append(jax.lax.bitcast_convert_type(
-        jnp.where(order < (1 << 30), idx, -1), jnp.float32)[:, None])
+        jnp.where(valid, idx, -1), jnp.float32)[:, None])
     return jnp.concatenate(cols, axis=1), jnp.sum(m.astype(jnp.int32))
 
 
