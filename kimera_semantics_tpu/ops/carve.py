@@ -338,9 +338,19 @@ def compact_jobs(jobs: JobBatch, budget: int):
     n = jobs.valid.shape[0]
     assert n < (1 << 30)
     iota = jnp.arange(n, dtype=jnp.int32)
-    packed = jnp.where(jobs.valid, iota, iota | jnp.int32(1 << 30))
-    sk = jax.lax.sort(packed)[:budget]
-    order = sk & jnp.int32((1 << 30) - 1)
+    if n <= 500_000:
+        packed = jnp.where(jobs.valid, iota, iota | jnp.int32(1 << 30))
+        sk = jax.lax.sort(packed)[:budget]
+        order = sk & jnp.int32((1 << 30) - 1)
+        kept = sk < jnp.int32(1 << 30)
+    else:
+        # Above ~500k the all-unique packed key hits lax.sort's
+        # mostly-unique cliff (~200x, CLAUDE.md) — stable 2-operand sort on
+        # the binary flag instead (models/common.py compact form).
+        flag = (~jobs.valid).astype(jnp.int32)
+        sflag, order = jax.lax.sort((flag, iota), num_keys=1)
+        order = order[:budget]
+        kept = sflag[:budget] == 0
     take = lambda a: a[order]
     n_valid = jnp.sum(jobs.valid.astype(jnp.int32))
     dropped = jnp.maximum(0, n_valid - budget)
@@ -348,4 +358,4 @@ def compact_jobs(jobs: JobBatch, budget: int):
         origin=take(jobs.origin), point=take(jobs.point),
         start=take(jobs.start), end=take(jobs.end),
         weight=take(jobs.weight), label=take(jobs.label),
-        color=take(jobs.color), valid=sk < jnp.int32(1 << 30)), dropped
+        color=take(jobs.color), valid=kept), dropped

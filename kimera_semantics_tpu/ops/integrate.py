@@ -777,9 +777,23 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
     st0 = jnp.zeros((Kb * v3 + 1, 4), jnp.float32).at[rvox].add(
         pay0, mode="drop", indices_are_sorted=True)
 
-    packed = cfg.pipeline.sem_stage_mode == "packed"
+    # Packed rank planes encode (count * 32 + label); the kernel decode
+    # (pallas_kernels.py _rmw_kernel) uses the fixed 32 stride, so labels
+    # must fit below it — wider label sets (num_labels > 32 is runtime
+    # configurable, config.py) force dense staging (ADVICE r4).
+    packed = (cfg.pipeline.sem_stage_mode == "packed"
+              and (1 << lab_shift) <= 32)
     P = cfg.pipeline.sem_stage_ranks if packed else L
     rank_drop = jnp.int32(0)
+    # Packed exactness also needs count * 32 + label < 2^24 (both factors
+    # integral in f32), i.e. count < 2^19. Counts that large are impossible
+    # at current stream budgets (S*R << 2^19 per (voxel, label) per frame)
+    # but nothing structural forbids them: clamp and count the loss.
+    _CNT_MAX = float(2 ** 19 - 1)
+
+    def clamp_cnt(c, drop):
+        over = jnp.sum((c > _CNT_MAX).astype(jnp.int32))
+        return jnp.minimum(c, _CNT_MAX), drop + over
 
     def label_ranks(vx, valid, cnt, lb):
         """Per-voxel rank among nonzero-cnt pairs of a (voxel,label)-sorted
@@ -798,10 +812,11 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
         # count < 2^19 (product < 2^24).
         rank, has = label_ranks(vox, seg_valid, tcnt, lab)
         rank_drop = jnp.sum((rank >= P).astype(jnp.int32))
+        tcnt_p, rank_drop = clamp_cnt(tcnt, rank_drop)
         pidx = jnp.where(has & (rank >= 0) & (rank < P) & (pos < Kb),
                          rank * (Kb * v3) + rvox, P * (Kb * v3))
         st_sem = jnp.zeros((P * Kb * v3 + 1,), jnp.float32).at[pidx].add(
-            tcnt * 32.0 + lab.astype(jnp.float32), mode="drop")
+            tcnt_p * 32.0 + lab.astype(jnp.float32), mode="drop")
     else:
         sem_idx = jnp.where((pos < Kb) & seg_valid & (lab < L),
                             lab * (Kb * v3) + rvox, P * (Kb * v3))
@@ -826,11 +841,12 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
             # the main list occupies no rank slots.
             prank, phas = label_ranks(pvox, pvalid, tpcnt, plab)
             rank_drop = rank_drop + jnp.sum((prank >= P).astype(jnp.int32))
+            tpcnt_p, rank_drop = clamp_cnt(tpcnt, rank_drop)
             ppidx = jnp.where(phas & (prank >= 0) & (prank < P)
                               & (ppos < Kb),
                               prank * (Kb * v3) + prvox, P * (Kb * v3))
             st_sem = st_sem.at[ppidx].add(
-                tpcnt * 32.0 + plab.astype(jnp.float32), mode="drop")
+                tpcnt_p * 32.0 + plab.astype(jnp.float32), mode="drop")
         else:
             psem_idx = jnp.where((ppos < Kb) & pvalid & (plab < L),
                                  plab * (Kb * v3) + prvox, P * (Kb * v3))
@@ -839,6 +855,12 @@ def _staged_segment_apply(grid, cfg, ok, sums, touched_slots, lab_shift, lk,
         # as the unstaged tail: stage them into st0's cnt column.
         vpay = jnp.stack([jnp.zeros_like(tpcnt), jnp.zeros_like(tpcnt),
                           tpcnt, jnp.zeros_like(tpcnt)], axis=1)
+        # indices_are_sorted holds by a cross-function invariant (ADVICE
+        # r4): segment_compact_reduce emits ascending (voxel, label) keys
+        # and truncates only the ascending TAIL past the budget, so
+        # budget-dropped groups are always the highest slots; redirecting
+        # them to the dump index Kb*v3 (the maximum) keeps the index list
+        # monotone. Same reasoning at the color staging scatter below.
         st0 = st0.at[jnp.where(ppos < Kb, prvox, Kb * v3)].add(
             vpay, mode="drop", indices_are_sorted=True)
 

@@ -131,6 +131,14 @@ _NBR_OFFSETS = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0],
 def _mesh_block_batch(grid: VoxelGrid, render_color: jnp.ndarray,
                       slots: jnp.ndarray, cfg: FusionConfig,
                       with_normals: bool = False):
+    """Jitted wrapper of the MC batch body (standalone/legacy dispatch)."""
+    return _mesh_block_batch_core(grid, render_color, slots, cfg,
+                                  with_normals)
+
+
+def _mesh_block_batch_core(grid: VoxelGrid, render_color: jnp.ndarray,
+                           slots: jnp.ndarray, cfg: FusionConfig,
+                           with_normals: bool = False):
     """Marching cubes over a batch of K blocks.
 
     Returns (tri_verts (K, V3, 5, 3, 3), tri_cols (K, V3, 5, 3, 3),
@@ -267,10 +275,176 @@ def _compact_tris(tv, tc, tm, budget, with_normals=False, tn=None):
     return jnp.concatenate(cols, axis=1), jnp.sum(m.astype(jnp.int32))
 
 
+def _compact_tris_core(tv, tc, tm, tri_rows, budget, with_normals=False,
+                       tn=None):
+    """_compact_tris body for in-program use (the cycle scan): packs the
+    per-triangle GRID ROW (not the chunk-local flat index) into the last
+    column so chunk outputs concatenate without index translation."""
+    m = tm.reshape(-1)
+    n = m.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    flag = (~m).astype(jnp.int32)
+    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
+    idx = order[:budget]
+    valid = sflag[:budget] == 0
+    cols = [tv.reshape(n, 9)[idx], tc.reshape(n, 9)[idx]]
+    if with_normals:
+        cols.append(tn.reshape(n, 9)[idx])
+    cols.append(jax.lax.bitcast_convert_type(
+        jnp.where(valid, tri_rows[idx], -1), jnp.float32)[:, None])
+    return jnp.concatenate(cols, axis=1), jnp.sum(m.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "only_updated", "with_normals",
+                                   "chunk", "n_chunks", "per_budget"))
+def _mesh_cycle(grid: VoxelGrid, render_color: jnp.ndarray,
+                start_rank: jnp.ndarray, cfg: FusionConfig,
+                only_updated: bool, with_normals: bool,
+                chunk: int, n_chunks: int, per_budget: int):
+    """One-dispatch incremental-mesh cycle (r5, VERDICT item 1).
+
+    The r4 serving cycle ran ~7 separate 32-block `_mesh_block_batch`
+    dispatches, each followed by a synchronous count fetch (>=21 ms tunnel
+    RTT) and a fixed 2.5 MB packed-buffer fetch — 1.34-1.59 s warm for ~200
+    blocks against 14-78 ms of integration. This program does the whole
+    cycle in ONE device dispatch:
+
+      1. block selection on device — flag-sort the (updated & allocated)
+         mask so the page's kmax slots come out ascending (same order the
+         host `np.where` produced);
+      2. a lax.scan over n_chunks MC chunks (compiles the MC body ONCE —
+         also collapsing the old per-shape cold compiles), each chunk
+         compacting its triangles to `per_budget` rows;
+      3. each chunk's packed rows appended at a dynamic offset into one
+         (n_chunks * per_budget, C) output buffer — the valid prefix of
+         chunk i+1 overwrites chunk i's padding tail, so rows [0, total)
+         are exactly the cycle's triangles in the legacy order
+         (ascending block slot, voxel, triangle).
+
+    The host then pays ONE count sync and ONE bucketed prefix fetch.
+    Returns (buf, total, n_sel, per-chunk counts); a chunk count above
+    per_budget means the caller must redo via the legacy complete path.
+    """
+    g = cfg.grid
+    cap = g.block_capacity
+    kmax = chunk * n_chunks
+    tri_per_blk = g.vps3 * 5
+
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    sel = iota < grid.n_blocks
+    if only_updated:
+        sel = sel & grid.updated[:cap]
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    flag = (~sel).astype(jnp.int32)
+    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
+    # Pad so paging never clamps into the previous page (duplicate blocks).
+    sflag = jnp.pad(sflag, (0, kmax), constant_values=1)
+    order = jnp.pad(order, (0, kmax), constant_values=cap)
+    page_flag = jax.lax.dynamic_slice(sflag, (start_rank,), (kmax,))
+    page_slot = jax.lax.dynamic_slice(order, (start_rank,), (kmax,))
+    slots = jnp.where(page_flag == 0, page_slot, cap).reshape(n_chunks, chunk)
+
+    C = 28 if with_normals else 19
+    buf0 = jnp.zeros((n_chunks * per_budget, C), jnp.float32)
+
+    def body(carry, slots_c):
+        off, buf = carry
+        out = _mesh_block_batch_core(grid, render_color, slots_c, cfg,
+                                     with_normals=with_normals)
+        rows = jnp.repeat(slots_c, tri_per_blk)
+        packed, cnt = _compact_tris_core(
+            out[0], out[1], out[2], rows, budget=per_budget,
+            with_normals=with_normals, tn=out[3] if with_normals else None)
+        buf = jax.lax.dynamic_update_slice(buf, packed, (off, 0))
+        return (off + jnp.minimum(cnt, per_budget), buf), cnt
+
+    (total, buf), cnts = jax.lax.scan(body, (jnp.int32(0), buf0), slots)
+    return buf, total, n_sel, cnts, slots.reshape(-1)
+
+
+def _cycle_geometry(cfg: FusionConfig):
+    """(chunk, n_chunks, per_budget) for the cycle program: chunk x vps3
+    constant (peak-memory bound, as the legacy batch), kmax >= 256 blocks
+    per page."""
+    chunk = max(1, (32 * 4096) // cfg.grid.vps3)
+    n_chunks = max(1, -(-256 // chunk))
+    per_budget = int(os.environ.get("KSD_CHUNK_TRI_BUDGET", "16384"))
+    return chunk, n_chunks, per_budget
+
+
+_FETCH_BUCKETS = (2048, 8192, 32768)
+
+
+def _fetch_prefix(buf, total: int):
+    """Fetch rows [0, total) of the device buffer through the smallest
+    power-of-two-ish bucket (compiles <= len(_FETCH_BUCKETS)+1 trivial slice
+    programs; avoids pulling the full buffer through the ~100 MB/s tunnel)."""
+    n = buf.shape[0]
+    for b in _FETCH_BUCKETS:
+        if total <= b <= n:
+            return np.asarray(buf[:b])[:total]
+    return np.asarray(buf)[:total]
+
+
+def extract_mesh_cycle(grid: VoxelGrid, cfg: FusionConfig,
+                       label_map: Optional[LabelColorMap] = None,
+                       only_updated: bool = False,
+                       with_normals: bool = False,
+                       return_blocks: bool = False):
+    """extract_mesh via the one-dispatch cycle program, with paging and a
+    legacy-path fallback on per-chunk budget overflow. Output is
+    row-for-row identical to the legacy extract_mesh."""
+    render = render_colors(grid, cfg, label_map)
+    chunk, n_chunks, per_budget = _cycle_geometry(cfg)
+    kmax = chunk * n_chunks
+
+    parts, sel_parts = [], []
+    start = 0
+    n_sel = None
+    while n_sel is None or start < n_sel:
+        buf, total_d, n_sel_d, cnts_d, slots_d = _mesh_cycle(
+            grid, render, jnp.int32(start), cfg, only_updated, with_normals,
+            chunk, n_chunks, per_budget)
+        # ONE host sync for the page's scalars (+ the small slot list).
+        total, n_sel, cnts, slots_h = jax.device_get(
+            (total_d, n_sel_d, cnts_d, slots_d))
+        if int(np.max(cnts)) > per_budget:
+            # A chunk overflowed its triangle budget: the buffer is
+            # incomplete. The mesh must be complete — redo via the legacy
+            # per-batch path (complete by construction).
+            return extract_mesh(grid, cfg, label_map,
+                                only_updated=only_updated,
+                                with_normals=with_normals,
+                                return_blocks=return_blocks,
+                                _force_legacy=True)
+        parts.append(_fetch_prefix(buf, int(total)))
+        sel_parts.append(slots_h[slots_h < cfg.grid.block_capacity])
+        start += kmax
+
+    packed = (np.concatenate(parts) if parts
+              else np.zeros((0, 28 if with_normals else 19), np.float32))
+    v = packed[:, 0:9].reshape(-1, 3).astype(np.float32)
+    c = np.clip(packed[:, 9:18].reshape(-1, 3), 0, 255).astype(np.uint8)
+    off = 18
+    nr = None
+    if with_normals:
+        nr = packed[:, 18:27].reshape(-1, 3).astype(np.float32)
+        off = 27
+    tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+    mesh = Mesh(vertices=v, colors=c, triangles=tris, normals=nr)
+    if return_blocks:
+        tri_rows = np.ascontiguousarray(packed[:, off]).view(np.int32)
+        sel = (np.concatenate(sel_parts) if sel_parts
+               else np.zeros(0, np.int32))
+        return mesh, sel.astype(np.int32), tri_rows
+    return mesh
+
+
 def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
                  label_map: Optional[LabelColorMap] = None,
                  only_updated: bool = False, batch: Optional[int] = None,
-                 with_normals: bool = False, return_blocks: bool = False):
+                 with_normals: bool = False, return_blocks: bool = False,
+                 _force_legacy: bool = False):
     """Extract the mesh for allocated (or updated) blocks; host-side compaction.
 
     Equivalent of TsdfServer::generateMesh / the periodic mesh update
@@ -281,7 +455,18 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
     triangles — the caller's MeshLayer cache must clear those) and the grid
     row of every output triangle. This is the voxblox MeshLayer update
     contract: replace exactly the re-meshed blocks, keep the rest.
+
+    Default route is the one-dispatch cycle program (extract_mesh_cycle,
+    r5); the legacy per-batch path remains as the completeness fallback
+    (per-chunk budget overflow) and for explicit `batch` callers.
+    KSD_MESH_LEGACY=1 forces it globally.
     """
+    if (not _force_legacy and batch is None
+            and not os.environ.get("KSD_MESH_LEGACY")):
+        return extract_mesh_cycle(grid, cfg, label_map,
+                                  only_updated=only_updated,
+                                  with_normals=with_normals,
+                                  return_blocks=return_blocks)
     # The MC temporaries scale with batch x V^3 (edge/triangle buffers are
     # ~40 floats per voxel). Default: keep batch x vps3 constant so peak
     # memory stays flat (32 blocks at vps=16 = 4 blocks at vps=32); an
