@@ -278,6 +278,14 @@ class PipelineConfig:
                                  # aligned, hence the extra slack)
     sample_mode: str = "auto"    # "onehot" (MXU, TPU) | "gather" (XLA,
                                  # exact, CPU) | "auto"
+    wire_atlas: str = "u16"      # sharded atlas exchange wire format
+                                 # (parallel/sharding.py): "u16" = level-0
+                                 # u16 depth/label (+ u8 RGB in COLOR mode)
+                                 # with local pyramid rebuild — ~8x fewer
+                                 # all-gather bytes, depth quantized at
+                                 # ~0.08 mm (ops/mip.py wire_encode);
+                                 # "f32" = full f32 atlas (bit-exact vs
+                                 # single-device integration)
     alloc_stride: int = 4        # pixel subsampling for the block-level
                                  # allocation DDA
     # Decimated-carving statics (ops/carve.py; carve_mode == "decimated"):
@@ -290,6 +298,11 @@ class PipelineConfig:
     carve_k_max: int = 32        # coarsest decimation factor
     band_steps: Optional[int] = None  # step budget for truncation-band jobs;
                                  # None = derived from trunc/voxel
+
+    def __post_init__(self):
+        if self.wire_atlas not in ("u16", "f32"):
+            raise ValueError(
+                f"wire_atlas={self.wire_atlas!r} not in {{'u16', 'f32'}}")
 
     def resolved_band_steps(self, grid: GridConfig, tsdf: TsdfConfig) -> int:
         if self.band_steps is not None:

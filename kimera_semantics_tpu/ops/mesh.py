@@ -270,37 +270,241 @@ def _compact_tris(tv, tc, tm, budget, with_normals=False, tn=None):
     cols = [tv.reshape(n, 9)[idx], tc.reshape(n, 9)[idx]]
     if with_normals:
         cols.append(tn.reshape(n, 9)[idx])
-    cols.append(jax.lax.bitcast_convert_type(
-        jnp.where(valid, idx, -1), jnp.float32)[:, None])
+    # Index as a plain f32 VALUE (exact below 2^24), not a bitcast: small
+    # ints bitcast to f32 denormals, which the TPU pipeline flushes to
+    # zero (observed r5 — tri_rows scrambled on TPU only).
+    assert n < (1 << 24)
+    cols.append(jnp.where(valid, idx, -1).astype(jnp.float32)[:, None])
     return jnp.concatenate(cols, axis=1), jnp.sum(m.astype(jnp.int32))
 
 
-def _compact_tris_core(tv, tc, tm, tri_rows, budget, with_normals=False,
-                       tn=None):
-    """_compact_tris body for in-program use (the cycle scan): packs the
-    per-triangle GRID ROW (not the chunk-local flat index) into the last
-    column so chunk outputs concatenate without index translation."""
-    m = tm.reshape(-1)
-    n = m.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    flag = (~m).astype(jnp.int32)
-    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
-    idx = order[:budget]
-    valid = sflag[:budget] == 0
-    cols = [tv.reshape(n, 9)[idx], tc.reshape(n, 9)[idx]]
+_TRI_SEL_NP = None
+
+
+def _tri_sel_table() -> np.ndarray:
+    """(256, 15, 12) one-hot triangle-edge selector from TRI_TABLE.
+
+    Row (case, t) is the one-hot of the edge id of triangle-vertex t; the
+    -1 padding entries become all-zero rows (their outputs are masked by
+    tri_valid). Lets the per-triangle vertex gather ride a small einsum
+    instead of a per-cube fancy gather."""
+    global _TRI_SEL_NP
+    if _TRI_SEL_NP is None:
+        tt = mc_tables.TRI_TABLE[:, :15]                      # (256, 15)
+        _TRI_SEL_NP = (tt[..., None] ==
+                       np.arange(12)[None, None]).astype(np.float32)
+    return _TRI_SEL_NP
+
+
+def _render_rows(grid: VoxelGrid, cfg: FusionConfig,
+                 label_table: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """render_colors restricted to a gathered row subset -> (3, R2, V3).
+
+    Value-identical to render_colors(...)[:, rows] (same op chain on the
+    gathered rows); avoids the full-grid argmax/LUT pass, which measured
+    62 ms/cycle at capacity 4096 (scripts/profile_mesh_r5.py)."""
+    mode = cfg.semantic.color_mode
+    if mode == ColorMode.COLOR:
+        w = jnp.maximum(grid.wsum[rows], 1e-12)[None]
+        return jnp.clip(grid.wcolor[:, rows] / w, 0.0,
+                        255.0).astype(jnp.uint8).astype(jnp.float32)
+    if mode == ColorMode.SEMANTIC:
+        labels = jnp.argmax(grid.sem_delta[:, rows], axis=0)
+        rgb = label_table[labels].astype(jnp.float32)         # (R2, V3, 3)
+        return jnp.moveaxis(rgb, -1, 0)
+    if mode == ColorMode.SEMANTIC_PROBABILITY:
+        lk = sem_ops.make_likelihood(cfg.semantic)
+        lo = (gblocks.DEFAULT_UNIFORM_LOG_PRIOR
+              + grid.sem_count[rows][None] * lk.log_nonmatch
+              + grid.sem_delta[:, rows])
+        max_lo = jnp.max(lo, axis=0)
+        rgb = rainbow_colormap(jnp.exp(max_lo)).astype(jnp.float32)
+        return jnp.moveaxis(rgb, -1, 0)
+    raise ValueError(f"unknown color mode {mode}")
+
+
+def _mc_chunk_compact(grid: VoxelGrid, render_pad: jnp.ndarray,
+                      rank: jnp.ndarray, slots_c: jnp.ndarray,
+                      cfg: FusionConfig, with_normals: bool,
+                      cube_budget: int, per_budget: int,
+                      wire: bool = False):
+    """Compacted-cube marching cubes over one chunk of K blocks (r5).
+
+    The legacy MC body ran every per-cube stage (corner gathers, edge
+    interpolation, triangle gathers) over all K x V^3 cubes — measured
+    108 ms device time per 32-block chunk on v5e, all in XLA per-index
+    gathers (scripts/profile_mesh_r5.py). Here the only full-density work
+    is corner extraction by 8 STATIC SLICES of the (V+1)^3 lattices (pure
+    data movement) and the case computation; active cubes (case 1..254,
+    all corners observed — typically ~5% of cubes) are compacted with a
+    binary-flag sort, and the expensive per-cube math runs on the
+    `cube_budget` compacted set only. Triangle vertex selection rides a
+    one-hot einsum over the 12 edges instead of a per-cube gather.
+
+    Returns (packed (per_budget, C), n_tris, n_active). n_active >
+    cube_budget or n_tris > per_budget means incomplete output — the
+    caller falls back to the legacy complete path. Output triangle order
+    matches the legacy flat (block, voxel, tri) order exactly (stable
+    sorts over ascending flat indices)."""
+    g = cfg.grid
+    V, V3, cap = g.voxels_per_side, g.vps3, g.block_capacity
+    K = slots_c.shape[0]
+    N = K * V3
+
+    coords = grid.block_coords[jnp.minimum(slots_c, cap - 1)]
+    nbr = coords[:, None, :] + jnp.asarray(_NBR_OFFSETS)[None, :, :]
+    nbr_slots = gblocks.lookup_slots(grid, nbr, g)
+    self_ok = slots_c < cap
+    nbr_slots = jnp.where(self_ok[:, None], nbr_slots, cap)
+    safe_slots = jnp.where(self_ok, slots_c, cap)
+
+    dist = gblocks.tsdf_distance(grid, cfg.tsdf.truncation_distance)
+    sdf = _padded_channel(dist, safe_slots, nbr_slots, V)      # (K, V+1)^3
+    row_ok = (jnp.arange(grid.wsum.shape[0]) < cap)[:, None]
+    wgt = _padded_channel(jnp.where(row_ok, grid.wsum, 0.0),
+                          safe_slots, nbr_slots, V)
+    rsel = rank[jnp.minimum(safe_slots, cap)]
+    rnbr = rank[jnp.minimum(nbr_slots, cap)]
+    cols = [_padded_channel(render_pad[c], rsel, rnbr, V) for c in range(3)]
+
+    offs = mc_tables.CORNER_OFFSETS                            # np (8, 3)
+
+    def corner_stack(lat):
+        return jnp.stack(
+            [lat[:, int(o[0]):int(o[0]) + V, int(o[1]):int(o[1]) + V,
+                 int(o[2]):int(o[2]) + V] for o in offs], axis=-1)
+
+    csdf = corner_stack(sdf).reshape(N, 8)
+    cwgt = corner_stack(wgt).reshape(N, 8)
+    observed = jnp.all(cwgt > MIN_WEIGHT, axis=-1)
+    case = jnp.sum((csdf < 0.0).astype(jnp.int32) *
+                   (1 << jnp.arange(8, dtype=jnp.int32))[None], axis=-1)
+    case = jnp.where(observed, case, 0)
+    active = (case > 0) & (case < 255)
+    n_active = jnp.sum(active.astype(jnp.int32))
+
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sfl, order = jax.lax.sort(((~active).astype(jnp.int32), iota),
+                              num_keys=1)
+    cidx = order[:cube_budget]
+    cvalid = sfl[:cube_budget] == 0
+
+    csdf_c = csdf[cidx]                                        # (CB, 8)
+    case_c = jnp.where(cvalid, case[cidx], 0)
+    ccol_full = jnp.stack([corner_stack(c) for c in cols],
+                          axis=-1).reshape(N, 8, 3)
+    ccol_c = ccol_full[cidx]                                   # (CB, 8, 3)
+
+    ec = mc_tables.EDGE_CORNERS                                # np (12, 2)
+    pick = lambda a, side: jnp.stack(
+        [a[:, int(e)] for e in ec[:, side]], axis=1)           # (CB, 12, ...)
+    s0, s1 = pick(csdf_c, 0), pick(csdf_c, 1)
+    denom = s0 - s1
+    t = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12, s0 / denom, 0.5),
+                 0.0, 1.0)
+    corner_pos = offs.astype(np.float32) + 0.5
+    p0 = jnp.asarray(corner_pos[ec[:, 0]])                     # (12, 3)
+    p1 = jnp.asarray(corner_pos[ec[:, 1]])
+
+    k = cidx // V3
+    lin = cidx % V3
+    base = jnp.stack([lin // (V * V), (lin // V) % V, lin % V],
+                     axis=-1).astype(jnp.float32)              # (CB, 3)
+    world0 = (coords[k] * V).astype(jnp.float32)               # (CB, 3)
+    # Same float association as the legacy body (bit-identical vertices):
+    # (local + base) + world0, then scale.
+    epos = p0[None] + t[..., None] * (p1 - p0)[None]
+    epos = epos + base[:, None]
+    epos = (epos + world0[:, None]) * g.voxel_size             # (CB, 12, 3)
+    c0, c1 = pick(ccol_c, 0), pick(ccol_c, 1)
+    ecol = jnp.where((t < 0.5)[..., None], c0, c1)
+
+    enrm = None
     if with_normals:
-        cols.append(tn.reshape(n, 9)[idx])
-    cols.append(jax.lax.bitcast_convert_type(
-        jnp.where(valid, tri_rows[idx], -1), jnp.float32)[:, None])
-    return jnp.concatenate(cols, axis=1), jnp.sum(m.astype(jnp.int32))
+        local = (p0 - 0.5)[None] + t[..., None] * (p1 - p0)[None]
+        o = jnp.asarray(offs.astype(np.float32))               # (8, 3)
+        u = local[:, :, None, :]                               # (CB,12,1,3)
+        f = jnp.where(o[None, None] > 0.5, u, 1.0 - u)         # (CB,12,8,3)
+        df = jnp.where(o > 0.5, 1.0, -1.0)                     # (8, 3)
+        sb = csdf_c[:, None, :]                                # (CB, 1, 8)
+        gx = jnp.sum(sb * df[:, 0] * f[..., 1] * f[..., 2], axis=-1)
+        gy = jnp.sum(sb * df[:, 1] * f[..., 0] * f[..., 2], axis=-1)
+        gz = jnp.sum(sb * df[:, 2] * f[..., 0] * f[..., 1], axis=-1)
+        grad = jnp.stack([gx, gy, gz], axis=-1)                # (CB, 12, 3)
+        enrm = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1,
+                                                  keepdims=True), 1e-12)
+
+    tsel = jnp.asarray(_tri_sel_table())[case_c]               # (CB, 15, 12)
+    tv = jnp.einsum("cte,cev->ctv", tsel, epos)                # (CB, 15, 3)
+    tc = jnp.einsum("cte,cev->ctv", tsel, ecol)
+    # A triangle exists iff its first vertex's selector row is nonzero
+    # (TRI_TABLE -1 padding -> all-zero one-hot row).
+    tvalid = ((jnp.sum(tsel, axis=-1) > 0.5).reshape(cube_budget, 5, 3)
+              [:, :, 0] & cvalid[:, None])                     # (CB, 5)
+
+    nt = cube_budget * 5
+    rows_tri = jnp.repeat(jnp.where(cvalid, slots_c[k], -1), 5)
+    mv = tvalid.reshape(nt)
+    n_tris = jnp.sum(mv.astype(jnp.int32))
+    iota2 = jnp.arange(nt, dtype=jnp.int32)
+    sfl2, order2 = jax.lax.sort(((~mv).astype(jnp.int32), iota2),
+                                num_keys=1)
+    idx = order2[:per_budget]
+    valid = sfl2[:per_budget] == 0
+
+    if wire:
+        # Compact u16 fetch wire (TPU path): the axon tunnel moves
+        # ~54 MB/s with ~35 ms fixed overhead (profile_mesh_r5), so the
+        # f32 packed rows (76 B/tri) cost ~20 ms/MB. Encode verts as u16
+        # block-local voxel coords (range [0, V] -> step V/65535, ~12 um
+        # at the 5 cm canonical voxel — 3 orders below the mesh error;
+        # identical u16 codes on shared edges keep connect_mesh welding
+        # exact), colors as u8 pairs, normals (if any) as biased u16, and
+        # carry the block coords (world-extent offset) so the host needs
+        # no separate block_coords fetch. 36 B/tri (54 with normals).
+        ext = g.world_extent_blocks
+        # Block-local voxel coords span [0.5, V + 0.5] (corner positions
+        # sit at voxel centers) — bias by 0.5 so the u16 range covers it.
+        tvl = tv.reshape(cube_budget, 15, 3) / g.voxel_size \
+            - world0[:, None, :] - 0.5
+        q = jnp.clip(jnp.round(tvl * (65535.0 / V)), 0, 65535)
+        qv = q.reshape(nt, 9)[idx].astype(jnp.uint16)          # 9 u16
+        c8 = jnp.clip(jnp.round(tc.reshape(nt, 9)[idx]), 0,
+                      255).astype(jnp.int32)
+        cpk = (c8[:, 0::2] | jnp.pad(c8[:, 1::2], ((0, 0), (0, 1)))
+               << 8).astype(jnp.uint16)                        # 5 u16
+        bc3 = (coords[k] + ext).astype(jnp.int32)              # (CB, 3)
+        bc_t = jnp.repeat(bc3, 5, axis=0)[idx].astype(jnp.uint16)
+        row16 = jnp.where(valid, rows_tri[idx],
+                          cap).astype(jnp.uint16)[:, None]
+        cols16 = [qv, cpk, bc_t, row16]                        # 18 u16
+        if with_normals:
+            tn = jnp.einsum("cte,cev->ctv", tsel, enrm)
+            qn = jnp.clip(jnp.round((tn.reshape(nt, 9)[idx] * 0.5 + 0.5)
+                                    * 65535.0), 0, 65535).astype(jnp.uint16)
+            cols16.append(qn)                                  # 27 u16
+        return jnp.concatenate(cols16, axis=1), n_tris, n_active
+
+    parts = [tv.reshape(nt, 9)[idx], tc.reshape(nt, 9)[idx]]
+    if with_normals:
+        tn = jnp.einsum("cte,cev->ctv", tsel, enrm)
+        parts.append(tn.reshape(nt, 9)[idx])
+    # Row as a plain f32 value (exact below 2^24): bitcast small-int
+    # payloads land in the f32 denormal range and TPU flushes them to zero
+    # (observed r5).
+    parts.append(jnp.where(valid, rows_tri[idx],
+                           -1).astype(jnp.float32)[:, None])
+    return jnp.concatenate(parts, axis=1), n_tris, n_active
 
 
 @partial(jax.jit, static_argnames=("cfg", "only_updated", "with_normals",
-                                   "chunk", "n_chunks", "per_budget"))
-def _mesh_cycle(grid: VoxelGrid, render_color: jnp.ndarray,
+                                   "chunk", "n_chunks", "per_budget",
+                                   "cube_budget", "wire"))
+def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
                 start_rank: jnp.ndarray, cfg: FusionConfig,
                 only_updated: bool, with_normals: bool,
-                chunk: int, n_chunks: int, per_budget: int):
+                chunk: int, n_chunks: int, per_budget: int,
+                cube_budget: int, wire: bool = False):
     """One-dispatch incremental-mesh cycle (r5, VERDICT item 1).
 
     The r4 serving cycle ran ~7 separate 32-block `_mesh_block_batch`
@@ -312,23 +516,26 @@ def _mesh_cycle(grid: VoxelGrid, render_color: jnp.ndarray,
       1. block selection on device — flag-sort the (updated & allocated)
          mask so the page's kmax slots come out ascending (same order the
          host `np.where` produced);
-      2. a lax.scan over n_chunks MC chunks (compiles the MC body ONCE —
-         also collapsing the old per-shape cold compiles), each chunk
-         compacting its triangles to `per_budget` rows;
-      3. each chunk's packed rows appended at a dynamic offset into one
+      2. row-subset color rendering over the page's blocks + neighbors
+         only (_render_rows; the full-grid pass cost 62 ms at cap 4096);
+      3. a lax.scan over n_chunks compacted-cube MC chunks
+         (_mc_chunk_compact — compiles ONCE, collapsing the old per-shape
+         cold compiles), each chunk packing its triangles to `per_budget`
+         rows;
+      4. each chunk's packed rows appended at a dynamic offset into one
          (n_chunks * per_budget, C) output buffer — the valid prefix of
          chunk i+1 overwrites chunk i's padding tail, so rows [0, total)
          are exactly the cycle's triangles in the legacy order
          (ascending block slot, voxel, triangle).
 
     The host then pays ONE count sync and ONE bucketed prefix fetch.
-    Returns (buf, total, n_sel, per-chunk counts); a chunk count above
-    per_budget means the caller must redo via the legacy complete path.
+    Returns (buf, total, n_sel, per-chunk tri counts, active-cube counts,
+    page slots); counts above per_budget/cube_budget mean the caller must
+    redo via the legacy complete path.
     """
     g = cfg.grid
     cap = g.block_capacity
     kmax = chunk * n_chunks
-    tri_per_blk = g.vps3 * 5
 
     iota = jnp.arange(cap, dtype=jnp.int32)
     sel = iota < grid.n_blocks
@@ -342,48 +549,183 @@ def _mesh_cycle(grid: VoxelGrid, render_color: jnp.ndarray,
     order = jnp.pad(order, (0, kmax), constant_values=cap)
     page_flag = jax.lax.dynamic_slice(sflag, (start_rank,), (kmax,))
     page_slot = jax.lax.dynamic_slice(order, (start_rank,), (kmax,))
-    slots = jnp.where(page_flag == 0, page_slot, cap).reshape(n_chunks, chunk)
+    slots_flat = jnp.where(page_flag == 0, page_slot, cap)
 
-    C = 28 if with_normals else 19
-    buf0 = jnp.zeros((n_chunks * per_budget, C), jnp.float32)
+    # Row subset for color rendering: page blocks + their 7 (+x/+y/+z)
+    # neighbors; rank LUT maps grid row -> render row (R2 = trash).
+    coords_p = grid.block_coords[jnp.minimum(slots_flat, cap - 1)]
+    nsl = gblocks.lookup_slots(
+        grid, coords_p[:, None, :] + jnp.asarray(_NBR_OFFSETS)[None], g)
+    ok = slots_flat < cap
+    nsl = jnp.where(ok[:, None], nsl, cap)
+    allrows = jnp.concatenate(
+        [jnp.where(ok, slots_flat, cap)[:, None], nsl], axis=1).reshape(-1)
+    present = jnp.zeros((cap + 1,), bool).at[allrows].set(True)
+    present = present.at[cap].set(False)
+    R2 = min(kmax * 8, cap + 1)
+    iota_r = jnp.arange(cap + 1, dtype=jnp.int32)
+    rs, rorder = jax.lax.sort(((~present).astype(jnp.int32), iota_r),
+                              num_keys=1)
+    rows_list = jnp.where(rs[:R2] == 0, rorder[:R2], cap)
+    rank = jnp.full((cap + 1,), R2, jnp.int32).at[rows_list].set(
+        jnp.arange(R2, dtype=jnp.int32), mode="drop")
+    rank = rank.at[cap].set(R2)
+    render_sel = _render_rows(grid, cfg, label_table, rows_list)
+    # Trash render row (R2): zeros — only ever read for lattice corners
+    # whose weight gate already suppresses the cube.
+    render_pad = jnp.pad(render_sel, ((0, 0), (0, 1), (0, 0)))
+
+    slots = slots_flat.reshape(n_chunks, chunk)
+    if wire:
+        C, dt = (27 if with_normals else 18), jnp.uint16
+    else:
+        C, dt = (28 if with_normals else 19), jnp.float32
+    buf0 = jnp.zeros((n_chunks * per_budget, C), dt)
 
     def body(carry, slots_c):
         off, buf = carry
-        out = _mesh_block_batch_core(grid, render_color, slots_c, cfg,
-                                     with_normals=with_normals)
-        rows = jnp.repeat(slots_c, tri_per_blk)
-        packed, cnt = _compact_tris_core(
-            out[0], out[1], out[2], rows, budget=per_budget,
-            with_normals=with_normals, tn=out[3] if with_normals else None)
+        packed, cnt, nact = _mc_chunk_compact(
+            grid, render_pad, rank, slots_c, cfg, with_normals,
+            cube_budget, per_budget, wire=wire)
         buf = jax.lax.dynamic_update_slice(buf, packed, (off, 0))
-        return (off + jnp.minimum(cnt, per_budget), buf), cnt
+        return (off + jnp.minimum(cnt, per_budget), buf), (cnt, nact)
 
-    (total, buf), cnts = jax.lax.scan(body, (jnp.int32(0), buf0), slots)
-    return buf, total, n_sel, cnts, slots.reshape(-1)
+    if n_chunks == 1:
+        (total, buf), (cnts, nacts) = body((jnp.int32(0), buf0), slots[0])
+        cnts, nacts = cnts[None], nacts[None]
+    else:
+        (total, buf), (cnts, nacts) = jax.lax.scan(
+            body, (jnp.int32(0), buf0), slots)
+    return buf, total, n_sel, cnts, nacts, slots_flat
 
 
 def _cycle_geometry(cfg: FusionConfig):
-    """(chunk, n_chunks, per_budget) for the cycle program: chunk x vps3
-    constant (peak-memory bound, as the legacy batch), kmax >= 256 blocks
-    per page."""
-    chunk = max(1, (32 * 4096) // cfg.grid.vps3)
+    """(chunk, n_chunks, per_budget, cube_budget) for the cycle program:
+    chunk x vps3 bounded (the corner-color stack is the peak temporary at
+    ~100 MB per 2^20 cubes), kmax = 256 blocks per page."""
+    chunk = max(1, (1 << 20) // cfg.grid.vps3)
+    chunk = min(chunk, 256)
     n_chunks = max(1, -(-256 // chunk))
-    per_budget = int(os.environ.get("KSD_CHUNK_TRI_BUDGET", "16384"))
-    return chunk, n_chunks, per_budget
-
-
-_FETCH_BUCKETS = (2048, 8192, 32768)
+    # Budgets sized to a dense page: a 256-block page of the sim world
+    # carries ~45k triangles / ~30k active cubes (profile_mesh_r5), and a
+    # budget overflow silently costs the whole legacy fallback.
+    per_budget = int(os.environ.get("KSD_CHUNK_TRI_BUDGET", "98304"))
+    cube_budget = int(os.environ.get("KSD_CUBE_BUDGET", "65536"))
+    return chunk, n_chunks, per_budget, cube_budget
 
 
 def _fetch_prefix(buf, total: int):
-    """Fetch rows [0, total) of the device buffer through the smallest
-    power-of-two-ish bucket (compiles <= len(_FETCH_BUCKETS)+1 trivial slice
-    programs; avoids pulling the full buffer through the ~100 MB/s tunnel)."""
+    """Fetch rows [0, total) of the device buffer through a 4096-row
+    bucketed device slice (bounded distinct slice programs; avoids pulling
+    the full buffer through the ~54 MB/s tunnel, where every extra MB costs
+    ~19 ms — measured, scripts/profile_mesh_r5.py)."""
     n = buf.shape[0]
-    for b in _FETCH_BUCKETS:
-        if total <= b <= n:
-            return np.asarray(buf[:b])[:total]
-    return np.asarray(buf)[:total]
+    b = min(n, max(4096, -(-total // 4096) * 4096))
+    if b >= n:
+        return np.asarray(buf)[:total]
+    return np.asarray(buf[:b])[:total]
+
+
+def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
+                             label_map: Optional[LabelColorMap] = None,
+                             only_updated: bool = False,
+                             with_normals: bool = False,
+                             return_blocks: bool = False):
+    """Dispatch the cycle program NOW (async), return a collect() closure.
+
+    The device program is enqueued against the current grid arrays — an
+    immutable snapshot — so the caller may clear `updated` and keep
+    integrating immediately; `collect()` (typically run on a worker
+    thread) blocks on the count sync + bucketed fetch and returns the same
+    values as extract_mesh_cycle. This is the pipelined serving-mesh
+    transport: the >=23 ms tunnel sync + ~20 ms/MB fetch overlap with the
+    next frames' integration instead of stalling the stream."""
+    if label_map is not None:
+        label_table = jnp.asarray(label_map.label_colors)
+    else:
+        label_table = jnp.zeros((256, 3), jnp.uint8)
+    chunk, n_chunks, per_budget, cube_budget = _cycle_geometry(cfg)
+    kmax = chunk * n_chunks
+    # The compact u16 fetch wire pays off where transfers are expensive
+    # (the TPU tunnel); on CPU the f32 path keeps bit-exact legacy parity
+    # (tests). KSD_MESH_WIRE={0,1} overrides.
+    wire_env = os.environ.get("KSD_MESH_WIRE")
+    wire = (jax.default_backend() in ("tpu", "axon") if wire_env is None
+            else wire_env == "1")
+    first = _mesh_cycle(grid, label_table, jnp.int32(0), cfg, only_updated,
+                        with_normals, chunk, n_chunks, per_budget,
+                        cube_budget, wire=wire)
+
+    def collect():
+        parts, sel_parts = [], []
+        start, n_sel, page = 0, None, first
+        while n_sel is None or start < n_sel:
+            if page is None:     # further pages (rare): dispatch on demand
+                page = _mesh_cycle(grid, label_table, jnp.int32(start), cfg,
+                                   only_updated, with_normals, chunk,
+                                   n_chunks, per_budget, cube_budget,
+                                   wire=wire)
+            buf, total_d, n_sel_d, cnts_d, nacts_d, slots_d = page
+            page = None
+            # ONE host sync for the page's scalars (+ the small slot list).
+            total, n_sel, cnts, nacts, slots_h = jax.device_get(
+                (total_d, n_sel_d, cnts_d, nacts_d, slots_d))
+            if (int(np.max(cnts)) > per_budget
+                    or int(np.max(nacts)) > cube_budget):
+                # A chunk overflowed its triangle or active-cube budget:
+                # the buffer is incomplete. The mesh must be complete —
+                # redo via the legacy per-batch path (complete by
+                # construction).
+                return extract_mesh(grid, cfg, label_map,
+                                    only_updated=only_updated,
+                                    with_normals=with_normals,
+                                    return_blocks=return_blocks,
+                                    _force_legacy=True)
+            parts.append(_fetch_prefix(buf, int(total)))
+            sel_parts.append(slots_h[slots_h < cfg.grid.block_capacity])
+            start += kmax
+
+        W = ((27 if with_normals else 18) if wire
+             else (28 if with_normals else 19))
+        dt = np.uint16 if wire else np.float32
+        packed = (np.concatenate(parts) if parts
+                  else np.zeros((0, W), dt))
+        if wire:
+            V = cfg.grid.voxels_per_side
+            ext = cfg.grid.world_extent_blocks
+            lv = packed[:, 0:9].astype(np.float32) * (V / 65535.0) + 0.5
+            bc = packed[:, 14:17].astype(np.float32) - ext      # blocks
+            v = ((lv.reshape(-1, 3, 3) + (bc * V)[:, None, :])
+                 * cfg.grid.voxel_size).reshape(-1, 3).astype(np.float32)
+            cw = packed[:, 9:14].astype(np.uint16)
+            c9 = np.empty((len(packed), 10), np.uint8)
+            c9[:, 0::2] = (cw & 0xFF).astype(np.uint8)
+            c9[:, 1::2] = (cw >> 8).astype(np.uint8)
+            c = c9[:, :9].reshape(-1, 3)
+            nr = None
+            if with_normals:
+                nr = (packed[:, 18:27].astype(np.float32) / 65535.0 * 2.0
+                      - 1.0).reshape(-1, 3).astype(np.float32)
+            tri_rows = packed[:, 17].astype(np.int32)
+        else:
+            v = packed[:, 0:9].reshape(-1, 3).astype(np.float32)
+            c = np.clip(packed[:, 9:18].reshape(-1, 3), 0,
+                        255).astype(np.uint8)
+            off = 18
+            nr = None
+            if with_normals:
+                nr = packed[:, 18:27].reshape(-1, 3).astype(np.float32)
+                off = 27
+            tri_rows = np.rint(packed[:, off]).astype(np.int32)
+        tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+        mesh = Mesh(vertices=v, colors=c, triangles=tris, normals=nr)
+        if return_blocks:
+            sel = (np.concatenate(sel_parts) if sel_parts
+                   else np.zeros(0, np.int32))
+            return mesh, sel.astype(np.int32), tri_rows
+        return mesh
+
+    return collect
 
 
 def extract_mesh_cycle(grid: VoxelGrid, cfg: FusionConfig,
@@ -394,50 +736,10 @@ def extract_mesh_cycle(grid: VoxelGrid, cfg: FusionConfig,
     """extract_mesh via the one-dispatch cycle program, with paging and a
     legacy-path fallback on per-chunk budget overflow. Output is
     row-for-row identical to the legacy extract_mesh."""
-    render = render_colors(grid, cfg, label_map)
-    chunk, n_chunks, per_budget = _cycle_geometry(cfg)
-    kmax = chunk * n_chunks
-
-    parts, sel_parts = [], []
-    start = 0
-    n_sel = None
-    while n_sel is None or start < n_sel:
-        buf, total_d, n_sel_d, cnts_d, slots_d = _mesh_cycle(
-            grid, render, jnp.int32(start), cfg, only_updated, with_normals,
-            chunk, n_chunks, per_budget)
-        # ONE host sync for the page's scalars (+ the small slot list).
-        total, n_sel, cnts, slots_h = jax.device_get(
-            (total_d, n_sel_d, cnts_d, slots_d))
-        if int(np.max(cnts)) > per_budget:
-            # A chunk overflowed its triangle budget: the buffer is
-            # incomplete. The mesh must be complete — redo via the legacy
-            # per-batch path (complete by construction).
-            return extract_mesh(grid, cfg, label_map,
-                                only_updated=only_updated,
-                                with_normals=with_normals,
-                                return_blocks=return_blocks,
-                                _force_legacy=True)
-        parts.append(_fetch_prefix(buf, int(total)))
-        sel_parts.append(slots_h[slots_h < cfg.grid.block_capacity])
-        start += kmax
-
-    packed = (np.concatenate(parts) if parts
-              else np.zeros((0, 28 if with_normals else 19), np.float32))
-    v = packed[:, 0:9].reshape(-1, 3).astype(np.float32)
-    c = np.clip(packed[:, 9:18].reshape(-1, 3), 0, 255).astype(np.uint8)
-    off = 18
-    nr = None
-    if with_normals:
-        nr = packed[:, 18:27].reshape(-1, 3).astype(np.float32)
-        off = 27
-    tris = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
-    mesh = Mesh(vertices=v, colors=c, triangles=tris, normals=nr)
-    if return_blocks:
-        tri_rows = np.ascontiguousarray(packed[:, off]).view(np.int32)
-        sel = (np.concatenate(sel_parts) if sel_parts
-               else np.zeros(0, np.int32))
-        return mesh, sel.astype(np.int32), tri_rows
-    return mesh
+    return extract_mesh_cycle_async(grid, cfg, label_map,
+                                    only_updated=only_updated,
+                                    with_normals=with_normals,
+                                    return_blocks=return_blocks)()
 
 
 def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
@@ -506,8 +808,7 @@ def extract_mesh(grid: VoxelGrid, cfg: FusionConfig,
                     nrms.append(packed[:, 18:27].reshape(-1, 3, 3))
                     off = 27
                 if return_blocks:
-                    idx_h = np.ascontiguousarray(
-                        packed[:, off]).view(np.int32)
+                    idx_h = np.rint(packed[:, off]).astype(np.int32)
                     rows.append(slots[idx_h // tri_per_blk])
                 continue
             # budget overflow: fall through to the complete (slow) fetch

@@ -156,6 +156,84 @@ def build_atlas(depth: jnp.ndarray, labels: jnp.ndarray, colors: jnp.ndarray,
     return atlas
 
 
+# ---------------------------------------------------------------------------
+# Wire codec for the sharded atlas exchange (r5, VERDICT item 2).
+# ---------------------------------------------------------------------------
+
+def wire_depth_max(cfg) -> float:
+    """Wire clip range for depth: max_ray + 2 x truncation.
+
+    Any true depth >= this bound yields sdf >= truncation for every voxel a
+    frame can legally update (z <= max_ray + trunc), i.e. the same
+    free-space update as the unclipped value — so the clip is
+    behavior-exact and only the in-range quantization (step = range/65534,
+    ~0.08 mm at the canonical 5 m config) is lossy."""
+    return cfg.tsdf.max_ray_length_m + 2.0 * cfg.tsdf.truncation_distance
+
+
+def wire_encode(depth, labels, colors, cfg):
+    """(H, W) images -> compact u16/u8 wire planes for the ICI all-gather.
+
+    The r4 sharded projective step all-gathered the full f32 mip atlas
+    (~9.8 MB/frame — 86.6 MB/step at D=8, modeled no-overlap efficiency
+    floor 0.53, SCALING_r04). The wire carries only level 0 (the pyramid is
+    rebuilt locally after the gather — min-pooling is ~free next to the
+    bytes it saves) at u16 depth + u16 label (+ u8 RGB only in
+    ColorMode.COLOR; semantic modes never read measured colors —
+    render-time recoloring, ops/mesh.py): 4-7 bytes/px instead of 32.
+
+    Returns (wire_dl (2, H, W) uint16, wire_rgb (3, H, W) uint8 | None).
+    label and color encode losslessly; depth quantizes at range/65534."""
+    from ..config import ColorMode
+    dmax = wire_depth_max(cfg)
+    d = depth.astype(jnp.float32)
+    valid = jnp.isfinite(d) & (d > 0.0)
+    q = jnp.round(jnp.clip(d, 0.0, dmax) * (65534.0 / dmax))
+    d16 = jnp.where(valid, q, 65535.0).astype(jnp.uint16)
+    l16 = jnp.clip(labels.astype(jnp.int32), 0, 65535).astype(jnp.uint16)
+    wire_dl = jnp.stack([d16, l16])
+    wire_rgb = None
+    if cfg.semantic.color_mode == ColorMode.COLOR:
+        c = jnp.clip(jnp.round(colors.astype(jnp.float32)), 0.0, 255.0)
+        wire_rgb = jnp.moveaxis(c, -1, 0).astype(jnp.uint8)
+    return wire_dl, wire_rgb
+
+
+def atlas_from_wire(wire_dl, wire_rgb, plan: MipPlan, cfg) -> jnp.ndarray:
+    """Decode wire planes and rebuild the full mip atlas locally.
+
+    Exactly build_atlas() over the decoded images, so a shard that decodes
+    its own encoded frame gets the identical atlas every other shard
+    decodes — the sharded step equals a single device integrating the
+    wire-roundtripped frames (the dryrun's quantized-exactness leg)."""
+    dmax = wire_depth_max(cfg)
+    d16 = wire_dl[0].astype(jnp.float32)
+    # Code 65535 = invalid; code 0 decodes to 0.0, which build_atlas's
+    # (depth > 0) validity check maps to DEPTH_SENTINEL either way.
+    d = jnp.where(d16 >= 65535.0, -1.0, d16 * (dmax / 65534.0))
+    lab = wire_dl[1].astype(jnp.int32)
+    if wire_rgb is not None:
+        colors = jnp.moveaxis(wire_rgb.astype(jnp.float32), 0, -1)
+    else:
+        colors = jnp.zeros(d.shape + (3,), jnp.float32)
+    return build_atlas(d, lab, colors, plan)
+
+
+def wire_roundtrip_frame(frame, cfg):
+    """Frame with wire-roundtripped (depth, labels, colors) — the
+    single-device equivalent of what every shard sees under the u16 wire
+    protocol (test/dryrun comparison helper)."""
+    import dataclasses as _dc
+    wdl, wrgb = wire_encode(frame.depth, frame.labels, frame.colors, cfg)
+    dmax = wire_depth_max(cfg)
+    d16 = wdl[0].astype(jnp.float32)
+    d = jnp.where(d16 >= 65535.0, -1.0, d16 * (dmax / 65534.0))
+    lab = wdl[1].astype(jnp.int32)
+    colors = (jnp.moveaxis(wrgb.astype(jnp.float32), 0, -1)
+              if wrgb is not None else jnp.zeros(d.shape + (3,), jnp.float32))
+    return _dc.replace(frame, depth=d, labels=lab, colors=colors)
+
+
 def level_tables(plan: MipPlan):
     """Per-level (width, height, offset) as jnp arrays for traced-level
     indexing."""

@@ -78,6 +78,16 @@ class ServerConfig:
     live_mesh_port: int = -1          # >=0: serve the live mesh over HTTP
                                       # (/, /mesh.ply, /stats.json); 0 picks
                                       # a free port (server/viz.py)
+    async_mesh: bool = True           # pipelined periodic meshing (r5): the
+                                      # cycle program is dispatched inline
+                                      # against the grid snapshot and the
+                                      # sync/fetch/cache/IO run on a worker
+                                      # thread, overlapping the next frames'
+                                      # integration. The stream only stalls
+                                      # if a cycle is still in flight when
+                                      # the next one is due (counted in
+                                      # mesh_stall_s). False = synchronous
+                                      # update_mesh (r4 behavior)
 
 
 class SemanticTsdfServer:
@@ -101,6 +111,9 @@ class SemanticTsdfServer:
         self.mesh_cache = None
         self._live_writer = None
         self.live_streamer = None
+        self._mesh_worker = None    # in-flight pipelined mesh cycle
+        self.mesh_stall_s = 0.0     # stream time spent waiting on a cycle
+                                    # still in flight when the next was due
         sc = self.server_cfg
         if sc.live_mesh_path or sc.live_mesh_port >= 0:
             from . import viz
@@ -131,7 +144,10 @@ class SemanticTsdfServer:
         self._frames_integrated += 1
         n = self.server_cfg.mesh_every_n_frames
         if n and self._frames_integrated % n == 0:
-            self.update_mesh()
+            if self.server_cfg.async_mesh:
+                self.update_mesh_async()
+            else:
+                self.update_mesh()
         ne = self.server_cfg.esdf_every_n_frames
         if ne and self._frames_integrated % ne == 0:
             self.update_esdf()
@@ -176,6 +192,7 @@ class SemanticTsdfServer:
                         "overflow": int(self.grid.overflow),
                         "dropped_rays": int(self.grid.dropped_rays)}) + "\n")
         finally:
+            self.join_mesh()
             if sink is not None:
                 sink.close()
         return count
@@ -199,13 +216,53 @@ class SemanticTsdfServer:
     # -- meshing / output --------------------------------------------------
 
     def update_mesh(self) -> mesh_ops.Mesh:
-        """Incremental mesh over blocks updated since the last call."""
+        """Incremental mesh over blocks updated since the last call
+        (synchronous)."""
         import jax.numpy as jnp
+        self.join_mesh()
         with timing.Timer("mesh/update"):
             out = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
                                         only_updated=True,
                                         with_normals=self.server_cfg.mesh_normals,
                                         return_blocks=self.mesh_cache is not None)
+        self.grid = dataclasses.replace(
+            self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
+        return self._publish_mesh(out)
+
+    def update_mesh_async(self) -> None:
+        """Pipelined incremental mesh (r5): dispatch the cycle program
+        against the current grid snapshot, clear the updated flags, and
+        run the sync/fetch/publish on a worker thread so integration of
+        the next frames overlaps the >=23 ms tunnel sync + fetch. A cycle
+        still in flight when the next is due stalls the stream (counted
+        in `mesh_stall_s` — the keeps-up measure)."""
+        import threading
+        import time as _time
+        import jax.numpy as jnp
+        t0 = _time.perf_counter()
+        self.join_mesh()                       # previous cycle must land
+        self.mesh_stall_s += _time.perf_counter() - t0
+        collect = mesh_ops.extract_mesh_cycle_async(
+            self.grid, self.cfg, self.label_map, only_updated=True,
+            with_normals=self.server_cfg.mesh_normals,
+            return_blocks=self.mesh_cache is not None)
+        self.grid = dataclasses.replace(
+            self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
+
+        def work():
+            self._publish_mesh(collect())
+
+        self._mesh_worker = threading.Thread(target=work, daemon=True)
+        self._mesh_worker.start()
+
+    def join_mesh(self):
+        """Block until the in-flight pipelined mesh cycle (if any) lands."""
+        w = getattr(self, "_mesh_worker", None)
+        if w is not None:
+            w.join()
+            self._mesh_worker = None
+
+    def _publish_mesh(self, out) -> mesh_ops.Mesh:
         if self.mesh_cache is not None:
             m, meshed_rows, tri_rows = out
             self.mesh_cache.update(m, meshed_rows, tri_rows)
@@ -219,8 +276,6 @@ class SemanticTsdfServer:
                     frames=self._frames_integrated)
         else:
             m = out
-        self.grid = dataclasses.replace(
-            self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
         for cb in self.mesh_callbacks:
             cb(m)
         return m
@@ -241,6 +296,7 @@ class SemanticTsdfServer:
     def generate_mesh(self, path: Optional[str] = None) -> mesh_ops.Mesh:
         """Full mesh over all allocated blocks (+ optional PLY save) —
         TsdfServer::generateMesh (kimera_semantics_rosbag.cpp:148)."""
+        self.join_mesh()
         with timing.Timer("mesh/generate"):
             m = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
                                       only_updated=False,
@@ -324,6 +380,7 @@ class SemanticTsdfServer:
         the optional `esdf` result appends the second layer section).
         Any other extension uses the native KSDV container, which — unlike
         .vxblx — round-trips the semantic channels too."""
+        self.join_mesh()
         if path.endswith(".vxblx"):
             from ..io import vxblx as vxblx_io
             vxblx_io.save_vxblx(path, self.grid, self.cfg, esdf=esdf)
@@ -344,6 +401,7 @@ class SemanticTsdfServer:
         return int(self.grid.n_blocks)
 
     def stats(self) -> dict:
+        self.join_mesh()    # mesh_cache readers see the landed cycle
         return {
             "frames": self._frames_integrated,
             "blocks": int(self.grid.n_blocks),

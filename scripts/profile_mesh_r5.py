@@ -20,6 +20,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_ksd_bench"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -82,6 +83,47 @@ def main():
     grid = dc.replace(grid, updated=jnp.asarray(upd))
     jax.block_until_ready(grid.updated)
 
+    skip_legacy = os.environ.get("PROF_SKIP_LEGACY", "0") == "1"
+    if skip_legacy:
+        # Fast re-run: only the new cycle path + equivalence vs legacy.
+        def new_cycle():
+            return mesh_ops.extract_mesh_cycle(grid, cfg,
+                                               label_map=label_map,
+                                               only_updated=True,
+                                               return_blocks=True)
+        t0 = time.perf_counter()
+        m2, mr2, tr2 = new_cycle()
+        emit("new_cycle_compile", s=round(time.perf_counter() - t0, 1),
+             tris=m2.num_triangles)
+        emit("new_cycle_warm", ms=timed(lambda: new_cycle(), reps=REPS)[0])
+        m1, mr1, tr1 = mesh_ops.extract_mesh(grid, cfg, label_map=label_map,
+                                             only_updated=True,
+                                             return_blocks=True,
+                                             _force_legacy=True)
+        # Ground truth rows from geometry: each triangle's centroid lies in
+        # its block (MC vertices stay within the cube).
+        bs = cfg.grid.block_size
+        cent = m2.vertices.reshape(-1, 3, 3).mean(axis=1)
+        bc = np.floor(cent / bs - 1e-6).astype(np.int32)
+        coord_of_row = np.asarray(grid.block_coords)
+        ok_rows = np.mean(np.all(coord_of_row[tr2] == bc, axis=1))
+        emit("equiv",
+             same_tris=bool(m1.num_triangles == m2.num_triangles),
+             verts_equal=bool(np.array_equal(m1.vertices, m2.vertices)),
+             cols_equal=bool(np.array_equal(m1.colors, m2.colors)),
+             rows_equal=bool(np.array_equal(tr1, tr2)),
+             rows_geom_ok_frac=round(float(ok_rows), 4))
+
+        def full_new():
+            return mesh_ops.extract_mesh_cycle(grid, cfg,
+                                               label_map=label_map)
+        t0 = time.perf_counter(); mfn = full_new()
+        emit("full_new_first", s=round(time.perf_counter() - t0, 1),
+             tris=mfn.num_triangles)
+        emit("full_new_warm", ms=timed(full_new, reps=3)[0])
+        emit("done")
+        return
+
     render = mesh_ops.render_colors(grid, cfg, label_map)
     jax.block_until_ready(render)
     emit("render_colors", ms=timed(lambda: jax.block_until_ready(
@@ -108,13 +150,34 @@ def main():
         mesh_ops._compact_tris(out[0], out[1], out[2],
                                budget=tri_budget)))[0])
 
-    emit("count_sync_rtt_ms", ms=timed(lambda: int(cnt_d))[0])
-    emit("fetch_packed_2p5MB", ms=timed(lambda: np.asarray(packed_d))[0],
-         mb=round(packed_d.size * 4 / 1e6, 2))
-    big = jnp.zeros((2_500_000,), jnp.float32) + 1.0
-    jax.block_until_ready(big)
-    ms10 = timed(lambda: np.asarray(big))[0]
-    emit("fetch_10MB", ms=ms10, mbps=round(10.0 / (ms10 / 1000.0), 1))
+    # Fresh arrays per rep: jax caches the host copy after the first
+    # np.asarray, so re-fetching the same buffer measures nothing.
+    def fetch_ms(nbytes):
+        ts = []
+        for i in range(REPS):
+            a = jnp.full((nbytes // 4,), float(i), jnp.float32)
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            np.asarray(a)
+            ts.append(1000.0 * (time.perf_counter() - t0))
+        return round(float(np.median(ts)), 2)
+
+    def rtt_ms():
+        ts = []
+        for i in range(REPS):
+            a = jnp.float32(i) + 1.0
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            float(a)
+            ts.append(1000.0 * (time.perf_counter() - t0))
+        return round(float(np.median(ts)), 2)
+
+    emit("count_sync_rtt_ms", ms=rtt_ms())
+    m1f = fetch_ms(1 << 20)
+    m10f = fetch_ms(10 << 20)
+    emit("fetch_1MB", ms=m1f)
+    emit("fetch_10MB", ms=m10f,
+         mbps=round(10.0 / max(m10f, 1e-3) * 1000.0, 1))
 
     # --- MC sub-stage attribution ----------------------------------------
     # Approximate: jit prefixes of the MC body, return a scalar reduce.
@@ -146,8 +209,6 @@ def main():
         stage_lattice(grid, render, slots32)))[0])
 
     # --- cycle-level comparisons ------------------------------------------
-    from kimera_semantics_tpu.server import viz as viz_mod
-
     def legacy_cycle():
         m, mr, tr = mesh_ops.extract_mesh(grid, cfg, label_map=label_map,
                                           only_updated=True,

@@ -250,5 +250,7 @@ def test_compact_tris_matches_mask_select():
                                   tv.reshape(-1, 9)[m])
     np.testing.assert_array_equal(packed[:, 9:18],
                                   tc.reshape(-1, 9)[m])
-    idx = np.ascontiguousarray(packed[:, 18]).view(np.int32)
+    # r5: the index rides as a plain f32 VALUE (exact < 2^24) — bitcast
+    # small-int payloads are f32 denormals, which TPU flushes to zero.
+    idx = np.rint(packed[:, 18]).astype(np.int32)
     np.testing.assert_array_equal(idx, np.where(m)[0])

@@ -169,8 +169,15 @@ class TestShardedMerged:
 
 
 class TestShardedProjective:
-    def test_matches_single_device(self, mesh):
+    @pytest.mark.parametrize("wire", ["u16", "f32"])
+    def test_matches_single_device(self, mesh, wire):
+        """Protocol exactness under both wire formats: with the default u16
+        wire-atlas exchange the single-device reference integrates the
+        wire-roundtripped frames (what every shard sees); with f32 it
+        integrates the raw frames. Both comparisons are tight."""
         cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, wire_atlas=wire))
         d = mesh.devices.size
         ds = SyntheticDataset(num_frames=d, intr=INTR,
                               label_map=LabelColorMap.random())
@@ -182,11 +189,14 @@ class TestShardedProjective:
         merged, merged_cfg = sharding.merge_shards(sgrid, cfg)
 
         from kimera_semantics_tpu.models import projective
+        from kimera_semantics_tpu.ops import mip as mip_ops
         single_cfg = dataclasses.replace(
             cfg, grid=dataclasses.replace(
                 cfg.grid, block_capacity=cfg.grid.block_capacity * d))
         grid = blocks.create(single_cfg)
         for f in frames:
+            if wire == "u16":
+                f = mip_ops.wire_roundtrip_frame(f, single_cfg)
             grid = projective.integrate_frame(grid, f, single_cfg, INTR)
 
         nb_s = int(merged.n_blocks)

@@ -100,6 +100,10 @@ class TestEndToEndStream:
             # (mesh_every_n_frames=2), which feeds the live surfaces.
             srv.insert_frame(ds.frame(i))
             if (i + 1) % 2 == 0:
+                # r5: periodic meshing is pipelined (ServerConfig
+                # .async_mesh); flush the in-flight cycle before reading
+                # its side effects.
+                srv.join_mesh()
                 v, c, t = ply_io.read_ply(live)
                 tri_counts.append(len(t))
         # The live file holds the FULL growing mesh, not the increment.
