@@ -321,7 +321,58 @@ def main():
             "mesh_cycle_blocks": int(np.mean(cyc_blocks)),
             "mesh_cadence_frames": cadence,
         }
-        # Batch ESDF (block-sparse JFA) on the final grid.
+
+        # Streaming WITH live mesh, pipelined (r5, VERDICT item 1): the
+        # real serving transport — extract_mesh_cycle_async dispatches the
+        # cycle against the grid snapshot and a worker thread does the
+        # fetch/cache update while the main loop keeps integrating. Wall
+        # clock over bench_cycles x cadence frames => the honest
+        # "streaming + live mesh" fps; stalls (a cycle still in flight
+        # when the next is due) are counted separately.
+        import threading
+        cache2 = viz_mod.MeshLayerCache()
+        collect0 = mesh_ops.extract_mesh_cycle_async(
+            grid, cfg, label_map=label_map, only_updated=False,
+            return_blocks=True)
+        cache2.update(*collect0())                  # warm + seed the cache
+        hint_box = [getattr(collect0, "total_rows", 4096)]
+        grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
+        worker = None
+        stall_s = 0.0
+        t0s = time.perf_counter()
+        for c in range(bench_cycles):
+            for _ in range(max(1, cadence // per_group)):
+                grid = step(grid, groups[gi % len(groups)])
+                gi += 1
+            t1 = time.perf_counter()
+            if worker is not None:
+                worker.join()
+            stall_s += time.perf_counter() - t1
+            collect = mesh_ops.extract_mesh_cycle_async(
+                grid, cfg, label_map=label_map, only_updated=True,
+                return_blocks=True, hint_rows=hint_box[0])
+            grid = _dc.replace(grid,
+                               updated=jnp.zeros(grid.updated.shape, bool))
+
+            def work(col=collect):
+                cache2.update(*col())
+                hint_box[0] = getattr(col, "total_rows", hint_box[0])
+            worker = threading.Thread(target=work, daemon=True)
+            worker.start()
+        if worker is not None:
+            worker.join()
+        jax.block_until_ready(grid.wsum)
+        stream_wall = time.perf_counter() - t0s
+        n_stream_frames = bench_cycles * max(1, cadence // per_group) \
+            * per_group
+        mesh_cycle["stream_with_mesh_fps"] = round(
+            n_stream_frames / stream_wall, 1)
+        mesh_cycle["mesh_stall_ms_per_cycle"] = round(
+            1000.0 * stall_s / bench_cycles, 1)
+
+        # Periodic ESDF serving cycle (r5, VERDICT item 7): the pipeline's
+        # update_esdf refresh (block-sparse JFA over the current grid),
+        # warm — the EsdfServer timer-driven update equivalent.
         from kimera_semantics_tpu.ops import esdf as esdf_ops
         res = esdf_ops.compute_esdf_blocked(grid, cfg, max_dist=2.0)
         jax.block_until_ready(res.distance)        # compile pass, untimed
@@ -366,33 +417,63 @@ def main():
         upd = touched_rows * cfg.grid.vps3
 
         # Per-stage breakdown (atlas / allocate / apply), steady state.
+        # r5 (VERDICT r4 item 6): each stage is timed over K chained async
+        # dispatches with ONE final device sync and donated grid buffers,
+        # so the per-stage numbers exclude the ~23 ms tunnel RTT and the
+        # undonated grid copies that polluted the r4 stage_ms (which
+        # summed to ~81 ms for a 1.4 ms frame). Stages should now sum to
+        # ~ms_per_frame (alloc->apply overlap makes the sum a slight
+        # overcount).
         if os.environ.get("BENCH_BREAKDOWN", "1") == "1" and not smoke:
             jit_atlas = jax.jit(lambda fr: mip_ops.build_atlas(
                 fr.depth, fr.labels, fr.colors, plan))
-            jit_alloc = jax.jit(lambda g3, atlas, T: proj_mod.allocate_from_atlas(
-                g3, atlas, T, cfg, intr, plan))
-            jit_apply = jax.jit(lambda g3, atlas, T, fc, fs, fr: proj_mod.apply_frame(
-                g3, atlas, T, fc, fs, fr, cfg, intr, plan))
-            g3 = grid  # steady-state scene
-            ts = {"atlas": 0.0, "alloc": 0.0, "apply": 0.0}
+            jit_alloc = jax.jit(
+                lambda g3, atlas, T: proj_mod.allocate_from_atlas(
+                    g3, atlas, T, cfg, intr, plan), donate_argnums=(0,))
+            jit_apply = jax.jit(
+                lambda g3, atlas, T, fc, fs, fr: proj_mod.apply_frame(
+                    g3, atlas, T, fc, fs, fr, cfg, intr, plan),
+                donate_argnums=(0,))
             k_frames = frames[4:4 + min(12, n_frames)]
-            for rep in range(2):        # rep 0 = compile warmup, untimed
-                for f in k_frames:
-                    t1 = time.perf_counter()
-                    atlas = jax.block_until_ready(jit_atlas(f))
-                    t2 = time.perf_counter()
-                    g3, fc, fs, fr = jit_alloc(g3, atlas, f.T_G_C)
-                    jax.block_until_ready(fr)
-                    t3 = time.perf_counter()
-                    g3 = jit_apply(g3, atlas, f.T_G_C, fc, fs, fr)
-                    jax.block_until_ready(g3.wsum)
-                    t4 = time.perf_counter()
-                    if rep:
-                        ts["atlas"] += t2 - t1
-                        ts["alloc"] += t3 - t2
-                        ts["apply"] += t4 - t3
-            stage_ms = {k: round(1000.0 * v / len(k_frames), 3)
-                        for k, v in ts.items()}
+            K = len(k_frames)
+            import jax.numpy as _jnp
+
+            def grid_copy(g):
+                return jax.tree.map(_jnp.copy, g)
+
+            # Compile warmup (untimed) + precompute stage inputs.
+            atl = [jax.block_until_ready(jit_atlas(f)) for f in k_frames]
+            g3 = grid_copy(grid)
+            allocs = []
+            for f, a in zip(k_frames, atl):
+                g3, fc, fs, fr = jit_alloc(g3, a, f.T_G_C)
+                allocs.append((fc, fs, fr))
+            g3 = jit_apply(g3, atl[0], k_frames[0].T_G_C, *allocs[0])
+            jax.block_until_ready(g3.wsum)
+
+            t1 = time.perf_counter()
+            for f in k_frames:
+                a_last = jit_atlas(f)
+            jax.block_until_ready(a_last)
+            atlas_ms = 1000.0 * (time.perf_counter() - t1) / K
+
+            g4 = grid_copy(grid)
+            jax.block_until_ready(g4.wsum)
+            t1 = time.perf_counter()
+            for f, a in zip(k_frames, atl):
+                g4, fc, fs, fr = jit_alloc(g4, a, f.T_G_C)
+            jax.block_until_ready(g4.wsum)
+            alloc_ms = 1000.0 * (time.perf_counter() - t1) / K
+
+            t1 = time.perf_counter()
+            for f, a, al in zip(k_frames, atl, allocs):
+                g4 = jit_apply(g4, a, f.T_G_C, *al)
+            jax.block_until_ready(g4.wsum)
+            apply_ms = 1000.0 * (time.perf_counter() - t1) / K
+            del g3, g4
+            stage_ms = {"atlas": round(atlas_ms, 3),
+                        "alloc": round(alloc_ms, 3),
+                        "apply": round(apply_ms, 3)}
     elif (cfg.tsdf.carve_mode in ("decimated", "projective")
           and cfg.tsdf.voxel_carving_enabled):
         # Banded ray methods: count on the method's own code path — valid
@@ -504,13 +585,28 @@ def main():
                                    "relative use only")
     if mesh_cycle is not None:
         result.update(mesh_cycle)
-        # Does the incremental mesh keep up with the stream? Compare one
-        # cycle's cost against the integration time of `cadence` frames.
+        # Does the live mesh keep up with serving? Two conditions (r5):
+        # (a) a warm cycle fits the reference's mesh-timer period
+        #     (update_mesh_every_n_sec = 1, launch/kimera_semantics
+        #     .launch:131 — the reference's own keeps-up contract), and
+        # (b) the pipelined streaming loop WITH the live mesh on still
+        #     clears the north-star 10x-baseline serving rate.
         result["mesh_keeps_up"] = bool(
+            mesh_cycle["mesh_cycle_ms"] < 1000.0
+            and mesh_cycle["stream_with_mesh_fps"] >= 10.0 * baseline_fps)
+        # The r4 form (cycle < cadence x frame time) for continuity: true
+        # means meshing every `cadence` frames is free even at full
+        # integration speed with zero pipelining.
+        result["mesh_keeps_up_sync_cadence"] = bool(
             mesh_cycle["mesh_cycle_ms"]
             < mesh_cycle["mesh_cadence_frames"] * 1000.0 * elapsed / n_frames)
     if esdf_batch_ms is not None:
         result["esdf_batch_ms"] = round(esdf_batch_ms, 1)
+        # Periodic ESDF cycle (VERDICT r4 item 7): the serving-loop
+        # refresh is the same block-sparse JFA pass; it keeps up iff it
+        # fits the reference EsdfServer's update timer period (1 s).
+        result["esdf_cycle_ms"] = round(esdf_batch_ms, 1)
+        result["esdf_keeps_up"] = bool(esdf_batch_ms < 1000.0)
     if mesh_ms is not None:
         result["mesh_ms"] = round(mesh_ms, 1)
         result["mesh_warm_ms"] = round(mesh_warm_ms, 1)

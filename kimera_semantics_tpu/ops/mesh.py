@@ -614,32 +614,29 @@ def _cycle_geometry(cfg: FusionConfig):
     return chunk, n_chunks, per_budget, cube_budget
 
 
-def _fetch_prefix(buf, total: int):
-    """Fetch rows [0, total) of the device buffer through a 4096-row
-    bucketed device slice (bounded distinct slice programs; avoids pulling
-    the full buffer through the ~54 MB/s tunnel, where every extra MB costs
-    ~19 ms — measured, scripts/profile_mesh_r5.py)."""
-    n = buf.shape[0]
-    b = min(n, max(4096, -(-total // 4096) * 4096))
-    if b >= n:
-        return np.asarray(buf)[:total]
-    return np.asarray(buf[:b])[:total]
-
-
 def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                              label_map: Optional[LabelColorMap] = None,
                              only_updated: bool = False,
                              with_normals: bool = False,
-                             return_blocks: bool = False):
+                             return_blocks: bool = False,
+                             hint_rows: int = 4096):
     """Dispatch the cycle program NOW (async), return a collect() closure.
 
     The device program is enqueued against the current grid arrays — an
     immutable snapshot — so the caller may clear `updated` and keep
     integrating immediately; `collect()` (typically run on a worker
-    thread) blocks on the count sync + bucketed fetch and returns the same
-    values as extract_mesh_cycle. This is the pipelined serving-mesh
-    transport: the >=23 ms tunnel sync + ~20 ms/MB fetch overlap with the
-    next frames' integration instead of stalling the stream."""
+    thread) blocks on the fetch and returns the same values as
+    extract_mesh_cycle. This is the pipelined serving-mesh transport: the
+    >=23 ms tunnel sync + ~20 ms/MB fetch overlap with the next frames'
+    integration instead of stalling the stream.
+
+    `hint_rows`: expected triangle count (e.g. the previous cycle's —
+    cycle sizes are temporally stable). The scalars and the first
+    `~hint_rows` buffer rows ride ONE pipelined device_get; only a larger
+    actual count pays a second transfer. Removes the separate count-sync
+    round trip (~23 ms) from the steady-state cycle. After collect()
+    returns, `collect.total_rows` holds the cycle's triangle count for
+    the caller's next hint."""
     if label_map is not None:
         label_table = jnp.asarray(label_map.label_colors)
     else:
@@ -667,9 +664,13 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                                    wire=wire)
             buf, total_d, n_sel_d, cnts_d, nacts_d, slots_d = page
             page = None
-            # ONE host sync for the page's scalars (+ the small slot list).
-            total, n_sel, cnts, nacts, slots_h = jax.device_get(
-                (total_d, n_sel_d, cnts_d, nacts_d, slots_d))
+            # Optimistic single-round-trip fetch: scalars + the hinted
+            # buffer prefix ride one pipelined device_get; only a count
+            # above the hint pays a second transfer.
+            n = buf.shape[0]
+            b0 = min(n, max(4096, -(-int(hint_rows * 1.3) // 4096) * 4096))
+            part0, total, n_sel, cnts, nacts, slots_h = jax.device_get(
+                (buf[:b0], total_d, n_sel_d, cnts_d, nacts_d, slots_d))
             if (int(np.max(cnts)) > per_budget
                     or int(np.max(nacts)) > cube_budget):
                 # A chunk overflowed its triangle or active-cube budget:
@@ -681,7 +682,14 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                                     with_normals=with_normals,
                                     return_blocks=return_blocks,
                                     _force_legacy=True)
-            parts.append(_fetch_prefix(buf, int(total)))
+            total = int(total)
+            if total > b0:
+                b1 = min(n, -(-total // 4096) * 4096)
+                rest = np.asarray(buf[b0:b1])
+                parts.append(np.concatenate([part0, rest])[:total])
+            else:
+                parts.append(part0[:total])
+            collect.total_rows = total
             sel_parts.append(slots_h[slots_h < cfg.grid.block_capacity])
             start += kmax
 

@@ -245,12 +245,15 @@ class SemanticTsdfServer:
         collect = mesh_ops.extract_mesh_cycle_async(
             self.grid, self.cfg, self.label_map, only_updated=True,
             with_normals=self.server_cfg.mesh_normals,
-            return_blocks=self.mesh_cache is not None)
+            return_blocks=self.mesh_cache is not None,
+            hint_rows=getattr(self, "_mesh_fetch_hint", 4096))
+
         self.grid = dataclasses.replace(
             self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
 
         def work():
             self._publish_mesh(collect())
+            self._mesh_fetch_hint = getattr(collect, "total_rows", 4096)
 
         self._mesh_worker = threading.Thread(target=work, daemon=True)
         self._mesh_worker.start()

@@ -118,6 +118,45 @@ def test_packed_rank_overflow_counted():
     assert int(g1.overflow) > int(g_plain.overflow)
 
 
+def test_staged_matches_plain_batched_rows():
+    """Batched dispatches (cube_origin (B, 3)) ride the staging with a
+    B-scaled row budget (r5, VERDICT r4 item 3) — must still match the
+    plain tail exactly."""
+    from kimera_semantics_tpu.ops import integrate as integ
+
+    rng = np.random.RandomState(11)
+    R = 16
+    origin = jnp.asarray(np.array([0.1, 0.0, 0.2], np.float32))
+    pts = jnp.asarray((np.array([0.1, 0.0, 0.2])
+                       + rng.uniform(-2, 2, (R, 3))).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.5, 2.0, R).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 255, (R, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 21, R).astype(np.int32))
+    clr = jnp.zeros(R, dtype=bool)
+    valid = jnp.ones(R, dtype=bool)
+    cube2 = jnp.stack([origin, origin])          # (2, 3): B=2 dispatch
+
+    def run(cfg):
+        integ.FORCE_PALLAS_INTERPRET = True
+        try:
+            return integ.integrate_ray_batch(
+                blocks.create(cfg), cfg, origin, pts, weights, colors,
+                labels, clr, valid, cube_origin=cube2)
+        finally:
+            integ.FORCE_PALLAS_INTERPRET = False
+
+    def widen(cfg):
+        # capacity > block_budget so the B-scaled Kb (2 x 64 = 128)
+        # actually exceeds the single-frame budget (the cap clamp would
+        # otherwise hide the scaling).
+        return dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, block_capacity=128))
+
+    g_staged = run(widen(make_cfg(True)))
+    g_plain = run(widen(make_cfg(False)))
+    _compare(g_staged, g_plain, widen(make_cfg(True)))
+
+
 def test_block_budget_overflow_counted():
     """Blocks beyond the staged row budget drop and count in overflow."""
     cfg = dataclasses.replace(
