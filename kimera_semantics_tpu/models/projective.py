@@ -235,13 +235,22 @@ def _allocate_rays(grid: VoxelGrid, pts_C, labels, px_valid, T_G_C,
     return insert_candidates(grid, keys, bvalid, cfg, shard=shard)
 
 
-@partial(jax.jit, static_argnames=("cfg", "intr"), donate_argnames=("grid",))
+@partial(jax.jit, static_argnames=("cfg", "intr", "wire_sim"),
+         donate_argnames=("grid",))
 def integrate_frame(grid: VoxelGrid, frame: common.Frame,
-                    cfg: FusionConfig, intr: PinholeIntrinsics) -> VoxelGrid:
-    """One full projective frame update, jit-compiled end to end."""
+                    cfg: FusionConfig, intr: PinholeIntrinsics,
+                    wire_sim: bool = False) -> VoxelGrid:
+    """One full projective frame update, jit-compiled end to end.
+
+    `wire_sim`: roundtrip the atlas through the sharded u16 wire codec
+    (ops/mip.py) before use — the single-device equivalent of what every
+    shard sees under the wire protocol. Used by the sharded-exactness
+    dryrun/tests; production single-chip stays f32."""
     plan = mip_ops.make_plan(intr.height, intr.width,
                              cfg.pipeline.patch_rows, cfg.pipeline.patch_cols)
     atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors, plan)
+    if wire_sim:
+        atlas = mip_ops.wire_roundtrip_atlas(atlas, cfg)
     grid, fcoords, fslots, freal = allocate_from_atlas(grid, atlas,
                                                        frame.T_G_C, cfg, intr,
                                                        plan)

@@ -171,67 +171,63 @@ def wire_depth_max(cfg) -> float:
     return cfg.tsdf.max_ray_length_m + 2.0 * cfg.tsdf.truncation_distance
 
 
-def wire_encode(depth, labels, colors, cfg):
-    """(H, W) images -> compact u16/u8 wire planes for the ICI all-gather.
+def wire_encode(atlas, cfg):
+    """Built f32 atlas -> compact u16/u8 wire planes for the ICI gather.
 
     The r4 sharded projective step all-gathered the full f32 mip atlas
     (~9.8 MB/frame — 86.6 MB/step at D=8, modeled no-overlap efficiency
-    floor 0.53, SCALING_r04). The wire carries only level 0 (the pyramid is
-    rebuilt locally after the gather — min-pooling is ~free next to the
-    bytes it saves) at u16 depth + u16 label (+ u8 RGB only in
-    ColorMode.COLOR; semantic modes never read measured colors —
-    render-time recoloring, ops/mesh.py): 4-7 bytes/px instead of 32.
+    floor 0.53, SCALING_r04). The wire ships the WHOLE pyramid (encoding
+    the built atlas, so decode is pure dequantization — rebuilding the
+    pyramid after the gather would cost ~2.5 GFLOP of one-hot-MXU pooling
+    PER REMOTE ATLAS, breaking the per-device work balance) at u16 depth
+    + u8 label (u16 if num_labels > 256) + u16 rg / u8 b only in
+    ColorMode.COLOR (semantic modes never read measured colors —
+    render-time recoloring, ops/mesh.py): 3-6 bytes/px instead of 16.
 
-    Returns (wire_dl (2, H, W) uint16, wire_rgb (3, H, W) uint8 | None).
-    label and color encode losslessly; depth quantizes at range/65534."""
+    Returns a tuple of (AH, AW) planes: (d16, lab, [rg16, b8]).
+    Labels/colors encode losslessly; depth quantizes at range/65534 with
+    the invalid sentinel preserved."""
     from ..config import ColorMode
     dmax = wire_depth_max(cfg)
-    d = depth.astype(jnp.float32)
-    valid = jnp.isfinite(d) & (d > 0.0)
+    d = atlas[0]
+    valid = d < DEPTH_SENTINEL
     q = jnp.round(jnp.clip(d, 0.0, dmax) * (65534.0 / dmax))
     d16 = jnp.where(valid, q, 65535.0).astype(jnp.uint16)
-    l16 = jnp.clip(labels.astype(jnp.int32), 0, 65535).astype(jnp.uint16)
-    wire_dl = jnp.stack([d16, l16])
-    wire_rgb = None
+    ldt = jnp.uint8 if cfg.grid.num_labels <= 256 else jnp.uint16
+    lab = jnp.clip(jnp.round(atlas[1]), 0, 65535).astype(ldt)
+    planes = [d16, lab]
     if cfg.semantic.color_mode == ColorMode.COLOR:
-        c = jnp.clip(jnp.round(colors.astype(jnp.float32)), 0.0, 255.0)
-        wire_rgb = jnp.moveaxis(c, -1, 0).astype(jnp.uint8)
-    return wire_dl, wire_rgb
+        planes.append(jnp.clip(jnp.round(atlas[2]), 0,
+                               65535).astype(jnp.uint16))
+        planes.append(jnp.clip(jnp.round(atlas[3]), 0,
+                               255).astype(jnp.uint8))
+    return tuple(planes)
 
 
-def atlas_from_wire(wire_dl, wire_rgb, plan: MipPlan, cfg) -> jnp.ndarray:
-    """Decode wire planes and rebuild the full mip atlas locally.
+def atlas_from_wire(planes, cfg) -> jnp.ndarray:
+    """Dequantize wire planes back to the (4, AH, AW) f32 atlas.
 
-    Exactly build_atlas() over the decoded images, so a shard that decodes
-    its own encoded frame gets the identical atlas every other shard
-    decodes — the sharded step equals a single device integrating the
-    wire-roundtripped frames (the dryrun's quantized-exactness leg)."""
+    Pure elementwise decode (no pyramid rebuild): a shard that decodes its
+    own encoded atlas gets the identical atlas every other shard decodes,
+    so the sharded step equals a single device integrating the
+    wire-roundtripped atlases (the dryrun's quantized-exactness leg)."""
     dmax = wire_depth_max(cfg)
-    d16 = wire_dl[0].astype(jnp.float32)
-    # Code 65535 = invalid; code 0 decodes to 0.0, which build_atlas's
-    # (depth > 0) validity check maps to DEPTH_SENTINEL either way.
-    d = jnp.where(d16 >= 65535.0, -1.0, d16 * (dmax / 65534.0))
-    lab = wire_dl[1].astype(jnp.int32)
-    if wire_rgb is not None:
-        colors = jnp.moveaxis(wire_rgb.astype(jnp.float32), 0, -1)
+    d16 = planes[0].astype(jnp.float32)
+    d = jnp.where(d16 >= 65535.0, DEPTH_SENTINEL, d16 * (dmax / 65534.0))
+    lab = planes[1].astype(jnp.float32)
+    if len(planes) > 2:
+        rg = planes[2].astype(jnp.float32)
+        b = planes[3].astype(jnp.float32)
     else:
-        colors = jnp.zeros(d.shape + (3,), jnp.float32)
-    return build_atlas(d, lab, colors, plan)
+        rg = jnp.zeros_like(d)
+        b = jnp.zeros_like(d)
+    return jnp.stack([d, lab, rg, b])
 
 
-def wire_roundtrip_frame(frame, cfg):
-    """Frame with wire-roundtripped (depth, labels, colors) — the
-    single-device equivalent of what every shard sees under the u16 wire
-    protocol (test/dryrun comparison helper)."""
-    import dataclasses as _dc
-    wdl, wrgb = wire_encode(frame.depth, frame.labels, frame.colors, cfg)
-    dmax = wire_depth_max(cfg)
-    d16 = wdl[0].astype(jnp.float32)
-    d = jnp.where(d16 >= 65535.0, -1.0, d16 * (dmax / 65534.0))
-    lab = wdl[1].astype(jnp.int32)
-    colors = (jnp.moveaxis(wrgb.astype(jnp.float32), 0, -1)
-              if wrgb is not None else jnp.zeros(d.shape + (3,), jnp.float32))
-    return _dc.replace(frame, depth=d, labels=lab, colors=colors)
+def wire_roundtrip_atlas(atlas, cfg) -> jnp.ndarray:
+    """decode(encode(atlas)) — what every shard sees under the u16 wire
+    protocol (test/dryrun single-device comparison helper)."""
+    return atlas_from_wire(wire_encode(atlas, cfg), cfg)
 
 
 def level_tables(plan: MipPlan):

@@ -331,33 +331,30 @@ def _sharded_dense_apply(grid, frame, my, d, cfg, intr, plan, key_budget,
     from ..models import projective as proj_model
     from ..ops import mip as mip_ops
 
+    atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors,
+                                plan)
     wire_u16 = cfg.pipeline.wire_atlas == "u16"
     if wire_u16:
-        # r5 wire protocol (VERDICT r4 item 2): exchange level-0 u16
-        # depth/label (+ u8 RGB only in COLOR mode) and rebuild the mip
-        # pyramid locally — ~8x fewer all-gather bytes than the f32 atlas
-        # (86.6 -> ~11 MB/step at D=8; SCALING_r05). The shard's OWN frame
-        # also goes through the codec, so every shard sees identical
-        # (wire-roundtripped) frame data and the step equals single-device
-        # integration of the roundtripped frames (depth quantized at
+        # r5 wire protocol (VERDICT r4 item 2): exchange the mip pyramid
+        # as u16 depth + u8 label planes (+ u16 rg / u8 b only in COLOR
+        # mode) — ~5-8x fewer all-gather bytes than the f32 atlas (86.6 ->
+        # ~15 MB/step at D=8; SCALING_r05), with a pure-dequantize decode
+        # (no per-remote-atlas pyramid rebuild, which would cost ~2.5
+        # GFLOP of one-hot-MXU pooling each). The shard's OWN atlas also
+        # goes through the codec, so every shard sees identical
+        # (wire-roundtripped) atlas data and the step equals single-device
+        # integration of the roundtripped atlases (depth quantized at
         # ~0.08 mm — ops/mip.py wire_encode).
-        wdl, wrgb = mip_ops.wire_encode(frame.depth, frame.labels,
-                                        frame.colors, cfg)
-        atlas = mip_ops.atlas_from_wire(wdl, wrgb, plan, cfg)
-    else:
-        atlas = mip_ops.build_atlas(frame.depth, frame.labels, frame.colors,
-                                    plan)
+        wire = mip_ops.wire_encode(atlas, cfg)
+        atlas = mip_ops.atlas_from_wire(wire, cfg)
     ckeys, cdrop = bhash.unique_keys(
         *proj_model.candidates_from_atlas(atlas, frame.T_G_C, cfg, intr,
                                           plan), key_budget)
     if wire_u16:
-        wdl_all = jax.lax.all_gather(wdl, AXIS)          # (D, 2, H, W) u16
-        wrgb_all = (jax.lax.all_gather(wrgb, AXIS)
-                    if wrgb is not None else None)       # (D, 3, H, W) u8
-        decode = lambda i: mip_ops.atlas_from_wire(
-            wdl_all[i], wrgb_all[i] if wrgb_all is not None else None,
-            plan, cfg)
-        atlases = jnp.stack([decode(i) for i in range(d)])
+        wire_all = tuple(jax.lax.all_gather(p, AXIS) for p in wire)
+        atlases = jnp.stack([
+            mip_ops.atlas_from_wire(tuple(p[i] for p in wire_all), cfg)
+            for i in range(d)])
     else:
         atlases = jax.lax.all_gather(atlas, AXIS)        # (D, 4, AH, AW)
     poses = jax.lax.all_gather(frame.T_G_C, AXIS)        # (D, 4, 4)

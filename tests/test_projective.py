@@ -82,8 +82,8 @@ class TestMip:
 
     def test_wire_codec_bounds(self):
         """u16 wire (r5 sharded exchange): labels/colors lossless, depth
-        quantized within half a step, invalid depth preserved, and
-        decode(encode(own)) == the atlas every other shard decodes."""
+        quantized within half a step, invalid sentinel preserved, and the
+        roundtrip is idempotent (own-decode == remote-decode)."""
         cfg = dataclasses.replace(
             cfg_small(),
             semantic=SemanticConfig(color_mode=ColorMode.COLOR))
@@ -94,38 +94,44 @@ class TestMip:
         d[0, 2] = -3.0
         lab = rng.randint(0, 21, (8, 8)).astype(np.int32)
         col = rng.randint(0, 256, (8, 8, 3)).astype(np.float32)
-        wdl, wrgb = mip_ops.wire_encode(jnp.asarray(d), jnp.asarray(lab),
-                                        jnp.asarray(col), cfg)
-        assert wdl.dtype == jnp.uint16 and wrgb.dtype == jnp.uint8
         plan = mip_ops.make_plan(8, 8)
-        atlas = np.asarray(mip_ops.atlas_from_wire(wdl, wrgb, plan, cfg))
         ref = np.asarray(mip_ops.build_atlas(
             jnp.asarray(d), jnp.asarray(lab), jnp.asarray(col), plan))
+        planes = mip_ops.wire_encode(jnp.asarray(ref), cfg)
+        assert planes[0].dtype == jnp.uint16      # depth
+        assert planes[1].dtype == jnp.uint8       # labels (<= 256)
+        assert planes[2].dtype == jnp.uint16      # rg packed
+        assert planes[3].dtype == jnp.uint8       # b
+        atlas = np.asarray(mip_ops.atlas_from_wire(planes, cfg))
         dmax = mip_ops.wire_depth_max(cfg)
-        # Depth: invalid stays sentinel; in-range quantized <= step/2;
+        # Depth: sentinel preserved exactly; in-range quantized <= step/2;
         # above-dmax clipped to dmax (behavior-exact: sdf >= trunc both
         # ways for every legally-updatable voxel).
-        v = np.isfinite(d) & (d > 0.0)
-        a0, r0 = atlas[0, :8, :8], ref[0, :8, :8]
-        assert np.all(a0[~v] == mip_ops.DEPTH_SENTINEL)
+        sen = ref[0] >= mip_ops.DEPTH_SENTINEL
+        assert np.all(atlas[0][sen] == mip_ops.DEPTH_SENTINEL)
         step = dmax / 65534.0
-        inr = v & (d <= dmax)
-        assert np.max(np.abs(a0[inr] - r0[inr])) <= step * 0.5 + 1e-7
-        assert np.allclose(a0[v & (d > dmax)], dmax, atol=step)
+        inr = ~sen & (ref[0] <= dmax)
+        assert np.max(np.abs(atlas[0][inr] - ref[0][inr])) <= step / 2 + 1e-7
+        assert np.allclose(atlas[0][~sen & (ref[0] > dmax)], dmax, atol=step)
         # Labels and packed colors: lossless.
         np.testing.assert_array_equal(atlas[1], ref[1])
         np.testing.assert_array_equal(atlas[2], ref[2])
         np.testing.assert_array_equal(atlas[3], ref[3])
+        # Idempotent: decode(encode(decoded)) == decoded.
+        again = np.asarray(mip_ops.atlas_from_wire(
+            mip_ops.wire_encode(jnp.asarray(atlas), cfg), cfg))
+        np.testing.assert_array_equal(again, atlas)
 
     def test_wire_codec_semantic_drops_color(self):
         cfg = cfg_small()  # default color mode = SEMANTIC
-        wdl, wrgb = mip_ops.wire_encode(
-            jnp.ones((4, 4)), jnp.zeros((4, 4), jnp.int32),
-            jnp.full((4, 4, 3), 99.0), cfg)
-        assert wrgb is None
         plan = mip_ops.make_plan(4, 4)
-        atlas = np.asarray(mip_ops.atlas_from_wire(wdl, None, plan, cfg))
-        assert np.all(atlas[2:, :4, :4] == 0.0)
+        ref = mip_ops.build_atlas(jnp.ones((4, 4)),
+                                  jnp.zeros((4, 4), jnp.int32),
+                                  jnp.full((4, 4, 3), 99.0), plan)
+        planes = mip_ops.wire_encode(ref, cfg)
+        assert len(planes) == 2                   # no color planes shipped
+        atlas = np.asarray(mip_ops.atlas_from_wire(planes, cfg))
+        assert np.all(atlas[2:] == 0.0)
 
 
 class TestPatchMeta:

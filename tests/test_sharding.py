@@ -189,15 +189,13 @@ class TestShardedProjective:
         merged, merged_cfg = sharding.merge_shards(sgrid, cfg)
 
         from kimera_semantics_tpu.models import projective
-        from kimera_semantics_tpu.ops import mip as mip_ops
         single_cfg = dataclasses.replace(
             cfg, grid=dataclasses.replace(
                 cfg.grid, block_capacity=cfg.grid.block_capacity * d))
         grid = blocks.create(single_cfg)
         for f in frames:
-            if wire == "u16":
-                f = mip_ops.wire_roundtrip_frame(f, single_cfg)
-            grid = projective.integrate_frame(grid, f, single_cfg, INTR)
+            grid = projective.integrate_frame(grid, f, single_cfg, INTR,
+                                              wire_sim=(wire == "u16"))
 
         nb_s = int(merged.n_blocks)
         nb_g = int(grid.n_blocks)
