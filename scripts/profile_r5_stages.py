@@ -98,143 +98,91 @@ def profile_merged():
     jax.block_until_ready(grid.wsum)
     emit("merged_scene", blocks=int(grid.n_blocks))
 
-    # A. full step (donating jit) — steady state.
-    def full(g, f):
-        return merged_mod.integrate_frame(g, f, cfg, intr)
-    # chain grid through the loop (donation): rebuild per sweep
+    s_band = cfg.pipeline.resolved_band_steps(cfg.grid, cfg.tsdf)
+    lab_shift = max(1, (cfg.grid.num_labels - 1).bit_length())
+    B = cfg.pipeline.segment_budget
+    frac = cfg.pipeline.stream_active_fraction
+
+    # Prefix-ablation on the REAL pipeline (fusion preserved): each prefix
+    # jit runs the step up to stage k and returns a live scalar; stage cost
+    # = diff of successive prefixes. Sweeps of 8 frames amortize the
+    # ~23 ms tunnel sync.
+    def make_prefix(upto):
+        @jax.jit
+        def run(g, f):
+            import dataclasses as dc
+            g2, batches, sem_pts, origin, bdest, _ = merged_mod._frame_parts(
+                g, f, cfg, intr)
+            band, _s = batches[0]
+            if upto == 0:
+                return jnp.sum(band.weight) + jnp.sum(g2.wsum[0])
+            st = integ.expand_jobs(cfg, band, s_band)
+            alloc_keys = st.run_key.reshape(-1)
+            tk, ts_, bc, nb, ov = integ.bhash.insert_compacted(
+                g2.table_keys, g2.table_slots, g2.block_coords, g2.n_blocks,
+                alloc_keys, alloc_keys >= 0, cfg.grid.table_size,
+                cfg.grid.block_capacity, cfg.grid.world_extent_blocks)
+            g2 = dc.replace(g2, table_keys=tk, table_slots=ts_,
+                            block_coords=bc, n_blocks=nb)
+            cube_vals, cam_block = integ.frame_cube(g2, cfg, origin)
+            inform = sem_ops.informative(st.labels) & st.job_valid
+            (k2, w_m, wsdf_off, cnt, key, vu, run_slots) = \
+                pk.slot_resolve_stream(
+                    cfg, cube_vals, cam_block, st.run_key, st.run_idx,
+                    st.local, st.w, st.w_sdf, st.wc_gate, st.step_valid,
+                    st.labels, inform, lab_shift,
+                    cfg.semantic.update_near_surface_only)
+            if upto == 1:
+                return jnp.sum(w_m) + jnp.sum(key % 97)
+            n_jobs = key.shape[1]
+            ok, (tw, tsdf_s, tcnt), nd = segment_compact_reduce(
+                k2.reshape(-1), (w_m.reshape(-1), wsdf_off.reshape(-1),
+                                 cnt.reshape(-1)), B, max_run=n_jobs,
+                active_frac=frac)
+            if upto == 2:
+                return jnp.sum(tw) + jnp.sum(ok % 97)
+            pr, pl_, pv, pc = sem_pts
+            keyT = key.T
+            updT = vu.T
+            pkey = keyT[pr]
+            pupd = updT[pr] & (pv & sem_ops.informative(pl_))[:, None]
+            plab = jnp.clip(pl_, 0, (1 << lab_shift) - 1)[:, None].astype(
+                jnp.int32)
+            k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
+            pcnt = jnp.where(pupd, pc[:, None], 0.0)
+            okp, (tpcnt,), ndp = segment_compact_reduce(
+                k2p.reshape(-1), (pcnt.reshape(-1),), B,
+                max_run=pkey.shape[0], active_frac=frac)
+            return jnp.sum(tpcnt) + jnp.sum(okp % 97)
+        return run
+
+    prev = None
+    names = ["frame_parts", "pre_reduce", "main_reduce", "vote_reduce"]
+    for upto, name in enumerate(names):
+        run = make_prefix(upto)
+        jax.block_until_ready(run(grid, frames[4]))
+        ms = async_loop(run, [(grid, f) for f in frames[4:12]],
+                        lambda o: o)
+        emit(f"merged_prefix_{name}_ms", ms=ms,
+             stage_ms=round(ms - prev, 3) if prev is not None else None)
+        prev = ms
+
+    # Full step (donating jit, copies per sweep) — the total.
     def full_sweep():
-        # integrate_frame donates its grid: copy the master per sweep.
         ts = []
         for r in range(2 + (REPS // 4 or 1)):
             g = jax.tree.map(jnp.copy, grid)
             jax.block_until_ready(g.wsum)
             t0 = time.perf_counter()
             for f in frames[4:12]:
-                g = full(g, f)
+                g = merged_mod.integrate_frame(g, f, cfg, intr)
             jax.block_until_ready(g.wsum)
             if r >= 2:
                 ts.append(1000.0 * (time.perf_counter() - t0) / 8)
         return round(float(np.median(ts)), 3)
-    emit("merged_full_ms", ms=full_sweep())
-
-    # B. _frame_parts alone (bundling + atlas + dense carve).
-    fp = jax.jit(lambda g, f: merged_mod._frame_parts(g, f, cfg, intr),
-                 static_argnames=())
-    emit("merged_frame_parts_ms", ms=async_loop(
-        fp, [(grid, f) for f in frames[4:12]],
-        lambda out: out[0].wsum))
-
-    # Capture one frame's parts for the downstream stages.
-    g1, batches, sem_pts, origin, bdest, _ = jax.block_until_ready(
-        fp(grid, frames[4]))
-    (band, s_band) = batches[0]
-
-    # C. expand + alloc + cube + slot-resolve (the pre-reduce half).
-    lab_shift = max(1, (cfg.grid.num_labels - 1).bit_length())
-
-    @jax.jit
-    def pre_reduce(g, jobs, org):
-        st = integ.expand_jobs(cfg, jobs, s_band)
-        alloc_keys = st.run_key.reshape(-1)
-        tk, ts_, bc, nb, ov = integ.bhash.insert_compacted(
-            g.table_keys, g.table_slots, g.block_coords, g.n_blocks,
-            alloc_keys, alloc_keys >= 0, cfg.grid.table_size,
-            cfg.grid.block_capacity, cfg.grid.world_extent_blocks)
-        import dataclasses as dc
-        g = dc.replace(g, table_keys=tk, table_slots=ts_, block_coords=bc,
-                       n_blocks=nb)
-        cube_vals, cam_block = integ.frame_cube(g, cfg, org)
-        inform = sem_ops.informative(st.labels) & st.job_valid
-        (k2, w_m, wsdf_off, cnt, key, vu, run_slots) = pk.slot_resolve_stream(
-            cfg, cube_vals, cam_block, st.run_key, st.run_idx, st.local,
-            st.w, st.w_sdf, st.wc_gate, st.step_valid, st.labels, inform,
-            lab_shift, cfg.semantic.update_near_surface_only)
-        return k2, w_m, wsdf_off, cnt, key, vu, run_slots
-
-    out = jax.block_until_ready(pre_reduce(g1, band, origin))
-    emit("merged_pre_reduce_ms", ms=async_loop(
-        pre_reduce, [(g1, band, origin)], lambda o: o[0]))
-    k2, w_m, wsdf_off, cnt, key, vu, run_slots = out
-    n_jobs = key.shape[1]
-    emit("merged_stream_shape", S=int(key.shape[0]), R=int(key.shape[1]))
-
-    # D. main segment reduce.
-    B = cfg.pipeline.segment_budget
-    frac = cfg.pipeline.stream_active_fraction
-
-    @jax.jit
-    def main_reduce(k2, w_m, wsdf_off, cnt):
-        return segment_compact_reduce(
-            k2.reshape(-1), (w_m.reshape(-1), wsdf_off.reshape(-1),
-                             cnt.reshape(-1)), B, max_run=n_jobs,
-            active_frac=frac)
-    jax.block_until_ready(main_reduce(k2, w_m, wsdf_off, cnt))
-    emit("merged_main_reduce_ms", ms=async_loop(
-        main_reduce, [(k2, w_m, wsdf_off, cnt)], lambda o: o[0]))
-
-    # E. vote expansion + vote reduce.
-    pr, pl_, pv, pc = sem_pts
-
-    @jax.jit
-    def vote_reduce(key, vu, pr, pl_, pv, pc):
-        keyT = key.T
-        updT = vu.T
-        pkey = keyT[pr]
-        pupd = updT[pr] & (pv & sem_ops.informative(pl_))[:, None]
-        plab = jnp.clip(pl_, 0, (1 << lab_shift) - 1)[:, None].astype(
-            jnp.int32)
-        k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
-        pcnt = jnp.where(pupd, pc[:, None], 0.0)
-        return segment_compact_reduce(k2p.reshape(-1), (pcnt.reshape(-1),),
-                                      B, max_run=pkey.shape[0],
-                                      active_frac=frac)
-    jax.block_until_ready(vote_reduce(key, vu, pr, pl_, pv, pc))
-    emit("merged_vote_reduce_ms", ms=async_loop(
-        vote_reduce, [(key, vu, pr, pl_, pv, pc)], lambda o: o[0]))
-
-    # E2. vote expansion split: gather only (no reduce).
-    @jax.jit
-    def vote_expand(key, vu, pr, pl_, pv, pc):
-        keyT = key.T
-        updT = vu.T
-        pkey = keyT[pr]
-        pupd = updT[pr] & (pv & sem_ops.informative(pl_))[:, None]
-        plab = jnp.clip(pl_, 0, (1 << lab_shift) - 1)[:, None].astype(
-            jnp.int32)
-        k2p = jnp.where(pupd, (pkey << lab_shift) | plab, TRASH_KEY)
-        pcnt = jnp.where(pupd, pc[:, None], 0.0)
-        return k2p, pcnt
-    jax.block_until_ready(vote_expand(key, vu, pr, pl_, pv, pc))
-    emit("merged_vote_expand_ms", ms=async_loop(
-        vote_expand, [(key, vu, pr, pl_, pv, pc)], lambda o: o[0]))
-
-    # F. staged apply (reduced segments + votes -> RMW).
-    ok, sums, _ = jax.block_until_ready(main_reduce(k2, w_m, wsdf_off, cnt))
-    okp, (tpcnt,), _ = jax.block_until_ready(
-        vote_reduce(key, vu, pr, pl_, pv, pc))
-    lk = integ.make_likelihood_cached(cfg)
-    touched = jnp.where(run_slots >= 0, run_slots,
-                        cfg.grid.block_capacity).reshape(-1)
-
-    apply_j = jax.jit(lambda g, ok, s0, s1, s2, okp, tp: integ.
-                      _staged_segment_apply(
-                          g, cfg, ok, (s0, s1, s2), touched, lab_shift, lk,
-                          jnp.int32(0), pvotes=(okp, tp), csegs=None,
-                          Kb=cfg.pipeline.block_budget),
-                      donate_argnums=(0,))
-    g2 = jax.tree.map(jnp.copy, g1)
-    g2 = apply_j(g2, ok, *sums, okp, tpcnt)
-    jax.block_until_ready(g2.wsum)
-    ts = []
-    for _ in range(REPS // 2 or 1):
-        gg = jax.tree.map(jnp.copy, g1)
-        jax.block_until_ready(gg.wsum)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            gg = apply_j(gg, ok, *sums, okp, tpcnt)
-        jax.block_until_ready(gg.wsum)
-        ts.append(1000.0 * (time.perf_counter() - t0) / 4)
-    emit("merged_staged_apply_ms", ms=round(float(np.median(ts)), 3))
+    full_ms = full_sweep()
+    emit("merged_full_ms", ms=full_ms,
+         apply_stage_ms=round(full_ms - prev, 3))
 
 
 def profile_proj():
@@ -263,7 +211,7 @@ def profile_proj():
         a, T, cfg, intr, plan))
     jax.block_until_ready(cand(atl[0], frames[4].T_G_C))
     emit("proj_candidates_ms", ms=async_loop(
-        cand, [(a, f.T_G_C) for a, f in zip(atl, frames[4:12])],
+        cand, [(a, f.T_G_C) for a, f in zip(atl, frames[4:12])] * 4,
         lambda o: o[0]))
 
     keys0, bvalid0 = jax.block_until_ready(cand(atl[0], frames[4].T_G_C))
@@ -277,10 +225,10 @@ def profile_proj():
         gg = jax.tree.map(jnp.copy, grid)
         jax.block_until_ready(gg.wsum)
         t0 = time.perf_counter()
-        for _ in range(8):
+        for _ in range(32):
             gg = ins(gg, keys0, bvalid0)[0]
         jax.block_until_ready(gg.wsum)
-        ts.append(1000.0 * (time.perf_counter() - t0) / 8)
+        ts.append(1000.0 * (time.perf_counter() - t0) / 32)
     emit("proj_insert_ms", ms=round(float(np.median(ts)), 3))
 
 
