@@ -336,7 +336,27 @@ def main():
             return_blocks=True)
         cache2.update(*collect0())                  # warm + seed the cache
         hint_box = [getattr(collect0, "total_rows", 4096)]
+        retries = [0]
         grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
+        # One untimed pipelined cycle: discovers the real per-cycle size
+        # (seeding the fetch hint) and warms the steady-state bucket's
+        # slice program — compiling it mid-stream would stall the loop by
+        # a fresh tunnel compile.
+        for _ in range(max(1, cadence // per_group)):
+            grid = step(grid, groups[gi % len(groups)])
+            gi += 1
+        cw = mesh_ops.extract_mesh_cycle_async(
+            grid, cfg, label_map=label_map, only_updated=True,
+            return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
+        grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
+        out0 = cw()
+        if out0 is not None:
+            cache2.update(*out0)
+            hint_box[0] = getattr(cw, "total_rows", hint_box[0])
+            cw2 = mesh_ops.extract_mesh_cycle_async(
+                grid, cfg, label_map=label_map, only_updated=True,
+                return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
+            cw2()                       # warm the steady bucket's slice
         worker = None
         stall_s = 0.0
         t0s = time.perf_counter()
@@ -350,12 +370,16 @@ def main():
             stall_s += time.perf_counter() - t1
             collect = mesh_ops.extract_mesh_cycle_async(
                 grid, cfg, label_map=label_map, only_updated=True,
-                return_blocks=True, hint_rows=hint_box[0])
+                return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
             grid = _dc.replace(grid,
                                updated=jnp.zeros(grid.updated.shape, bool))
 
             def work(col=collect):
-                cache2.update(*col())
+                out = col()
+                if out is None:
+                    retries[0] += 1     # re-meshed next cycle in serving
+                    return
+                cache2.update(*out)
                 hint_box[0] = getattr(col, "total_rows", hint_box[0])
             worker = threading.Thread(target=work, daemon=True)
             worker.start()

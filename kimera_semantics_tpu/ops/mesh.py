@@ -619,7 +619,8 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                              only_updated: bool = False,
                              with_normals: bool = False,
                              return_blocks: bool = False,
-                             hint_rows: int = 4096):
+                             hint_rows: int = 4096,
+                             hold_grid: bool = True):
     """Dispatch the cycle program NOW (async), return a collect() closure.
 
     The device program is enqueued against the current grid arrays — an
@@ -636,7 +637,16 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
     actual count pays a second transfer. Removes the separate count-sync
     round trip (~23 ms) from the steady-state cycle. After collect()
     returns, `collect.total_rows` holds the cycle's triangle count for
-    the caller's next hint."""
+    the caller's next hint.
+
+    `hold_grid=False` (streaming callers): the closure keeps NO reference
+    to the grid arrays — python refs on them would defeat the
+    integrators' buffer donation and force full-grid copies on every
+    frame integrated while the cycle is in flight (measured r5:
+    ~420 ms/cycle of stalls in the pipelined bench loop). The price: the
+    rare legacy fallback (budget overflow) and extra pages (n_sel > kmax)
+    cannot run — collect() returns None and the caller must re-mark the
+    cycle's blocks updated and retry next cycle."""
     if label_map is not None:
         label_table = jnp.asarray(label_map.label_colors)
     else:
@@ -652,23 +662,31 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
     first = _mesh_cycle(grid, label_table, jnp.int32(0), cfg, only_updated,
                         with_normals, chunk, n_chunks, per_budget,
                         cube_budget, wire=wire)
+    grid_ref = grid if hold_grid else None
+    del grid
 
     def collect():
         parts, sel_parts = [], []
         start, n_sel, page = 0, None, first
         while n_sel is None or start < n_sel:
             if page is None:     # further pages (rare): dispatch on demand
-                page = _mesh_cycle(grid, label_table, jnp.int32(start), cfg,
-                                   only_updated, with_normals, chunk,
+                if grid_ref is None:
+                    return None  # hold_grid=False: caller retries
+                page = _mesh_cycle(grid_ref, label_table, jnp.int32(start),
+                                   cfg, only_updated, with_normals, chunk,
                                    n_chunks, per_budget, cube_budget,
                                    wire=wire)
             buf, total_d, n_sel_d, cnts_d, nacts_d, slots_d = page
             page = None
             # Optimistic single-round-trip fetch: scalars + the hinted
             # buffer prefix ride one pipelined device_get; only a count
-            # above the hint pays a second transfer.
+            # above the hint pays a second transfer. Buckets are COARSE
+            # (16384 rows) so steady-state cycles reuse one compiled
+            # slice program — on the tunnel every fresh trivial compile
+            # stalls the stream for hundreds of ms (measured r5).
             n = buf.shape[0]
-            b0 = min(n, max(4096, -(-int(hint_rows * 1.3) // 4096) * 4096))
+            b0 = min(n, max(16384,
+                            -(-int(hint_rows * 1.3) // 16384) * 16384))
             part0, total, n_sel, cnts, nacts, slots_h = jax.device_get(
                 (buf[:b0], total_d, n_sel_d, cnts_d, nacts_d, slots_d))
             if (int(np.max(cnts)) > per_budget
@@ -677,14 +695,16 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                 # the buffer is incomplete. The mesh must be complete —
                 # redo via the legacy per-batch path (complete by
                 # construction).
-                return extract_mesh(grid, cfg, label_map,
+                if grid_ref is None:
+                    return None  # hold_grid=False: caller retries
+                return extract_mesh(grid_ref, cfg, label_map,
                                     only_updated=only_updated,
                                     with_normals=with_normals,
                                     return_blocks=return_blocks,
                                     _force_legacy=True)
             total = int(total)
             if total > b0:
-                b1 = min(n, -(-total // 4096) * 4096)
+                b1 = min(n, -(-total // 16384) * 16384)
                 rest = np.asarray(buf[b0:b1])
                 parts.append(np.concatenate([part0, rest])[:total])
             else:

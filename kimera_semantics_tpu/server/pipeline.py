@@ -242,17 +242,37 @@ class SemanticTsdfServer:
         t0 = _time.perf_counter()
         self.join_mesh()                       # previous cycle must land
         self.mesh_stall_s += _time.perf_counter() - t0
+        retry = getattr(self, "_mesh_retry_updated", None)
+        if retry is not None:
+            # Previous pipelined cycle couldn't complete without the grid
+            # snapshot (budget overflow / >kmax blocks): its blocks rejoin
+            # this cycle's updated set and the extraction runs
+            # synchronously (complete by construction).
+            self._mesh_retry_updated = None
+            self.grid = dataclasses.replace(
+                self.grid, updated=self.grid.updated | retry)
+            self.update_mesh()
+            return
+        old_updated = self.grid.updated
+        # hold_grid=False: a live python ref on the grid arrays would
+        # defeat the integrators' buffer donation for every frame
+        # integrated while the cycle is in flight (ops/mesh.py).
         collect = mesh_ops.extract_mesh_cycle_async(
             self.grid, self.cfg, self.label_map, only_updated=True,
             with_normals=self.server_cfg.mesh_normals,
             return_blocks=self.mesh_cache is not None,
-            hint_rows=getattr(self, "_mesh_fetch_hint", 4096))
+            hint_rows=getattr(self, "_mesh_fetch_hint", 4096),
+            hold_grid=False)
 
         self.grid = dataclasses.replace(
             self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
 
         def work():
-            self._publish_mesh(collect())
+            out = collect()
+            if out is None:
+                self._mesh_retry_updated = old_updated
+                return
+            self._publish_mesh(out)
             self._mesh_fetch_hint = getattr(collect, "total_rows", 4096)
 
         self._mesh_worker = threading.Thread(target=work, daemon=True)
