@@ -189,7 +189,14 @@ def integrate_jobs(
     n_dispatch_frames = (cube_origin.shape[0]
                          if (cube_origin is not None
                              and cube_origin.ndim == 2) else 1)
-    staged_ok = ag_frames == 1
+    # Batched VOTE dispatches (merged B>1) stay on the plain tail: B
+    # frames' votes concentrate more distinct labels per voxel than the
+    # packed staging's sem_stage_ranks planes can hold (rank drops —
+    # caught by tests/test_carve.py batched-vs-sequential), and the exact
+    # dense alternative stages L x Kb x V3 ~ grid-sized bytes. The plain
+    # tail's scatter cost amortizes over the B frames.
+    staged_ok = (ag_frames == 1
+                 and (n_dispatch_frames == 1 or sem_points is None))
     staged_rows = min(cap - (cap % 8),
                      cfg.pipeline.block_budget * n_dispatch_frames)
 

@@ -562,7 +562,15 @@ def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
         [jnp.where(ok, slots_flat, cap)[:, None], nsl], axis=1).reshape(-1)
     present = jnp.zeros((cap + 1,), bool).at[allrows].set(True)
     present = present.at[cap].set(False)
-    R2 = min(kmax * 8, cap + 1)
+    # Render-row budget: a page's unique (block + neighbor) rows are ~2x
+    # its block count for contiguous scenes (~450 at 256 blocks); the
+    # worst case (256 disjoint blocks) is kmax*8. The subset gather +
+    # argmax scale with R2, so budget it and report overflow (caller
+    # falls back/retries like the cube budget).
+    R2 = min(int(os.environ.get("KSD_RENDER_ROWS", "1024")),
+             kmax * 8, cap + 1)
+    n_rows = jnp.sum(present.astype(jnp.int32))
+    rows_over = jnp.maximum(0, n_rows - R2)
     iota_r = jnp.arange(cap + 1, dtype=jnp.int32)
     rs, rorder = jax.lax.sort(((~present).astype(jnp.int32), iota_r),
                               num_keys=1)
@@ -596,6 +604,9 @@ def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
     else:
         (total, buf), (cnts, nacts) = jax.lax.scan(
             body, (jnp.int32(0), buf0), slots)
+    # Fold the render-row overflow into the cube-overflow channel (same
+    # caller contract: any value over budget => incomplete page).
+    nacts = nacts + jnp.where(rows_over > 0, cube_budget + 1, 0)
     return buf, total, n_sel, cnts, nacts, slots_flat
 
 
@@ -606,11 +617,14 @@ def _cycle_geometry(cfg: FusionConfig):
     chunk = max(1, (1 << 20) // cfg.grid.vps3)
     chunk = min(chunk, 256)
     n_chunks = max(1, -(-256 // chunk))
-    # Budgets sized to a dense page: a 256-block page of the sim world
-    # carries ~45k triangles / ~30k active cubes (profile_mesh_r5), and a
-    # budget overflow silently costs the whole legacy fallback.
-    per_budget = int(os.environ.get("KSD_CHUNK_TRI_BUDGET", "98304"))
-    cube_budget = int(os.environ.get("KSD_CUBE_BUDGET", "65536"))
+    # Budgets trade per-cycle device time (the compaction sort payload,
+    # stage-3 einsums and final gathers all scale with them) against
+    # fallback frequency: a bench-scene incremental cycle carries ~20k
+    # triangles / ~22k active cubes, a dense GT-world 256-block page ~45k
+    # tris. Overflow is safe (legacy fallback, or retry under
+    # hold_grid=False) but slow — keep ~2x headroom over the steady state.
+    per_budget = int(os.environ.get("KSD_CHUNK_TRI_BUDGET", "49152"))
+    cube_budget = int(os.environ.get("KSD_CUBE_BUDGET", "32768"))
     return chunk, n_chunks, per_budget, cube_budget
 
 
