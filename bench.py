@@ -338,25 +338,26 @@ def main():
         hint_box = [getattr(collect0, "total_rows", 4096)]
         retries = [0]
         grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
-        # One untimed pipelined cycle: discovers the real per-cycle size
-        # (seeding the fetch hint) and warms the steady-state bucket's
-        # slice program — compiling it mid-stream would stall the loop by
-        # a fresh tunnel compile.
+        # One untimed pipelined cycle (complete form): discovers the real
+        # per-cycle size — the fetch hint AND the page-block budget — and
+        # warms the steady-state bucket's slice program; compiling either
+        # mid-stream would stall the loop by a fresh tunnel compile.
         for _ in range(max(1, cadence // per_group)):
             grid = step(grid, groups[gi % len(groups)])
             gi += 1
         cw = mesh_ops.extract_mesh_cycle_async(
             grid, cfg, label_map=label_map, only_updated=True,
-            return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
+            return_blocks=True, hint_rows=hint_box[0])
         grid = _dc.replace(grid, updated=jnp.zeros(grid.updated.shape, bool))
         out0 = cw()
-        if out0 is not None:
-            cache2.update(*out0)
-            hint_box[0] = getattr(cw, "total_rows", hint_box[0])
-            cw2 = mesh_ops.extract_mesh_cycle_async(
-                grid, cfg, label_map=label_map, only_updated=True,
-                return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
-            cw2()                       # warm the steady bucket's slice
+        cache2.update(*out0)
+        hint_box[0] = getattr(cw, "total_rows", hint_box[0])
+        page_blocks = max(256, -(-int(len(out0[1]) * 1.3) // 256) * 256)
+        cw2 = mesh_ops.extract_mesh_cycle_async(
+            grid, cfg, label_map=label_map, only_updated=True,
+            return_blocks=True, hint_rows=hint_box[0], hold_grid=False,
+            page_blocks=page_blocks)
+        cw2()                           # warm the steady bucket's slice
         worker = None
         stall_s = 0.0
         t0s = time.perf_counter()
@@ -370,7 +371,8 @@ def main():
             stall_s += time.perf_counter() - t1
             collect = mesh_ops.extract_mesh_cycle_async(
                 grid, cfg, label_map=label_map, only_updated=True,
-                return_blocks=True, hint_rows=hint_box[0], hold_grid=False)
+                return_blocks=True, hint_rows=hint_box[0], hold_grid=False,
+                page_blocks=page_blocks)
             grid = _dc.replace(grid,
                                updated=jnp.zeros(grid.updated.shape, bool))
 

@@ -610,13 +610,15 @@ def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
     return buf, total, n_sel, cnts, nacts, slots_flat
 
 
-def _cycle_geometry(cfg: FusionConfig):
+def _cycle_geometry(cfg: FusionConfig, page_blocks: int = 256):
     """(chunk, n_chunks, per_budget, cube_budget) for the cycle program:
     chunk x vps3 bounded (the corner-color stack is the peak temporary at
-    ~100 MB per 2^20 cubes), kmax = 256 blocks per page."""
+    ~100 MB per 2^20 cubes), kmax >= page_blocks per page (callers size
+    this to the expected updated-block count — a cycle larger than the
+    page either pages again (hold_grid=True) or retries (streaming))."""
     chunk = max(1, (1 << 20) // cfg.grid.vps3)
     chunk = min(chunk, 256)
-    n_chunks = max(1, -(-256 // chunk))
+    n_chunks = max(1, -(-int(page_blocks) // chunk))
     # Budgets trade per-cycle device time (the compaction sort payload,
     # stage-3 einsums and final gathers all scale with them) against
     # fallback frequency: a bench-scene incremental cycle carries ~20k
@@ -634,7 +636,8 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                              with_normals: bool = False,
                              return_blocks: bool = False,
                              hint_rows: int = 4096,
-                             hold_grid: bool = True):
+                             hold_grid: bool = True,
+                             page_blocks: int = 256):
     """Dispatch the cycle program NOW (async), return a collect() closure.
 
     The device program is enqueued against the current grid arrays — an
@@ -665,7 +668,8 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
         label_table = jnp.asarray(label_map.label_colors)
     else:
         label_table = jnp.zeros((256, 3), jnp.uint8)
-    chunk, n_chunks, per_budget, cube_budget = _cycle_geometry(cfg)
+    chunk, n_chunks, per_budget, cube_budget = _cycle_geometry(cfg,
+                                                               page_blocks)
     kmax = chunk * n_chunks
     # The compact u16 fetch wire pays off where transfers are expensive
     # (the TPU tunnel); on CPU the f32 path keeps bit-exact legacy parity

@@ -262,7 +262,8 @@ class SemanticTsdfServer:
             with_normals=self.server_cfg.mesh_normals,
             return_blocks=self.mesh_cache is not None,
             hint_rows=getattr(self, "_mesh_fetch_hint", 4096),
-            hold_grid=False)
+            hold_grid=False,
+            page_blocks=getattr(self, "_mesh_page_hint", 256))
 
         self.grid = dataclasses.replace(
             self.grid, updated=jnp.zeros(self.grid.updated.shape, dtype=bool))
@@ -271,9 +272,16 @@ class SemanticTsdfServer:
             out = collect()
             if out is None:
                 self._mesh_retry_updated = old_updated
+                # Grow the page for the retry's successors.
+                self._mesh_page_hint = getattr(self, "_mesh_page_hint",
+                                               256) + 256
                 return
             self._publish_mesh(out)
             self._mesh_fetch_hint = getattr(collect, "total_rows", 4096)
+            if self.mesh_cache is not None:
+                nblk = len(out[1])
+                self._mesh_page_hint = max(
+                    256, -(-int(nblk * 1.3) // 256) * 256)
 
         self._mesh_worker = threading.Thread(target=work, daemon=True)
         self._mesh_worker.start()
