@@ -368,6 +368,7 @@ def main():
         cw2()                           # warm the steady bucket's slice
         worker = None
         stall_s = 0.0
+        retry_mask = [None]
         t0s = time.perf_counter()
         for c in range(bench_cycles):
             for _ in range(max(1, cadence // per_group)):
@@ -377,6 +378,13 @@ def main():
             if worker is not None:
                 worker.join()
             stall_s += time.perf_counter() - t1
+            if retry_mask[0] is not None:
+                # Failed cycle: its blocks rejoin this cycle's updated set
+                # (same semantics as the serving loop's retry path).
+                grid = _dc.replace(grid,
+                                   updated=grid.updated | retry_mask[0])
+                retry_mask[0] = None
+            old_updated = grid.updated
             collect = mesh_ops.extract_mesh_cycle_async(
                 grid, cfg, label_map=label_map, only_updated=True,
                 return_blocks=True, hint_rows=hint_box[0], hold_grid=False,
@@ -384,10 +392,11 @@ def main():
             grid = _dc.replace(grid,
                                updated=jnp.zeros(grid.updated.shape, bool))
 
-            def work(col=collect):
+            def work(col=collect, old=old_updated):
                 out = col()
                 if out is None:
-                    retries[0] += 1     # re-meshed next cycle in serving
+                    retries[0] += 1
+                    retry_mask[0] = old
                     return
                 cache2.update(*out)
                 hint_box[0] = getattr(col, "total_rows", hint_box[0])
@@ -521,9 +530,9 @@ def main():
             jax.block_until_ready(g4.wsum)
             apply_ms = 1000.0 * (time.perf_counter() - t1) / K - rtt_share
             del g3, g4
-            stage_ms = {"atlas": round(atlas_ms, 3),
-                        "alloc": round(alloc_ms, 3),
-                        "apply": round(apply_ms, 3)}
+            stage_ms = {"atlas": round(max(0.0, atlas_ms), 3),
+                        "alloc": round(max(0.0, alloc_ms), 3),
+                        "apply": round(max(0.0, apply_ms), 3)}
     elif (cfg.tsdf.carve_mode in ("decimated", "projective")
           and cfg.tsdf.voxel_carving_enabled):
         # Banded ray methods: count on the method's own code path — valid

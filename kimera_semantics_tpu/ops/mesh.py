@@ -56,14 +56,20 @@ def connect_mesh(mesh: Mesh, voxel_size: float) -> Mesh:
     Voxblox's MeshLayer offers connected meshes via an exact vertex-position
     map (voxblox mesh_layer.h getConnectedMesh); marching-cubes vertices on
     a shared cell edge are interpolated from the same corner pair, so
-    quantizing at a tiny fraction of the voxel size (2^-12) merges exactly
+    quantizing at a tiny fraction of the voxel size (2^-10) merges exactly
     the duplicated corners without welding distinct features. First
     occurrence keeps its color/normal (voxblox behavior). Shrinks PLYs ~6x
     (each interior vertex is shared by ~6 triangles).
+
+    Weld grid = voxel/1024: the TPU u16 fetch wire quantizes vertices at
+    voxel/4096 steps, and a shared-edge vertex can land one wire code
+    apart in adjacent blocks (world-space float round-trip before the
+    per-block quantization) — the weld cell must span several wire steps
+    or block borders crack (review r5).
     """
     if len(mesh.vertices) == 0:
         return mesh
-    q = np.round(mesh.vertices / (voxel_size / 4096.0)).astype(np.int64)
+    q = np.round(mesh.vertices / (voxel_size / 1024.0)).astype(np.int64)
     # Unique by quantized position; inverse maps soup verts -> unique ids.
     _, first, inv = np.unique(q, axis=0, return_index=True,
                               return_inverse=True)
@@ -667,6 +673,10 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
     if label_map is not None:
         label_table = jnp.asarray(label_map.label_colors)
     else:
+        if cfg.semantic.color_mode == ColorMode.SEMANTIC:
+            # Same contract as render_colors — a zero table would
+            # silently produce an all-black mesh (review r5).
+            raise ValueError("SEMANTIC color mode needs a LabelColorMap")
         label_table = jnp.zeros((256, 3), jnp.uint8)
     chunk, n_chunks, per_budget, cube_budget = _cycle_geometry(cfg,
                                                                page_blocks)
@@ -727,7 +737,10 @@ def extract_mesh_cycle_async(grid: VoxelGrid, cfg: FusionConfig,
                 parts.append(np.concatenate([part0, rest])[:total])
             else:
                 parts.append(part0[:total])
-            collect.total_rows = total
+            # Max across pages: a multi-page cycle's hint must cover its
+            # largest page, not whichever page ran last (review r5).
+            collect.total_rows = max(getattr(collect, "total_rows", 0),
+                                     total)
             sel_parts.append(slots_h[slots_h < cfg.grid.block_capacity])
             start += kmax
 

@@ -161,14 +161,28 @@ def build_atlas(depth: jnp.ndarray, labels: jnp.ndarray, colors: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def wire_depth_max(cfg) -> float:
-    """Wire clip range for depth: max_ray + 2 x truncation.
+    """Fine-range bound for wire depth: max_ray + 2 x truncation.
 
-    Any true depth >= this bound yields sdf >= truncation for every voxel a
-    frame can legally update (z <= max_ray + trunc), i.e. the same
-    free-space update as the unclipped value — so the clip is
-    behavior-exact and only the in-range quantization (step = range/65534,
-    ~0.08 mm at the canonical 5 m config) is lossy."""
+    Any true depth >= this bound yields sdf >= truncation for every voxel
+    a frame can legally update (z <= max_ray + trunc) — beyond it only the
+    observation WEIGHT (1/depth^2 under use_const_weight=False) still
+    depends on depth, so the codec keeps a coarse far segment instead of
+    clipping (see wire_encode)."""
     return cfg.tsdf.max_ray_length_m + 2.0 * cfg.tsdf.truncation_distance
+
+
+# Wire depth layout: codes [0, _WIRE_FINE_CODES) span [0, dmax] linearly
+# (~0.09 mm step at the canonical 5.2 m range); codes
+# [_WIRE_FINE_CODES, 65534] span (dmax, _WIRE_FAR_MAX] linearly (~17 mm
+# step — the far depths only feed the 1/z^2 carve weight, where 17 mm is
+# <0.2% relative error); 65535 = invalid sentinel. Depths beyond
+# _WIRE_FAR_MAX clamp to it (weight error only, documented).
+_WIRE_FINE_CODES = 60000.0
+_WIRE_FAR_MAX = 100.0
+
+
+def _wire_far_lo(cfg) -> float:
+    return wire_depth_max(cfg)
 
 
 def wire_encode(atlas, cfg):
@@ -191,7 +205,17 @@ def wire_encode(atlas, cfg):
     dmax = wire_depth_max(cfg)
     d = atlas[0]
     valid = d < DEPTH_SENTINEL
-    q = jnp.round(jnp.clip(d, 0.0, dmax) * (65534.0 / dmax))
+    # Piecewise: fine range [0, dmax] (geometry-relevant; ~0.09 mm), coarse
+    # far range (dmax, 100 m] (weight-relevant only; ~17 mm — the carve
+    # weight is 1/depth^2, so clipping far depths to dmax would inflate
+    # clearing weights up to (true/dmax)^2; review r5).
+    far_hi = max(_WIRE_FAR_MAX, dmax * 2.0)
+    q_fine = jnp.round(jnp.clip(d, 0.0, dmax)
+                       * ((_WIRE_FINE_CODES - 1.0) / dmax))
+    q_far = jnp.round((jnp.clip(d, dmax, far_hi) - dmax)
+                      * ((65534.0 - _WIRE_FINE_CODES) / (far_hi - dmax))
+                      ) + _WIRE_FINE_CODES
+    q = jnp.where(d <= dmax, q_fine, q_far)
     d16 = jnp.where(valid, q, 65535.0).astype(jnp.uint16)
     ldt = jnp.uint8 if cfg.grid.num_labels <= 256 else jnp.uint16
     lab = jnp.clip(jnp.round(atlas[1]), 0, 65535).astype(ldt)
@@ -212,8 +236,13 @@ def atlas_from_wire(planes, cfg) -> jnp.ndarray:
     so the sharded step equals a single device integrating the
     wire-roundtripped atlases (the dryrun's quantized-exactness leg)."""
     dmax = wire_depth_max(cfg)
+    far_hi = max(_WIRE_FAR_MAX, dmax * 2.0)
     d16 = planes[0].astype(jnp.float32)
-    d = jnp.where(d16 >= 65535.0, DEPTH_SENTINEL, d16 * (dmax / 65534.0))
+    d_fine = d16 * (dmax / (_WIRE_FINE_CODES - 1.0))
+    d_far = dmax + (d16 - _WIRE_FINE_CODES) * ((far_hi - dmax)
+                                               / (65534.0 - _WIRE_FINE_CODES))
+    d = jnp.where(d16 >= 65535.0, DEPTH_SENTINEL,
+                  jnp.where(d16 < _WIRE_FINE_CODES, d_fine, d_far))
     lab = planes[1].astype(jnp.float32)
     if len(planes) > 2:
         rg = planes[2].astype(jnp.float32)

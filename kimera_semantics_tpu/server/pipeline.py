@@ -193,6 +193,10 @@ class SemanticTsdfServer:
                         "dropped_rays": int(self.grid.dropped_rays)}) + "\n")
         finally:
             self.join_mesh()
+            if getattr(self, "_mesh_retry_updated", None) is not None:
+                # The stream's last pipelined cycle failed — complete it
+                # synchronously so the live mesh doesn't end stale.
+                self.update_mesh()
             if sink is not None:
                 sink.close()
         return count
@@ -220,6 +224,14 @@ class SemanticTsdfServer:
         (synchronous)."""
         import jax.numpy as jnp
         self.join_mesh()
+        retry = getattr(self, "_mesh_retry_updated", None)
+        if retry is not None:
+            # A failed pipelined cycle left blocks un-meshed (flags were
+            # cleared at its dispatch): fold them back in so no path —
+            # sync update, stream teardown, manual call — drops them.
+            self._mesh_retry_updated = None
+            self.grid = dataclasses.replace(
+                self.grid, updated=self.grid.updated | retry)
         with timing.Timer("mesh/update"):
             out = mesh_ops.extract_mesh(self.grid, self.cfg, self.label_map,
                                         only_updated=True,

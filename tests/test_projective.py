@@ -104,15 +104,20 @@ class TestMip:
         assert planes[3].dtype == jnp.uint8       # b
         atlas = np.asarray(mip_ops.atlas_from_wire(planes, cfg))
         dmax = mip_ops.wire_depth_max(cfg)
-        # Depth: sentinel preserved exactly; in-range quantized <= step/2;
-        # above-dmax clipped to dmax (behavior-exact: sdf >= trunc both
-        # ways for every legally-updatable voxel).
+        # Depth: sentinel preserved exactly; fine range quantized <=
+        # step/2; far range (feeds only the 1/z^2 carve weight) quantized
+        # at the coarse far step — NOT clipped to dmax (clipping would
+        # inflate far-pixel clearing weights (true/dmax)^2; review r5).
         sen = ref[0] >= mip_ops.DEPTH_SENTINEL
         assert np.all(atlas[0][sen] == mip_ops.DEPTH_SENTINEL)
-        step = dmax / 65534.0
+        step = dmax / (mip_ops._WIRE_FINE_CODES - 1.0)
         inr = ~sen & (ref[0] <= dmax)
         assert np.max(np.abs(atlas[0][inr] - ref[0][inr])) <= step / 2 + 1e-7
-        assert np.allclose(atlas[0][~sen & (ref[0] > dmax)], dmax, atol=step)
+        far_hi = max(mip_ops._WIRE_FAR_MAX, dmax * 2.0)
+        far_step = (far_hi - dmax) / (65534.0 - mip_ops._WIRE_FINE_CODES)
+        far = ~sen & (ref[0] > dmax)
+        assert np.max(np.abs(atlas[0][far] - ref[0][far])) \
+            <= far_step / 2 + 1e-6
         # Labels and packed colors: lossless.
         np.testing.assert_array_equal(atlas[1], ref[1])
         np.testing.assert_array_equal(atlas[2], ref[2])
