@@ -139,22 +139,6 @@ def compact(order_mask: jnp.ndarray, max_out: int, *arrays):
     (kept_mask (max_out,), gathered arrays...). Entries beyond max_out are
     dropped (fixed ray budget, SURVEY 7).
     """
-    n = order_mask.shape[0]
-    assert n < (1 << 30), "packed compact needs index + flag to fit int32"
-    iota = jnp.arange(n, dtype=jnp.int32)
-    if n <= 500_000:
-        packed = jnp.where(order_mask, iota, iota | jnp.int32(1 << 30))
-        sk = jax.lax.sort(packed)[:max_out]
-        kept = sk < jnp.int32(1 << 30)
-        order = sk & jnp.int32((1 << 30) - 1)
-    else:
-        # The packed key is all-unique, and lax.sort's mostly-unique cliff
-        # (~200x, CLAUDE.md; measured from ~500k keys) would hit e.g. a
-        # 1280x720 = 921k pixel stream. Use the stable 2-operand sort on
-        # the BINARY flag instead (duplicate-heavy — fast at any size),
-        # identical permutation semantics (ops/mesh.py _compact_tris form).
-        flag = (~order_mask).astype(jnp.int32)
-        sflag, order = jax.lax.sort((flag, iota), num_keys=1)
-        kept = sflag[:max_out] == 0
-        order = order[:max_out]
+    from ..ops.reduce import stable_compact_order
+    kept, order = stable_compact_order(order_mask, max_out)
     return (kept,) + gather_packed(order, *arrays)

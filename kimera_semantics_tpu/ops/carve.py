@@ -335,22 +335,8 @@ def compact_jobs(jobs: JobBatch, budget: int):
 
     Same packed single-operand sort as models/common.py compact (stable
     argsort permutation at ~half the cost)."""
-    n = jobs.valid.shape[0]
-    assert n < (1 << 30)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    if n <= 500_000:
-        packed = jnp.where(jobs.valid, iota, iota | jnp.int32(1 << 30))
-        sk = jax.lax.sort(packed)[:budget]
-        order = sk & jnp.int32((1 << 30) - 1)
-        kept = sk < jnp.int32(1 << 30)
-    else:
-        # Above ~500k the all-unique packed key hits lax.sort's
-        # mostly-unique cliff (~200x, CLAUDE.md) — stable 2-operand sort on
-        # the binary flag instead (models/common.py compact form).
-        flag = (~jobs.valid).astype(jnp.int32)
-        sflag, order = jax.lax.sort((flag, iota), num_keys=1)
-        order = order[:budget]
-        kept = sflag[:budget] == 0
+    from .reduce import stable_compact_order
+    kept, order = stable_compact_order(jobs.valid, budget)
     take = lambda a: a[order]
     n_valid = jnp.sum(jobs.valid.astype(jnp.int32))
     dropped = jnp.maximum(0, n_valid - budget)

@@ -261,18 +261,10 @@ def _compact_tris(tv, tc, tm, budget, with_normals=False, tn=None):
     Returns (packed, n_valid); n_valid > budget means the caller must fall
     back to the full fetch (counted nowhere — the mesh must be complete).
     """
+    from .reduce import stable_compact_order
     m = tm.reshape(-1)
     n = m.shape[0]
-    assert n < (1 << 30)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    # 2-operand sort on a BINARY key, not the packed 1-operand form: at
-    # this stream size (batch x V3 x 5 ~ 655k) an all-unique packed key
-    # hits lax.sort's mostly-unique cliff (~200x — measured as 296 s for a
-    # 15-batch full extract); the two-valued key stays duplicate-heavy.
-    flag = (~m).astype(jnp.int32)
-    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
-    idx = order[:budget]
-    valid = sflag[:budget] == 0
+    valid, idx = stable_compact_order(m, budget)
     cols = [tv.reshape(n, 9)[idx], tc.reshape(n, 9)[idx]]
     if with_normals:
         cols.append(tn.reshape(n, 9)[idx])

@@ -115,6 +115,30 @@ class SortedUpdates:
 TRASH_KEY = np.int32(0x7FFFFFFF)
 
 
+def stable_compact_order(keep_mask: jnp.ndarray, max_out: int):
+    """Stable compaction permutation: (kept (max_out,), order (max_out,)).
+
+    `order` holds the positions of keep_mask's True entries first, in
+    original order (then dropped positions); `kept` flags which output
+    slots are real. Shared by models/common.py compact, ops/carve.py
+    compact_jobs and ops/mesh.py _compact_tris (review r5 — one home for
+    the lax.sort-cliff workaround): below ~500k entries a packed
+    single-operand key (flag in bit 30) sorts at ~half the 2-operand
+    cost; above it the all-unique packed key hits lax.sort's
+    mostly-unique cliff (~200x, CLAUDE.md) and the stable 2-operand sort
+    on the BINARY flag is the fast form."""
+    n = keep_mask.shape[0]
+    assert n < (1 << 30), "compaction needs index + flag to fit int32"
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n <= 500_000:
+        packed = jnp.where(keep_mask, iota, iota | jnp.int32(1 << 30))
+        sk = jax.lax.sort(packed)[:max_out]
+        return sk < jnp.int32(1 << 30), sk & jnp.int32((1 << 30) - 1)
+    flag = (~keep_mask).astype(jnp.int32)
+    sflag, order = jax.lax.sort((flag, iota), num_keys=1)
+    return sflag[:max_out] == 0, order[:max_out]
+
+
 def segmented_scan_sums(is_start: jnp.ndarray, channels,
                         max_run: int | None = None):
     """Exact inclusive segmented prefix-sum (Hillis-Steele with flags).
