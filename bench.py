@@ -127,7 +127,14 @@ def main():
                 # zero-overflow operating points (BENCH_METHODS_r03).
                 segment_budget=int(os.environ.get(
                     "BENCH_SEG",
-                    "98304" if bench_method == "fast" else str(1 << 17))),
+                    # measured zero-overflow operating points (r5: the
+                    # staging scatters walk the full budget serially, so
+                    # the budget is a first-order cost — merged 31.1 ->
+                    # 51.4 fps from 1<<17 -> 40960; overflow counts any
+                    # spill on other scenes)
+                    "98304" if bench_method == "fast"
+                    else "40960" if bench_method == "merged"
+                    else str(1 << 17))),
                 alloc_stride=int(os.environ.get("BENCH_ALLOC_STRIDE", "8")),
                 block_budget=int(os.environ.get(
                     "BENCH_BLOCK_BUDGET", "512" if vps <= 16 else "128")),
