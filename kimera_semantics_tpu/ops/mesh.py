@@ -300,7 +300,12 @@ def _render_rows(grid: VoxelGrid, cfg: FusionConfig,
 
     Value-identical to render_colors(...)[:, rows] (same op chain on the
     gathered rows); avoids the full-grid argmax/LUT pass, which measured
-    62 ms/cycle at capacity 4096 (scripts/profile_mesh_r5.py)."""
+    62 ms/cycle at capacity 4096 (scripts/profile_mesh_r5.py).
+
+    SEMANTIC mode is handled by _render_labels_rows instead (the cycle
+    carries one label plane and LUTs only the compacted cube corners —
+    the 3-channel color-lattice build measured 17 ms/cycle,
+    scripts/profile_mesh_r5b.py)."""
     mode = cfg.semantic.color_mode
     if mode == ColorMode.COLOR:
         w = jnp.maximum(grid.wsum[rows], 1e-12)[None]
@@ -325,7 +330,7 @@ def _mc_chunk_compact(grid: VoxelGrid, render_pad: jnp.ndarray,
                       rank: jnp.ndarray, slots_c: jnp.ndarray,
                       cfg: FusionConfig, with_normals: bool,
                       cube_budget: int, per_budget: int,
-                      wire: bool = False):
+                      wire: bool = False, label_table=None):
     """Compacted-cube marching cubes over one chunk of K blocks (r5).
 
     The legacy MC body ran every per-cube stage (corner gathers, edge
@@ -363,7 +368,6 @@ def _mc_chunk_compact(grid: VoxelGrid, render_pad: jnp.ndarray,
                           safe_slots, nbr_slots, V)
     rsel = rank[jnp.minimum(safe_slots, cap)]
     rnbr = rank[jnp.minimum(nbr_slots, cap)]
-    cols = [_padded_channel(render_pad[c], rsel, rnbr, V) for c in range(3)]
 
     offs = mc_tables.CORNER_OFFSETS                            # np (8, 3)
 
@@ -389,9 +393,22 @@ def _mc_chunk_compact(grid: VoxelGrid, render_pad: jnp.ndarray,
 
     csdf_c = csdf[cidx]                                        # (CB, 8)
     case_c = jnp.where(cvalid, case[cidx], 0)
-    ccol_full = jnp.stack([corner_stack(c) for c in cols],
-                          axis=-1).reshape(N, 8, 3)
-    ccol_c = ccol_full[cidx]                                   # (CB, 8, 3)
+    if label_table is not None:
+        # SEMANTIC mode (r5b): colors are label-derived, so carry ONE
+        # label lattice and LUT only the compacted cube corners — the
+        # 3-channel color-lattice build measured 17 ms/cycle
+        # (scripts/profile_mesh_r5b.py). Labels ride the lattice as exact
+        # small-int f32; the LUT matches colors_from_labels bit-for-bit.
+        lab_lat = _padded_channel(render_pad[0], rsel, rnbr, V)
+        clab = corner_stack(lab_lat).reshape(N, 8)
+        clab_c = clab[cidx].astype(jnp.int32)                  # (CB, 8)
+        ccol_c = label_table[clab_c].astype(jnp.float32)       # (CB, 8, 3)
+    else:
+        cols = [_padded_channel(render_pad[c], rsel, rnbr, V)
+                for c in range(3)]
+        ccol_full = jnp.stack([corner_stack(c) for c in cols],
+                              axis=-1).reshape(N, 8, 3)
+        ccol_c = ccol_full[cidx]                               # (CB, 8, 3)
 
     ec = mc_tables.EDGE_CORNERS                                # np (12, 2)
     pick = lambda a, side: jnp.stack(
@@ -576,9 +593,19 @@ def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
     rank = jnp.full((cap + 1,), R2, jnp.int32).at[rows_list].set(
         jnp.arange(R2, dtype=jnp.int32), mode="drop")
     rank = rank.at[cap].set(R2)
-    render_sel = _render_rows(grid, cfg, label_table, rows_list)
+    sem_mode = cfg.semantic.color_mode == ColorMode.SEMANTIC
+    if sem_mode:
+        # One LABEL plane instead of three color channels; corners LUT to
+        # colors only after cube compaction (_mc_chunk_compact, r5b —
+        # saves the ~15 ms subset LUT/moveaxis + ~17 ms color lattices).
+        labels_sel = jnp.argmax(grid.sem_delta[:, rows_list],
+                                axis=0).astype(jnp.float32)
+        render_sel = labels_sel[None]                 # (1, R2, V3)
+    else:
+        render_sel = _render_rows(grid, cfg, label_table, rows_list)
     # Trash render row (R2): zeros — only ever read for lattice corners
-    # whose weight gate already suppresses the cube.
+    # whose weight gate already suppresses the cube (label 0 in SEMANTIC
+    # mode, equally gated).
     render_pad = jnp.pad(render_sel, ((0, 0), (0, 1), (0, 0)))
 
     slots = slots_flat.reshape(n_chunks, chunk)
@@ -592,7 +619,8 @@ def _mesh_cycle(grid: VoxelGrid, label_table: jnp.ndarray,
         off, buf = carry
         packed, cnt, nact = _mc_chunk_compact(
             grid, render_pad, rank, slots_c, cfg, with_normals,
-            cube_budget, per_budget, wire=wire)
+            cube_budget, per_budget, wire=wire,
+            label_table=label_table if sem_mode else None)
         buf = jax.lax.dynamic_update_slice(buf, packed, (off, 0))
         return (off + jnp.minimum(cnt, per_budget), buf), (cnt, nact)
 
